@@ -1,0 +1,355 @@
+package graft
+
+/** DuckDB oracle SQL, one entry per SparkEntry.queries key (SURVEY.md §2
+  * "oracle ✓" rows). Conventions that make the hash-match gate robust:
+  *
+  *  - Money aggregates mirror the Spark side's DECIMAL casts exactly
+  *    (double sums are order-dependent; decimal sums are exact).
+  *  - DuckDB's wider default types are cast down to what Spark emits:
+  *    COUNT stays BIGINT, but SUM(INTEGER)→HUGEINT, year()/length()/
+  *    row_number()→BIGINT etc. are cast to Spark's INT/BIGINT.
+  *  - Every statement has a total ORDER BY with a unique tiebreak.
+  *  - Transcendentals/stddev round to 6 dp on both sides (libm /
+  *    algorithm drift).
+  */
+object Oracle {
+
+  val sql: Map[String, String] = Map(
+
+    // §2.1 scans -------------------------------------------------------------
+    "q_scan_parquet" ->
+      """SELECT count(*) AS n_rows, sum(l_quantity) AS sum_qty,
+        |       min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok
+        |FROM lineitem""".stripMargin,
+
+    "q_scan_pruned" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    // §2.2 projection / filter ----------------------------------------------
+    "q_project_expr" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       CAST(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)) AS DOUBLE) AS revenue
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_filter_pred" ->
+      """SELECT CAST(CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue,
+        |       count(*) AS n_rows
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate <  TIMESTAMP '1998-01-01'
+        |  AND l_discount IN (0.05, 0.06, 0.07)
+        |  AND l_quantity < 24.0""".stripMargin,
+
+    "q_filter_like" ->
+      """SELECT p_partkey, p_name, p_type
+        |FROM part
+        |WHERE p_name LIKE '%red%' OR p_type LIKE 'PROMO%'
+        |ORDER BY p_partkey""".stripMargin,
+
+    // §2.3 joins -------------------------------------------------------------
+    "q_join_inner" ->
+      """SELECT r_name, n_name, count(*) AS n_orders,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name
+        |ORDER BY r_name, n_name""".stripMargin,
+
+    "q_join_left" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders,
+        |       coalesce(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 0.0) AS spend
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_join_full" ->
+      """WITH c AS (SELECT c_nationkey AS nationkey, count(*) AS n_cust FROM customer GROUP BY 1),
+        |     s AS (SELECT s_nationkey AS nationkey2, count(*) AS n_supp FROM supplier GROUP BY 1)
+        |SELECT coalesce(nationkey, nationkey2) AS nationkey,
+        |       coalesce(n_cust, 0) AS n_cust,
+        |       coalesce(n_supp, 0) AS n_supp
+        |FROM c FULL OUTER JOIN s ON nationkey = nationkey2
+        |ORDER BY nationkey""".stripMargin,
+
+    "q_join_semi" ->
+      """SELECT c_custkey, c_mktsegment
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_join_broadcast" ->
+      """SELECT p_brand, sum(l_quantity) AS sum_qty, count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand
+        |ORDER BY p_brand""".stripMargin,
+
+    "q_join_theta" ->
+      """SELECT a.p_partkey AS a_partkey, count(*) AS n_close
+        |FROM part a JOIN part b
+        |  ON abs(a.p_retailprice - b.p_retailprice) <= 1.0
+        | AND a.p_partkey <> b.p_partkey
+        |GROUP BY a.p_partkey
+        |ORDER BY a.p_partkey""".stripMargin,
+
+    "q_join_asof" ->
+      """WITH pc AS (
+        |  SELECT event_id, ts, user_id, event_type,
+        |         CASE WHEN event_type = 'click' THEN event_id END AS click_id
+        |  FROM events WHERE event_type IN ('purchase', 'click'))
+        |SELECT event_id, user_id, last_click_id FROM (
+        |  SELECT event_id, user_id, event_type,
+        |         last_value(click_id IGNORE NULLS) OVER (
+        |           PARTITION BY user_id ORDER BY ts, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_id
+        |  FROM pc) t
+        |WHERE event_type = 'purchase'
+        |ORDER BY event_id""".stripMargin,
+
+    "q_join_self" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id,
+        |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events)
+        |SELECT user_id, count(*) AS n_gaps,
+        |       CAST(sum(date_diff('second', prev_ts, ts)) AS BIGINT) AS sum_gap_s,
+        |       CAST(max(date_diff('second', prev_ts, ts)) AS BIGINT) AS max_gap_s
+        |FROM g WHERE prev_ts IS NOT NULL
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
+
+    // §2.4 aggregations ------------------------------------------------------
+    "q_agg_groupby" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       sum(l_quantity) AS sum_qty,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        |       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+        |       avg(l_quantity) AS avg_qty,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+        |       CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_disc,
+        |       count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_agg_distinct" ->
+      """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_cust, count(*) AS n_orders
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_agg_rollup" ->
+      """SELECT n_name, c_mktsegment, n_cust, sum_bal, gid FROM (
+        |  SELECT n_name, c_mktsegment, count(*) AS n_cust,
+        |         CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal,
+        |         CAST(GROUPING(n_name) * 2 + GROUPING(c_mktsegment) AS BIGINT) AS gid
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY ROLLUP (n_name, c_mktsegment)) t
+        |ORDER BY gid, n_name, c_mktsegment""".stripMargin,
+
+    "q_agg_cube" ->
+      """SELECT l_returnflag, l_linestatus, sum_qty, n_rows, gid FROM (
+        |  SELECT l_returnflag, l_linestatus,
+        |         sum(l_quantity) AS sum_qty, count(*) AS n_rows,
+        |         CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid
+        |  FROM lineitem
+        |  GROUP BY CUBE (l_returnflag, l_linestatus)) t
+        |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
+
+    "q_agg_having" ->
+      """SELECT o_custkey, count(*) AS n_orders,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+        |FROM orders GROUP BY o_custkey
+        |HAVING count(*) >= 15
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q_agg_stats" ->
+      """SELECT l_returnflag,
+        |       round(stddev_samp(l_quantity), 6) AS sd_qty,
+        |       round(var_samp(l_quantity), 6) AS var_qty,
+        |       median(l_quantity) AS med_qty,
+        |       min(l_quantity) AS min_qty,
+        |       max(l_quantity) AS max_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_agg_collect" ->
+      """SELECT n_name,
+        |       array_to_string(list_sort(list(DISTINCT c_mktsegment)), ',') AS segments
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    // §2.5 windows -----------------------------------------------------------
+    "q_win_rank" ->
+      """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         CAST(row_number() OVER (PARTITION BY o_custkey
+        |           ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3
+        |ORDER BY o_custkey, rn""".stripMargin,
+
+    "q_win_running" ->
+      """SELECT o_custkey, o_orderkey,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+        |FROM orders
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_win_frame" ->
+      """SELECT user_id, event_id,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS mov_sum,
+        |       count(*) OVER w AS mov_n
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "q_win_range_frame" ->
+      """SELECT o_custkey, o_orderkey,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |         PARTITION BY o_custkey ORDER BY epoch_day
+        |         RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE) AS spend_30d
+        |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+        |             CAST(epoch_ms(o_orderdate) // 86400000 AS BIGINT) AS epoch_day
+        |      FROM orders) t
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_win_analytic" ->
+      """SELECT o_custkey, o_orderkey,
+        |       lag(o_orderkey)  OVER w AS prev_orderkey,
+        |       lead(o_orderkey) OVER w AS next_orderkey,
+        |       first_value(o_orderkey) OVER wa AS first_orderkey,
+        |       last_value(o_orderkey)  OVER wa AS last_orderkey,
+        |       CAST(ntile(4) OVER w AS INTEGER) AS quartile
+        |FROM orders
+        |WINDOW w  AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+        |       wa AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    // §2.6 sort / set ops ----------------------------------------------------
+    "q_sort_limit" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q_set_union" ->
+      """WITH u AS (
+        |  SELECT c_nationkey AS nationkey FROM customer
+        |  UNION ALL
+        |  SELECT s_nationkey FROM supplier),
+        |a AS (SELECT nationkey, count(*) AS n_all FROM u GROUP BY 1),
+        |d AS (SELECT nationkey, count(*) AS n_distinct
+        |      FROM (SELECT DISTINCT nationkey FROM u) GROUP BY 1)
+        |SELECT a.nationkey, a.n_all, d.n_distinct
+        |FROM a JOIN d ON a.nationkey = d.nationkey
+        |ORDER BY a.nationkey""".stripMargin,
+
+    "q_set_intersect" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |INTERSECT
+        |SELECT s_nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin,
+
+    "q_set_except" ->
+      """SELECT o_custkey AS custkey FROM orders
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |ORDER BY custkey""".stripMargin,
+
+    // §2.7 scalar function families -----------------------------------------
+    "q_fn_string" ->
+      """SELECT p_partkey,
+        |       upper(p_name) AS upper_name,
+        |       lower(p_brand) AS lower_brand,
+        |       substring(p_name, 1, 3) AS name3,
+        |       CAST(length(p_name) AS INTEGER) AS name_len,
+        |       concat_ws('|', p_brand, p_type) AS brand_type,
+        |       trim('  pad  ') AS trimmed,
+        |       regexp_extract(p_brand, '#(\d+)', 1) AS brand_num,
+        |       regexp_replace(p_name, ' ', '_', 'g') AS name_us,
+        |       string_split(p_name, ' ')[1] AS first_word
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q_fn_date" ->
+      """SELECT o_orderkey,
+        |       CAST(year(o_orderdate) AS INTEGER) AS yr,
+        |       CAST(month(o_orderdate) AS INTEGER) AS mo,
+        |       CAST(day(o_orderdate) AS INTEGER) AS dom,
+        |       CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+        |       CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+        |       CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS INTEGER) AS days_to_2002,
+        |       CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus3mo,
+        |       CAST(epoch_ms(o_orderdate) // 1000 AS BIGINT) AS epoch_s
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_fn_math" ->
+      """SELECT p_partkey,
+        |       round(p_retailprice, 0) AS price_r0,
+        |       CAST(floor(p_retailprice) AS BIGINT) AS price_floor,
+        |       CAST(ceil(p_retailprice) AS BIGINT) AS price_ceil,
+        |       abs(p_retailprice - 950.0) AS dist_950,
+        |       round(sqrt(p_retailprice), 6) AS price_sqrt,
+        |       round(ln(p_retailprice), 6) AS price_ln,
+        |       round(pow(CAST(p_size AS DOUBLE), 2.0), 1) AS size_sq,
+        |       p_partkey % 7 AS key_mod7
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q_fn_array" ->
+      """SELECT vec_id,
+        |       CAST(len(embedding) AS INTEGER) AS dim,
+        |       round(CAST(embedding[1] AS DOUBLE), 6) AS first_val,
+        |       round(list_reduce(list_transform(embedding[1:8], x -> CAST(x AS DOUBLE)),
+        |                         (x, y) -> x + y), 6) AS sum8,
+        |       CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_pos,
+        |       round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 4) AS sq_norm
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "q_fn_json" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+        |       count(*) AS n_events
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_fn_cond" ->
+      """SELECT o_orderkey,
+        |       CASE WHEN o_totalprice > 300000.0 THEN 'big'
+        |            WHEN o_totalprice > 100000.0 THEN 'mid'
+        |            ELSE 'small' END AS bucket,
+        |       coalesce(nullif(o_orderstatus, 'O'), 'open') AS status_x,
+        |       CAST(trunc(o_totalprice) AS BIGINT) AS price_long,
+        |       CAST(o_orderkey % 2 = 0 AS INTEGER) AS is_even
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    // §2.9 batch twins of streaming -------------------------------------------
+    "q_stream_tumbling_batch" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
+        |       event_type, count(*) AS n_events
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_sessionize_batch" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id,
+        |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id,
+        |         CASE WHEN prev_ts IS NULL
+        |                OR date_diff('second', prev_ts, ts) > 1800
+        |              THEN 1 ELSE 0 END AS new_session
+        |  FROM g)
+        |SELECT user_id,
+        |       CAST(sum(new_session) AS BIGINT) AS n_sessions,
+        |       count(*) AS n_events
+        |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin,
+  )
+}

@@ -1,13 +1,79 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.ops._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every key in `queries` is a SURVEY.md §2 qkey; every oracle-checkable
+  * query also appears in `oracleSql` (Oracle.scala) with the exact same
+  * output column names — the driver sorts columns by name and
+  * hash-compares values, so names/types/order are all part of the
+  * contract.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * TPC-H Q1-style pricing summary: scan → pushed filter → project →
+    * partial+final hash agg → sort (the whole lifecycle in one plan). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.aggGroupBy(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.1 scans
+    "q_scan_parquet" -> Relational.scanParquet _,
+    "q_scan_pruned" -> Relational.scanPruned _,
+    // §2.2 projection / filter
+    "q_project_expr" -> Relational.projectExpr _,
+    "q_filter_pred" -> Relational.filterPred _,
+    "q_filter_like" -> Relational.filterLike _,
+    // §2.3 joins
+    "q_join_inner" -> Relational.joinInner _,
+    "q_join_left" -> Relational.joinLeft _,
+    "q_join_full" -> Relational.joinFull _,
+    "q_join_semi" -> Relational.joinSemi _,
+    "q_join_anti" -> Relational.joinAnti _,
+    "q_join_broadcast" -> Relational.joinBroadcast _,
+    "q_join_theta" -> Relational.joinTheta _,
+    "q_join_asof" -> Relational.joinAsof _,
+    "q_join_self" -> Relational.joinSelf _,
+    // §2.4 aggregations
+    "q_agg_groupby" -> Relational.aggGroupBy _,
+    "q_agg_distinct" -> Relational.aggDistinct _,
+    "q_agg_approx_distinct" -> Relational.aggApproxDistinct _,
+    "q_agg_rollup" -> Relational.aggRollup _,
+    "q_agg_cube" -> Relational.aggCube _,
+    "q_agg_having" -> Relational.aggHaving _,
+    "q_agg_stats" -> Relational.aggStats _,
+    "q_agg_collect" -> Relational.aggCollect _,
+    // §2.5 windows
+    "q_win_rank" -> Relational.winRank _,
+    "q_win_running" -> Relational.winRunning _,
+    "q_win_frame" -> Relational.winFrame _,
+    "q_win_range_frame" -> Relational.winRangeFrame _,
+    "q_win_analytic" -> Relational.winAnalytic _,
+    // §2.6 sort / set ops
+    "q_sort_limit" -> Relational.sortLimit _,
+    "q_set_union" -> Relational.setUnion _,
+    "q_set_intersect" -> Relational.setIntersect _,
+    "q_set_except" -> Relational.setExcept _,
+    // §2.7 scalar function families
+    "q_fn_string" -> Relational.fnString _,
+    "q_fn_date" -> Relational.fnDate _,
+    "q_fn_math" -> Relational.fnMath _,
+    "q_fn_array" -> Relational.fnArray _,
+    "q_fn_json" -> Relational.fnJson _,
+    "q_fn_cond" -> Relational.fnCond _,
+    // §2.9 batch twins of streaming
+    "q_stream_tumbling_batch" -> Relational.streamTumblingBatch _,
+    "q_sessionize_batch" -> Relational.sessionizeBatch _,
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted keys (approx_count_distinct, …) get
+    * the driver's weaker rows-only check; their exact semantics are
+    * asserted in ScalaTest instead. */
+  def oracleSql: Map[String, String] =
+    Oracle.sql.filter { case (k, _) => queries.contains(k) }
 }

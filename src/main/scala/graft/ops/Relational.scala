@@ -1,0 +1,621 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Relational operator surface (SURVEY.md §2.1–§2.7, §2.9 batch twins).
+  *
+  * Conventions (all binding for the DuckDB-oracle hash-match gate):
+  *  - Money sums go through DECIMAL so the result is independent of
+  *    shuffle/summation order (double addition is not associative; at
+  *    100 TB the partial-agg tree shape is nondeterministic). Pattern:
+  *    cast each term to DECIMAL(18,s), sum exactly, cast the total back
+  *    to double. The oracle SQL mirrors the same casts.
+  *  - Every output is deterministic: pure aggregate, or ORDER BY with a
+  *    unique tiebreak key.
+  *  - No collect()/driver-side loops anywhere; every query is a single
+  *    declarative plan so Catalyst can push filters/prune columns.
+  */
+object Relational {
+
+  /** Exact-money cast: DECIMAL(18,2) holds any 2-decimal price in data. */
+  private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
+  /** Products of two 2-decimal terms have exactly 4 true decimals. */
+  private def dec4(c: Column): Column = c.cast(DecimalType(18, 4))
+  /** Products of three 2-decimal terms have exactly 6 true decimals —
+    * casting to a SMALLER scale is unsafe (the true value can sit exactly
+    * on a rounding boundary, where Spark's string-based and DuckDB's
+    * multiply-based double→decimal casts disagree). */
+  private def dec6(c: Column): Column = c.cast(DecimalType(18, 6))
+
+  // ===========================================================================
+  // §2.1 scans
+  // ===========================================================================
+
+  /** Full-scan aggregate over lineitem: the minimal "can we read parquet at
+    * all" probe. Count + exact sums; no shuffle beyond the single agg. */
+  def scanParquet(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum($"l_quantity").as("sum_qty"),
+        min($"l_orderkey").as("min_ok"),
+        max($"l_orderkey").as("max_ok"),
+      )
+  }
+
+  /** Column-pruned scan: only 3 of 11 lineitem columns may reach the scan
+    * (check ReadSchema in explain). Sorted by the composite PK. */
+  def scanPruned(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .select($"l_orderkey", $"l_linenumber", $"l_quantity")
+      .orderBy($"l_orderkey", $"l_linenumber")
+  }
+
+  // ===========================================================================
+  // §2.2 projection / filter
+  // ===========================================================================
+
+  /** Computed-column projection: per-lineitem discounted revenue. */
+  def projectExpr(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .select(
+        $"l_orderkey", $"l_linenumber",
+        dec4($"l_extendedprice" * (lit(1.0) - $"l_discount")).cast("double").as("revenue"),
+      )
+      .orderBy($"l_orderkey", $"l_linenumber")
+  }
+
+  /** TPC-H Q6-shaped predicate stack: date BETWEEN + IN-list + range, all
+    * pushed to the parquet scan (PushedFilters), then one exact sum. */
+  def filterPred(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .filter(
+        $"l_shipdate" >= lit("1997-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1998-01-01").cast("timestamp") &&
+        $"l_discount".isin(0.05, 0.06, 0.07) &&
+        $"l_quantity" < 24.0)
+      .agg(
+        dec4(sum(dec4($"l_extendedprice" * $"l_discount"))).cast("double").as("revenue"),
+        count(lit(1)).as("n_rows"),
+      )
+  }
+
+  /** String pattern predicates: LIKE prefix, contains, and a disjunction. */
+  def filterLike(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.part(spark, dir)
+      .filter($"p_name".like("%red%") || $"p_type".like("PROMO%"))
+      .select($"p_partkey", $"p_name", $"p_type")
+      .orderBy($"p_partkey")
+  }
+
+  // ===========================================================================
+  // §2.3 joins
+  // ===========================================================================
+
+  /** Multi-way equi inner join down the star: revenue per nation.
+    * nation/region are tiny → Catalyst broadcasts them; the orders⋈customer
+    * join shuffles on the key. Scale note: at 100 TB this is the canonical
+    * large-fact ⋈ small-dims plan — dims broadcast, one shuffle total. */
+  def joinInner(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), $"o_custkey" === $"c_custkey")
+      .join(Tables.nation(spark, dir), $"c_nationkey" === $"n_nationkey")
+      .join(Tables.region(spark, dir), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name", $"n_name")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(dec2($"o_totalprice")).cast("double").as("revenue"),
+      )
+      .orderBy($"r_name", $"n_name")
+  }
+
+  /** Left outer join: every customer, order count + spend (0 for none). */
+  def joinLeft(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir), $"c_custkey" === $"o_custkey", "left")
+      .groupBy($"c_custkey")
+      .agg(
+        count($"o_orderkey").as("n_orders"),
+        coalesce(sum(dec2($"o_totalprice")).cast("double"), lit(0.0)).as("spend"),
+      )
+      .orderBy($"c_custkey")
+  }
+
+  /** Full outer join of two per-nation aggregates (customers vs suppliers):
+    * nations may have either side missing. */
+  def joinFull(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val custByNation = Tables.customer(spark, dir)
+      .groupBy($"c_nationkey".as("nationkey")).agg(count(lit(1)).as("n_cust"))
+    val suppByNation = Tables.supplier(spark, dir)
+      .groupBy($"s_nationkey".as("nationkey2")).agg(count(lit(1)).as("n_supp"))
+    custByNation
+      .join(suppByNation, $"nationkey" === $"nationkey2", "full_outer")
+      .select(
+        coalesce($"nationkey", $"nationkey2").as("nationkey"),
+        coalesce($"n_cust", lit(0L)).as("n_cust"),
+        coalesce($"n_supp", lit(0L)).as("n_supp"),
+      )
+      .orderBy($"nationkey")
+  }
+
+  /** Left-semi join (SQL EXISTS): customers with at least one URGENT order. */
+  def joinSemi(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.customer(spark, dir)
+      .join(
+        Tables.orders(spark, dir).filter($"o_orderpriority" === "1-URGENT"),
+        $"c_custkey" === $"o_custkey", "left_semi")
+      .select($"c_custkey", $"c_mktsegment")
+      .orderBy($"c_custkey")
+  }
+
+  /** Left-anti join (SQL NOT EXISTS): customers with no URGENT order. */
+  def joinAnti(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir).filter($"o_orderpriority" === "1-URGENT"),
+        $"c_custkey" === $"o_custkey", "left_anti")
+      .select($"c_custkey", $"c_name")
+      .orderBy($"c_custkey")
+  }
+
+  /** Broadcast-pinned join: lineitem ⋈ part with an explicit broadcast()
+    * hint — at 100 TB, part (bounded dim) broadcasts and lineitem never
+    * shuffles for the join; only the final groupBy shuffles 25 rows/task. */
+  def joinBroadcast(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)), $"l_partkey" === $"p_partkey")
+      .groupBy($"p_brand")
+      .agg(sum($"l_quantity").as("sum_qty"), count(lit(1)).as("n_items"))
+      .orderBy($"p_brand")
+  }
+
+  /** Theta (band) join, scale-safe formulation: parts priced within ±1.0 of
+    * another part. A naive |a-b|<=w theta join is O(n²) BNL; instead each
+    * probe row explodes into its band and the two neighbor bands, the join
+    * is EQUI on the band id, and the residual |a-b|<=w filters exact — at
+    * 100 TB this shuffles on band id instead of comparing all pairs.
+    * Result: per-part count of strictly-other close parts. */
+  def joinTheta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = 1.0
+    val p = Tables.part(spark, dir).select($"p_partkey", $"p_retailprice")
+    // build side: each part registered in its own band
+    val build = p.select(
+      $"p_partkey".as("b_partkey"), $"p_retailprice".as("b_price"),
+      floor($"p_retailprice" / w).as("band"))
+    // probe side: each part probes its band and both neighbors
+    val probe = p.select(
+      $"p_partkey".as("a_partkey"), $"p_retailprice".as("a_price"),
+      explode(array(
+        floor($"p_retailprice" / w) - 1,
+        floor($"p_retailprice" / w),
+        floor($"p_retailprice" / w) + 1)).as("band"))
+    probe.join(build, "band")
+      .filter(abs($"a_price" - $"b_price") <= w && $"a_partkey" =!= $"b_partkey")
+      .groupBy($"a_partkey")
+      .agg(count(lit(1)).as("n_close"))
+      .orderBy($"a_partkey")
+  }
+
+  /** As-of join: for every purchase event, the most recent prior-or-equal
+    * click by the same user. Spark has no native ASOF; the scalable idiom
+    * is union-the-streams + one window pass (last click carried forward),
+    * which shuffles each user's events exactly once — no range join, no
+    * per-row subquery. Ties within a timestamp resolve by event_id. */
+  def joinAsof(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir).select($"event_id", $"ts", $"user_id", $"event_type")
+    val tagged = ev
+      .filter($"event_type".isin("purchase", "click"))
+      .withColumn("click_id", when($"event_type" === "click", $"event_id"))
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("last_click_id", last($"click_id", ignoreNulls = true).over(w))
+      .filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"last_click_id")
+      .orderBy($"event_id")
+  }
+
+  /** Self-join semantics via lag (cheaper than a real self-join: one
+    * shuffle on user_id, no duplicate scan): per-user consecutive-event
+    * gaps, aggregated to per-user stats. */
+  def joinSelf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables.events(spark, dir)
+      .select($"user_id", $"ts", $"event_id")
+      .withColumn("prev_ts", lag($"ts", 1).over(w))
+      .withColumn("gap_s", unix_timestamp($"ts") - unix_timestamp($"prev_ts"))
+      .filter($"gap_s".isNotNull)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_gaps"), sum($"gap_s").as("sum_gap_s"), max($"gap_s").as("max_gap_s"))
+      .orderBy($"user_id")
+  }
+
+  // ===========================================================================
+  // §2.4 aggregations
+  // ===========================================================================
+
+  /** Flagship: TPC-H Q1-style pricing summary. Exercises scan → pushed
+    * filter → project → partial+final hash agg → sort. All money through
+    * DECIMAL (order-independent); qty sums are integral doubles (exact). */
+  def aggGroupBy(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .filter($"l_shipdate" <= lit("2001-09-02").cast("timestamp"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        sum($"l_quantity").as("sum_qty"),
+        sum(dec2($"l_extendedprice")).cast("double").as("sum_base_price"),
+        sum(dec4($"l_extendedprice" * (lit(1.0) - $"l_discount"))).cast("double").as("sum_disc_price"),
+        sum(dec6($"l_extendedprice" * (lit(1.0) - $"l_discount") * (lit(1.0) + $"l_tax"))).cast("double").as("sum_charge"),
+        avg($"l_quantity").as("avg_qty"),
+        (sum(dec2($"l_extendedprice")).cast("double") / count(lit(1))).as("avg_price"),
+        (sum(dec2($"l_discount")).cast("double") / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"),
+      )
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  /** Exact distinct aggregation: distinct customers per order priority.
+    * Spark plans countDistinct as a two-phase expand+agg — scales without
+    * holding a per-group set in memory. */
+  def aggDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .groupBy($"o_orderpriority")
+      .agg(countDistinct($"o_custkey").as("n_cust"), count(lit(1)).as("n_orders"))
+      .orderBy($"o_orderpriority")
+  }
+
+  /** Approximate distinct (HLL). No oracle: estimates are engine-specific;
+    * the unit test asserts relative error vs exact instead. */
+  def aggApproxDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy($"event_type")
+      .agg(approx_count_distinct($"user_id", 0.02).as("approx_users"))
+      .orderBy($"event_type")
+  }
+
+  /** ROLLUP subtotals over (nation of customer, mktsegment). grouping_id
+    * disambiguates subtotal rows; NULLS FIRST ordering matches DuckDB
+    * only when spelled explicitly in the oracle. */
+  def aggRollup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.customer(spark, dir)
+      .join(Tables.nation(spark, dir), $"c_nationkey" === $"n_nationkey")
+      .rollup($"n_name", $"c_mktsegment")
+      .agg(count(lit(1)).as("n_cust"), sum(dec2($"c_acctbal")).cast("double").as("sum_bal"),
+        grouping_id($"n_name", $"c_mktsegment").as("gid"))
+      .orderBy($"gid", $"n_name", $"c_mktsegment")
+  }
+
+  /** CUBE over (returnflag, linestatus). */
+  def aggCube(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .cube($"l_returnflag", $"l_linestatus")
+      .agg(sum($"l_quantity").as("sum_qty"), count(lit(1)).as("n_rows"),
+        grouping_id($"l_returnflag", $"l_linestatus").as("gid"))
+      .orderBy($"gid", $"l_returnflag", $"l_linestatus")
+  }
+
+  /** HAVING: post-aggregation filter on the aggregate itself. */
+  def aggHaving(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .groupBy($"o_custkey")
+      .agg(count(lit(1)).as("n_orders"), sum(dec2($"o_totalprice")).cast("double").as("spend"))
+      .filter($"n_orders" >= 15)
+      .orderBy($"o_custkey")
+  }
+
+  /** Statistical aggregates. stddev/variance are algorithm-sensitive
+    * (Welford vs naive) so both sides round to 6 dp; median interpolates
+    * identically on integral quantities. */
+  def aggStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        round(stddev_samp($"l_quantity"), 6).as("sd_qty"),
+        round(var_samp($"l_quantity"), 6).as("var_qty"),
+        median($"l_quantity").as("med_qty"),
+        min($"l_quantity").as("min_qty"),
+        max($"l_quantity").as("max_qty"),
+      )
+      .orderBy($"l_returnflag")
+  }
+
+  /** collect_set + array_sort, flattened to a string so the oracle compare
+    * is order- and container-insensitive. */
+  def aggCollect(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.customer(spark, dir)
+      .join(Tables.nation(spark, dir), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(array_join(array_sort(collect_set($"c_mktsegment")), ",").as("segments"))
+      .orderBy($"n_name")
+  }
+
+  // ===========================================================================
+  // §2.5 window functions
+  // ===========================================================================
+
+  /** Ranking: top-3 orders per customer by totalprice (orderkey tiebreak —
+    * every window orderBy carries a unique key, SURVEY §7 rule). */
+  def winRank(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey")
+    Tables.orders(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 3)
+      .select($"o_custkey", $"rn", $"o_orderkey", $"o_totalprice")
+      .orderBy($"o_custkey", $"rn")
+  }
+
+  /** Running (cumulative) revenue per customer in order-date order.
+    * DECIMAL running sum: every prefix is exact, so each output row
+    * matches the oracle bit-for-bit. */
+  def winRunning(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, dir)
+      .select($"o_custkey", $"o_orderkey", $"o_orderdate", $"o_totalprice")
+      .withColumn("running_spend", sum(dec2($"o_totalprice")).over(w).cast("double"))
+      .select($"o_custkey", $"o_orderkey", $"running_spend")
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
+  /** ROWS frame: 3-row moving sum of event value per user (exact via
+    * DECIMAL; a moving *sum* avoids divide-order drift that a moving
+    * average of doubles could introduce). */
+  def winFrame(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id").rowsBetween(-2, 0)
+    Tables.events(spark, dir)
+      .select($"user_id", $"event_id", $"ts", $"value")
+      .withColumn("mov_sum", sum(dec4($"value")).over(w).cast("double"))
+      .withColumn("mov_n", count(lit(1)).over(w))
+      .select($"user_id", $"event_id", $"mov_sum", $"mov_n")
+      .orderBy($"user_id", $"event_id")
+  }
+
+  /** RANGE frame over a numeric (epoch-day) ordering: trailing-30-day
+    * spend per customer. */
+  def winRangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"epoch_day")
+      .rangeBetween(-30, 0)
+    Tables.orders(spark, dir)
+      .select($"o_custkey", $"o_orderkey", $"o_orderdate", $"o_totalprice")
+      .withColumn("epoch_day", (unix_timestamp($"o_orderdate") / 86400L).cast("long"))
+      .withColumn("spend_30d", sum(dec2($"o_totalprice")).over(w).cast("double"))
+      .select($"o_custkey", $"o_orderkey", $"spend_30d")
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
+  /** Analytic functions: lag/lead/first/last/ntile over orders per customer. */
+  def winAnalytic(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+    val wAll = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(spark, dir)
+      .select($"o_custkey", $"o_orderkey", $"o_orderdate", $"o_totalprice")
+      .withColumn("prev_orderkey", lag($"o_orderkey", 1).over(w))
+      .withColumn("next_orderkey", lead($"o_orderkey", 1).over(w))
+      .withColumn("first_orderkey", first($"o_orderkey").over(wAll))
+      .withColumn("last_orderkey", last($"o_orderkey").over(wAll))
+      .withColumn("quartile", ntile(4).over(w))
+      .select($"o_custkey", $"o_orderkey", $"prev_orderkey", $"next_orderkey",
+        $"first_orderkey", $"last_orderkey", $"quartile")
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
+  // ===========================================================================
+  // §2.6 sort / limit / set ops
+  // ===========================================================================
+
+  /** Global top-k: Catalyst rewrites sort+limit to TakeOrderedAndProject —
+    * per-partition top-k then a k-row driver merge; no global sort even at
+    * 100 TB. Unique tiebreak key keeps it deterministic. */
+  def sortLimit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+      .limit(10)
+  }
+
+  /** UNION ALL vs UNION DISTINCT over customer/supplier nation keys. */
+  def setUnion(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val c = Tables.customer(spark, dir).select($"c_nationkey".as("nationkey"))
+    val s = Tables.supplier(spark, dir).select($"s_nationkey".as("nationkey"))
+    val unionAll = c.unionByName(s).groupBy($"nationkey").agg(count(lit(1)).as("n_all"))
+    val unionDistinct = c.unionByName(s).distinct()
+      .groupBy($"nationkey").agg(count(lit(1)).as("n_distinct"))
+    unionAll.join(unionDistinct, "nationkey").orderBy($"nationkey")
+  }
+
+  /** INTERSECT: nations having both customers and suppliers. */
+  def setIntersect(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.customer(spark, dir).select($"c_nationkey".as("nationkey"))
+      .intersect(Tables.supplier(spark, dir).select($"s_nationkey".as("nationkey")))
+      .orderBy($"nationkey")
+  }
+
+  /** EXCEPT (distinct semantics): customers who ordered but never URGENT. */
+  def setExcept(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, dir)
+    o.select($"o_custkey".as("custkey"))
+      .except(o.filter($"o_orderpriority" === "1-URGENT").select($"o_custkey".as("custkey")))
+      .orderBy($"custkey")
+  }
+
+  // ===========================================================================
+  // §2.7 scalar function families
+  // ===========================================================================
+
+  /** String functions over part names (upper/lower/substring/trim/concat/
+    * length/split/regexp_extract/replace). 1-indexed substring both sides. */
+  def fnString(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.part(spark, dir)
+      .select(
+        $"p_partkey",
+        upper($"p_name").as("upper_name"),
+        lower($"p_brand").as("lower_brand"),
+        substring($"p_name", 1, 3).as("name3"),
+        length($"p_name").as("name_len"),
+        concat_ws("|", $"p_brand", $"p_type").as("brand_type"),
+        trim(lit("  pad  ")).as("trimmed"),
+        regexp_extract($"p_brand", "#(\\d+)", 1).as("brand_num"),
+        regexp_replace($"p_name", " ", "_").as("name_us"),
+        element_at(split($"p_name", " "), 1).as("first_word"),
+      )
+      .orderBy($"p_partkey")
+  }
+
+  /** Date/time functions over o_orderdate (year/month/day/quarter/
+    * date_trunc/datediff/add_months/unix epoch). */
+  def fnDate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .select(
+        $"o_orderkey",
+        year($"o_orderdate").as("yr"),
+        month($"o_orderdate").as("mo"),
+        dayofmonth($"o_orderdate").as("dom"),
+        quarter($"o_orderdate").as("qtr"),
+        date_trunc("month", $"o_orderdate").as("month_start"),
+        datediff(lit("2002-01-01").cast("date"), $"o_orderdate".cast("date")).as("days_to_2002"),
+        add_months($"o_orderdate".cast("date"), 3).as("plus3mo"),
+        unix_timestamp($"o_orderdate").as("epoch_s"),
+      )
+      .orderBy($"o_orderkey")
+  }
+
+  /** Math functions over prices; transcendentals rounded to 6 dp (libm
+    * last-ulp differences across engines). */
+  def fnMath(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.part(spark, dir)
+      .select(
+        $"p_partkey",
+        round($"p_retailprice", 0).as("price_r0"),
+        floor($"p_retailprice").as("price_floor"),
+        ceil($"p_retailprice").as("price_ceil"),
+        abs($"p_retailprice" - 950.0).as("dist_950"),
+        round(sqrt($"p_retailprice"), 6).as("price_sqrt"),
+        round(log($"p_retailprice"), 6).as("price_ln"),
+        round(pow($"p_size".cast("double"), 2.0), 1).as("size_sq"),
+        pmod($"p_partkey", lit(7L)).as("key_mod7"),
+      )
+      .orderBy($"p_partkey")
+  }
+
+  /** Array functions + higher-order functions over the embedding column:
+    * size/slice/element_at/transform/filter/aggregate — the HOFs stay in
+    * codegen (no UDF). Sums through double sequentially, same fold order
+    * as the oracle's list reduction. */
+  def fnArray(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.embeddings(spark, dir)
+      .select(
+        $"vec_id",
+        size($"embedding").as("dim"),
+        round(element_at($"embedding", 1).cast("double"), 6).as("first_val"),
+        round(
+          aggregate(slice($"embedding", 1, 8), lit(0.0d),
+            (acc, x) => acc + x.cast("double")), 6).as("sum8"),
+        size(filter($"embedding", x => x > 0.0f)).as("n_pos"),
+        round(
+          aggregate(transform($"embedding", x => x.cast("double") * x.cast("double")),
+            lit(0.0d), (acc, x) => acc + x), 4).as("sq_norm"),
+      )
+      .orderBy($"vec_id")
+  }
+
+  /** JSON extraction from the events.props string column. */
+  def fnJson(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .select($"event_id", get_json_object($"props", "$.k").cast("int").as("k"))
+      .groupBy($"k")
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy($"k")
+  }
+
+  /** Conditionals: CASE WHEN / coalesce / nullif / casts. */
+  def fnCond(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .select(
+        $"o_orderkey",
+        when($"o_totalprice" > 300000.0, "big")
+          .when($"o_totalprice" > 100000.0, "mid")
+          .otherwise("small").as("bucket"),
+        coalesce(nullif($"o_orderstatus", lit("O")), lit("open")).as("status_x"),
+        $"o_totalprice".cast("long").as("price_long"),
+        ($"o_orderkey" % 2 === 0).cast("int").as("is_even"),
+      )
+      .orderBy($"o_orderkey")
+  }
+
+  // ===========================================================================
+  // §2.9 batch twins of streaming semantics
+  // ===========================================================================
+
+  /** Tumbling 1-hour window counts by event type — the batch twin of the
+    * streaming groupBy(window(...)) query (same window() expression). */
+  def streamTumblingBatch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n_events"))
+      .select($"window.start".as("hour_start"), $"event_type", $"n_events")
+      .orderBy($"hour_start", $"event_type")
+  }
+
+  /** Batch sessionization: classic lag + gap>30min cumulative-sum trick —
+    * two window passes over one shuffle on user_id; the batch twin of
+    * session_window() streaming. Emits per-user session count + sizes. */
+  def sessionizeBatch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables.events(spark, dir)
+      .select($"user_id", $"ts", $"event_id")
+      .withColumn("prev_ts", lag($"ts", 1).over(byUser))
+      .withColumn("new_session",
+        when($"prev_ts".isNull || unix_timestamp($"ts") - unix_timestamp($"prev_ts") > 1800, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum($"new_session").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id")
+      .agg(
+        max($"session_id").as("n_sessions"),
+        count(lit(1)).as("n_events"),
+      )
+      .orderBy($"user_id")
+  }
+}
