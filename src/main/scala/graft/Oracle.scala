@@ -330,6 +330,151 @@ object Oracle {
         |       CAST(o_orderkey % 2 = 0 AS INTEGER) AS is_even
         |FROM orders ORDER BY o_orderkey""".stripMargin,
 
+    // §2.8 text analysis / dedup ---------------------------------------------
+    "q_text_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,
+        |       CAST(sum(len(string_split(text, ' '))) AS DOUBLE) / count(*) AS avg_tokens,
+        |       count(DISTINCT source) AS n_sources
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_text_tokens" ->
+      """SELECT token, count(*) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
+
+    "q_text_quality" ->
+      """SELECT doc_id,
+        |       CAST(n AS INTEGER) AS n_tokens,
+        |       round(nd / n, 6) AS ttr,
+        |       round(ns / n, 6) AS stopword_ratio,
+        |       round((CAST(n_chars AS DOUBLE) - (n - 1.0)) / n, 6) AS avg_token_len,
+        |       round(least(n / 50.0, 1.0) * 0.4 + (nd / n) * 0.4 + (1.0 - ns / n) * 0.2, 6) AS quality
+        |FROM (SELECT doc_id, n_chars,
+        |        CAST(len(string_split(text, ' ')) AS DOUBLE) AS n,
+        |        CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS nd,
+        |        CAST(len(list_filter(string_split(text, ' '),
+        |          t -> list_contains(['the','a','of','and','to','in','is','it'], t))) AS DOUBLE) AS ns
+        |      FROM documents) t
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_text_langid" ->
+      """SELECT doc_id, lang,
+        |       round(ns / n, 6) AS en_score,
+        |       CASE WHEN ns / n >= 0.05 THEN 'en' ELSE 'und' END AS predicted_lang
+        |FROM (SELECT doc_id, lang,
+        |        CAST(len(string_split(text, ' ')) AS DOUBLE) AS n,
+        |        CAST(len(list_filter(string_split(text, ' '),
+        |          t -> list_contains(['the','a','of','and','to','in','is','it'], t))) AS DOUBLE) AS ns
+        |      FROM documents) t
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_text_fingerprint" ->
+      """SELECT fp, count(*) AS n_docs, min(doc_id) AS canonical_doc
+        |FROM (SELECT doc_id,
+        |        list_reduce(list_transform(string_split_regex(text, ''),
+        |          x -> CAST(ascii(x) AS BIGINT)),
+        |          (a, b) -> (a * 31 + b) % 1000000007) AS fp
+        |      FROM documents) t
+        |GROUP BY fp ORDER BY fp""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT canonical_doc, n_members FROM (
+        |  SELECT min(doc_id) AS canonical_doc, count(*) AS n_members
+        |  FROM (SELECT doc_id,
+        |          array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ') AS k
+        |        FROM documents) t
+        |  GROUP BY k) g
+        |ORDER BY canonical_doc""".stripMargin,
+
+    "q_dedup_ngram" ->
+      """WITH tok AS (
+        |  SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS pos,
+        |         unnest(string_split(text, ' ')) AS w FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS sh
+        |  FROM tok a
+        |  JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |  JOIN tok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+        |inter AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_inter
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1)
+        |SELECT a_id, b_id, jaccard FROM (
+        |  SELECT a_id, b_id,
+        |         round(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 6) AS jaccard
+        |  FROM inter
+        |  JOIN sizes sa ON a_id = sa.doc_id
+        |  JOIN sizes sb ON b_id = sb.doc_id) t
+        |WHERE jaccard >= 0.5
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    // MinHash+LSH output is exact (candidates verified with exact Jaccard,
+    // recall at J≥0.8 is 1 - (1-J⁴)¹⁶ ≈ 1), so it shares the exact oracle.
+    "q_dedup_minhash" ->
+      """WITH tok AS (
+        |  SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS pos,
+        |         unnest(string_split(text, ' ')) AS w FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS sh
+        |  FROM tok a
+        |  JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |  JOIN tok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+        |inter AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_inter
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1)
+        |SELECT a_id, b_id, jaccard FROM (
+        |  SELECT a_id, b_id,
+        |         round(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 6) AS jaccard
+        |  FROM inter
+        |  JOIN sizes sa ON a_id = sa.doc_id
+        |  JOIN sizes sb ON b_id = sb.doc_id) t
+        |WHERE jaccard >= 0.8
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    // §2.8 similarity search -------------------------------------------------
+    "q_sim_knn" ->
+      """WITH probe AS (
+        |  SELECT CAST(embedding AS DOUBLE[]) AS pe FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id, label,
+        |       round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), pe), 6) AS cos_sim
+        |FROM embeddings, probe
+        |WHERE vec_id <> 0
+        |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+
+    "q_sim_pairs" ->
+      """SELECT a_id, b_id, label, cos_sim FROM (
+        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.label AS label,
+        |         round(list_cosine_similarity(
+        |           CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+        |  FROM embeddings a
+        |  JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id) t
+        |WHERE cos_sim >= 0.25
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    "q_udaf_centroid" ->
+      """WITH flat AS (
+        |  SELECT label, generate_subscripts(embedding, 1) AS pos,
+        |         CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings),
+        |cent AS (SELECT label, pos, sum(v) AS s, count(*) AS n FROM flat GROUP BY 1, 2)
+        |SELECT label, CAST(max(n) AS BIGINT) AS n_vecs,
+        |       round(max(CASE WHEN pos = 1 THEN s / n END), 6) AS c1,
+        |       round(max(CASE WHEN pos = 2 THEN s / n END), 6) AS c2,
+        |       round(sqrt(sum((s / n) * (s / n))), 6) AS centroid_norm
+        |FROM cent GROUP BY label ORDER BY label""".stripMargin,
+
+    // §2.8 multimodal ---------------------------------------------------------
+    "q_multimodal_join" ->
+      """SELECT lang, count(*) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |       round(sum(CAST(embedding[1] AS DOUBLE)), 6) AS sum_e1,
+        |       count(DISTINCT label) AS n_labels
+        |FROM documents JOIN embeddings ON doc_id = vec_id
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
     // §2.9 batch twins of streaming -------------------------------------------
     "q_stream_tumbling_batch" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,

@@ -68,6 +68,24 @@ object SparkEntry {
     // §2.9 batch twins of streaming
     "q_stream_tumbling_batch" -> Relational.streamTumblingBatch _,
     "q_sessionize_batch" -> Relational.sessionizeBatch _,
+    // §2.8 text analysis / dedup
+    "q_text_stats" -> Text.textStats _,
+    "q_text_tokens" -> Text.textTokens _,
+    "q_text_quality" -> Text.textQuality _,
+    "q_text_langid" -> Text.textLangId _,
+    "q_text_fingerprint" -> Text.textFingerprint _,
+    "q_dedup_exact" -> Text.dedupExact _,
+    "q_dedup_ngram" -> Text.dedupNgram _,
+    "q_dedup_minhash" -> Text.dedupMinhash _,
+    "q_dedup_simhash" -> Text.dedupSimhash _,
+    // §2.8 similarity search / vectors
+    "q_sim_knn" -> Vector.simKnn _,
+    "q_sim_pairs" -> Vector.simPairs _,
+    "q_udaf_centroid" -> Vector.udafCentroid _,
+    "q_ann_lsh" -> Vector.annLsh _,
+    // §2.8 multimodal
+    "q_multimodal_join" -> Multimodal.multimodalJoin _,
+    "q_multimodal_decode" -> Multimodal.multimodalDecode _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1,0 +1,32 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level vector math over ArrayType(FloatType) embeddings, built
+  * entirely from codegen-friendly higher-order functions — no UDFs, so
+  * the expressions stay inside whole-stage codegen and never leave the
+  * JVM fast path. Floats are widened to double before accumulating
+  * (left-to-right fold, same order as DuckDB's list reductions).
+  */
+object VectorFunctions {
+
+  /** Dot product in double precision. */
+  def dotD(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Squared L2 norm in double precision. */
+  def sqNorm(a: Column): Column =
+    aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def l2Norm(a: Column): Column = sqrt(sqNorm(a))
+
+  /** Cosine similarity; 0-norm guarded to NULL rather than NaN. */
+  def cosine(a: Column, b: Column): Column = {
+    val denom = l2Norm(a) * l2Norm(b)
+    when(denom =!= 0.0, dotD(a, b) / denom)
+  }
+}
