@@ -1,0 +1,121 @@
+package graft.ops
+
+import graft.Schemas
+import graft.Schemas.Event
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface (SURVEY.md §2.9). The transformation
+  * logic is written as plain DataFrame => DataFrame functions so the
+  * exact same code runs in batch (oracle-checked via the batch twins in
+  * Relational) and under readStream (asserted with MemoryStream in
+  * StreamingSpec — deterministic, no Kafka dependency in this offline
+  * environment; in production the source swaps to kafka/files without
+  * touching the logic).
+  *
+  * Scale notes: every stateful op keys by user_id/event_id — state is
+  * partitioned across executors by key hash; watermarks bound state
+  * (late data beyond 10 min is dropped, so state size is
+  * O(active keys × window), not O(stream length)).
+  */
+object Streaming {
+
+  val watermarkDelay = "10 minutes"
+
+  // ---------------------------------------------------------------------------
+  // shared transformations (batch ≡ streaming)
+  // ---------------------------------------------------------------------------
+
+  /** Tumbling 1-hour counts per event type — the streaming form of
+    * Relational.streamTumblingBatch. */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("hour_start"), col("event_type"), col("n_events"))
+
+  /** Sliding 1-hour windows every 15 minutes (no DuckDB twin — each event
+    * lands in 4 windows; asserted against a hand-rolled self-join in
+    * tests). */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("win_start"), col("event_type"), col("n_events"))
+
+  /** Session windows (30-minute gap) per user. */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("session_window.start").as("sess_start"),
+        col("session_window.end").as("sess_end"),
+        col("user_id"), col("n_events"))
+
+  // ---------------------------------------------------------------------------
+  // streaming wiring
+  // ---------------------------------------------------------------------------
+
+  /** File-based streaming source over an events directory (the parquet
+    * analogue of a Kafka feed; new files = new micro-batches). */
+  def parquetSource(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(Schemas.eventsRaw)
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+  }
+
+  /** Watermarked tumbling aggregation — append-mode-compatible: a window
+    * emits once its end passes the watermark; late rows past the
+    * watermark are dropped (bounded state). */
+  def streamTumbling(events: DataFrame): DataFrame =
+    tumblingCounts(events.withWatermark("ts", watermarkDelay))
+
+  def streamSliding(events: DataFrame): DataFrame =
+    slidingCounts(events.withWatermark("ts", watermarkDelay))
+
+  def streamSessions(events: DataFrame): DataFrame =
+    sessionCounts(events.withWatermark("ts", watermarkDelay))
+
+  /** Stateful exact dedup by event_id with watermark-bounded state. */
+  def streamDedup(events: DataFrame): DataFrame =
+    events.withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark(Seq("event_id"))
+
+  /** Per-user running aggregate via arbitrary stateful processing
+    * (flatMapGroupsWithState): emits the updated running count + total
+    * value per user on every input batch. */
+  case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
+
+  def runningPerUser(events: Dataset[Event]): Dataset[UserRunning] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserRunning, UserRunning](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(UserRunning(userId, 0L, 0.0))
+          var n = prev.n_events
+          var total = prev.total_value
+          rows.foreach { e => n += 1; total += e.value }
+          val next = UserRunning(userId, n, total)
+          state.update(next)
+          Iterator.single(next)
+      }
+  }
+
+  /** Land a stream into parquet via foreachBatch (the generic sink shape:
+    * per-micro-batch the DataFrame is a normal batch frame — write to any
+    * batch sink, exactly-once per batch id). */
+  def sinkToParquet(df: DataFrame, outDir: String, checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.write.mode("append").parquet(outDir)
+      }
+      .start()
+}

@@ -1,0 +1,112 @@
+package graft
+
+import graft.functions.{VectorFunctions => V}
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based invariants (SURVEY.md §5.2-3). Each property drives
+  * full Spark plans on generated inputs — sized small so the suite stays
+  * seconds-scale. Plain scalacheck Gen with fixed seeds (the
+  * scalatest/scalacheck bridge artifact is not in the offline cache, and
+  * fixed seeds make failures reproducible anyway). */
+class PropertySpec extends SparkSpec {
+
+  private def forAll[A](g: Gen[A])(f: A => Unit): Unit =
+    (1 to 5).foreach { i =>
+      g(Gen.Parameters.default, Seed(42L + i)).foreach(f)
+    }
+
+  private def forAll[A, B](g1: Gen[A], g2: Gen[B])(f: (A, B) => Unit): Unit =
+    (1 to 5).foreach { i =>
+      for {
+        a <- g1(Gen.Parameters.default, Seed(42L + i))
+        b <- g2(Gen.Parameters.default, Seed(142L + i))
+      } f(a, b)
+    }
+
+  private val textsGen: Gen[List[String]] = {
+    val word = Gen.oneOf("the", "fast", "key", "order", "sort", "scan", "merge", "a")
+    val text = Gen.chooseNum(3, 12).flatMap(n => Gen.listOfN(n, word).map(_.mkString(" ")))
+    Gen.chooseNum(1, 20).flatMap(n => Gen.listOfN(n, text))
+  }
+
+  test("dedup by normalized key is idempotent") {
+    import spark.implicits._
+    forAll(textsGen) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      def dedup(d: org.apache.spark.sql.DataFrame) = d
+        .withColumn("k", array_join(array_sort(array_distinct(split($"text", " "))), " "))
+        .groupBy($"k").agg(min($"doc_id").as("doc_id"), first($"text").as("text"))
+        .select($"doc_id", $"text")
+      val once = dedup(df)
+      val twice = dedup(once)
+      assert(once.count() == twice.count())
+      assert(once.select($"doc_id").as[Long].collect().sorted.toSeq ==
+        twice.select($"doc_id").as[Long].collect().sorted.toSeq)
+    }
+  }
+
+  test("cosine is symmetric and self-similarity ≈ 1") {
+    import spark.implicits._
+    val vecGen = Gen.listOfN(8, Gen.chooseNum(-5.0f, 5.0f))
+      .suchThat(v => v.exists(x => math.abs(x) > 0.1f))
+    forAll(vecGen, vecGen) { (a, b) =>
+      val df = Seq((a.toArray, b.toArray)).toDF("a", "b")
+      val r = df.select(
+        V.cosine($"a", $"b").as("ab"), V.cosine($"b", $"a").as("ba"),
+        V.cosine($"a", $"a").as("aa")).head
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12)
+      assert(math.abs(r.getDouble(2) - 1.0) < 1e-9)
+    }
+  }
+
+  test("union cardinality: |A ∪all B| = |A| + |B|; distinct ≤ all") {
+    import spark.implicits._
+    val keysGen = Gen.listOf(Gen.chooseNum(0, 20))
+    forAll(keysGen, keysGen) { (xs, ys) =>
+      val a = xs.toDF("k")
+      val b = ys.toDF("k")
+      assert(a.unionByName(b).count() == xs.size + ys.size)
+      assert(a.unionByName(b).distinct().count() <= (xs ++ ys).size)
+      assert(a.unionByName(b).distinct().count() == (xs ++ ys).distinct.size)
+    }
+  }
+
+  test("filter-then-join equals join-then-filter") {
+    import spark.implicits._
+    val rowsGen = Gen.listOf(Gen.zip(Gen.chooseNum(0L, 10L), Gen.chooseNum(0, 100)))
+    forAll(rowsGen, rowsGen) { (left, right) =>
+      val l = left.toDF("k", "v")
+      val r = right.map { case (k, v) => (k, v) }.toDF("k", "w")
+      val pred = $"v" > 50
+      val a = l.filter(pred).join(r, "k").count()
+      val b = l.join(r, "k").filter(pred).count()
+      assert(a == b)
+    }
+  }
+
+  test("sessionization: session count between 1 and event count per user") {
+    import spark.implicits._
+    val evGen = Gen.listOf(Gen.zip(Gen.chooseNum(0L, 3L), Gen.chooseNum(0L, 100000L)))
+      .suchThat(_.nonEmpty)
+    forAll(evGen) { rows =>
+      val df = rows.zipWithIndex.map { case ((u, off), i) =>
+        (i.toLong, new java.sql.Timestamp(1704067200000L + off * 1000), u)
+      }.toDF("event_id", "ts", "user_id")
+      val byUser = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val out = df
+        .withColumn("prev_ts", lag($"ts", 1).over(byUser))
+        .withColumn("ns", when($"prev_ts".isNull ||
+          unix_timestamp($"ts") - unix_timestamp($"prev_ts") > 1800, 1).otherwise(0))
+        .withColumn("sid", sum($"ns").over(byUser.rowsBetween(Long.MinValue, 0)))
+        .groupBy($"user_id")
+        .agg(max($"sid").as("n_sessions"), count(lit(1)).as("n_events"))
+        .collect()
+      out.foreach { r =>
+        assert(r.getLong(1) >= 1L && r.getLong(1) <= r.getLong(2))
+      }
+    }
+  }
+}

@@ -1,0 +1,136 @@
+package graft
+
+import graft.Schemas.Event
+import graft.ops.Streaming
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming semantics, proven deterministically with
+  * MemoryStream + processAllAvailable (SURVEY.md §5.2-4): batch/stream
+  * equivalence for the shared transformations, watermark late-data
+  * behavior, stateful dedup, and arbitrary state. */
+class StreamingSpec extends SparkSpec {
+
+  private def ev(id: Long, t: String, user: Long, typ: String, value: Double = 1.0): Event =
+    Event(id, ts(t), user, typ, value, "{}")
+
+  private val batch1 = Seq(
+    ev(1, "2024-01-01 10:05:00", 1, "click"),
+    ev(2, "2024-01-01 10:15:00", 1, "view"),
+    ev(3, "2024-01-01 10:55:00", 2, "click"),
+    ev(4, "2024-01-01 11:05:00", 2, "click"),
+  )
+
+  test("streaming tumbling counts equal batch twin (complete mode)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Event]
+    ms.addData(batch1)
+    val q = Streaming.tumblingCounts(ms.toDF)
+      .writeStream.format("memory").queryName("tumb_complete").outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("tumb_complete")
+      .select($"hour_start", $"event_type", $"n_events")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    val batch = Streaming.tumblingCounts(batch1.toDF)
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
+  test("watermark drops late data in append mode") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val q = Streaming.streamTumbling(ms.toDF)
+      .writeStream.format("memory").queryName("tumb_append").outputMode("append").start()
+    try {
+      ms.addData(batch1); q.processAllAvailable()
+      // advance watermark far past 10:00-11:00 (max ts 13:00 → wm 12:50);
+      // watermark commits at batch boundaries, so pad one more on-time
+      // batch to guarantee the next batch runs with wm = 12:50
+      ms.addData(Seq(ev(5, "2024-01-01 13:00:00", 1, "click"))); q.processAllAvailable()
+      ms.addData(Seq(ev(9, "2024-01-01 13:05:00", 2, "view"))); q.processAllAvailable()
+      // late event for the long-closed 10:00 window → must be dropped
+      ms.addData(Seq(ev(6, "2024-01-01 10:07:00", 1, "click"))); q.processAllAvailable()
+      // one more batch so any (incorrect) re-emission would flush
+      ms.addData(Seq(ev(7, "2024-01-01 13:30:00", 1, "view"))); q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("tumb_append")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    // the 10:00 click window emitted exactly once, with the on-time count
+    // (events 1 + 3; the late event 6 would have made it 3)
+    assert(rows.contains((ts("2024-01-01 10:00:00"), "click", 2L)), rows.toString)
+    assert(!rows.exists(r => r._1 == ts("2024-01-01 10:00:00") && r._2 == "click" && r._3 == 3L))
+  }
+
+  test("dropDuplicatesWithinWatermark dedupes by event_id") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val q = Streaming.streamDedup(ms.toDF)
+      .writeStream.format("memory").queryName("dedup_stream").outputMode("append").start()
+    try {
+      ms.addData(batch1); q.processAllAvailable()
+      // wm after batch1 = 11:05 - 10min = 10:55: the dup must carry an
+      // event time ABOVE the watermark or it is (correctly) dropped as
+      // late before dedup even sees it — so replay event 4 (11:05)
+      ms.addData(Seq(ev(4, "2024-01-01 11:05:00", 2, "click"),  // dup within watermark
+        ev(8, "2024-01-01 11:30:00", 3, "view"))); q.processAllAvailable()
+    } finally q.stop()
+    val ids = spark.table("dedup_stream").select($"event_id").as[Long].collect().toSeq
+    assert(ids.sorted == Seq(1L, 2L, 3L, 4L, 8L), ids.toString)
+  }
+
+  test("flatMapGroupsWithState keeps per-user running totals across batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val q = Streaming.runningPerUser(ms.toDS)
+      .writeStream.format("memory").queryName("running_user").outputMode("append").start()
+    try {
+      ms.addData(Seq(ev(1, "2024-01-01 10:00:00", 1, "click", 2.0),
+        ev(2, "2024-01-01 10:01:00", 1, "click", 3.0))); q.processAllAvailable()
+      ms.addData(Seq(ev(3, "2024-01-01 10:02:00", 1, "click", 5.0))); q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("running_user")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(rows.contains((1L, 2L, 5.0)))  // after batch 1
+    assert(rows.contains((1L, 3L, 10.0))) // state carried into batch 2
+  }
+
+  test("sliding window counts match hand-rolled expansion") {
+    import spark.implicits._
+    val df = Seq(ev(1, "2024-01-01 10:05:00", 1, "click")).toDF
+    val wins = Streaming.slidingCounts(df)
+      .select($"win_start", $"n_events")
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1))).toSet
+    // 1h window sliding 15min: event at 10:05 falls in starts 09:15..10:00
+    val expected = Seq("09:15", "09:30", "09:45", "10:00")
+      .map(m => (ts(s"2024-01-01 $m:00"), 1L)).toSet
+    assert(wins == expected)
+  }
+
+  test("session windows merge events within 30min gaps") {
+    import spark.implicits._
+    val df = Seq(
+      ev(1, "2024-01-01 10:00:00", 1, "click"),
+      ev(2, "2024-01-01 10:20:00", 1, "click"),  // same session (gap 20m)
+      ev(3, "2024-01-01 11:30:00", 1, "click"),  // new session (gap 70m)
+    ).toDF
+    val sess = Streaming.sessionCounts(df)
+      .select($"user_id", $"n_events").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(sess == Seq((1L, 1L), (1L, 2L)))
+  }
+
+  test("foreachBatch parquet sink lands streamed rows") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val ms = MemoryStream[Event]
+    val q = Streaming.sinkToParquet(ms.toDF, out, ckpt)
+    try { ms.addData(batch1); q.processAllAvailable() } finally q.stop()
+    assert(spark.read.parquet(out).count() == batch1.size)
+  }
+}

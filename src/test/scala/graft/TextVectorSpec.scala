@@ -1,0 +1,141 @@
+package graft
+
+import graft.functions.{Udafs, VectorFunctions => V}
+import org.apache.spark.sql.functions._
+
+/** Unit checks for the ✗-oracle text/vector operators: planted near-dups
+  * must be found by the sketch-based dedup paths, LSH recall is measured
+  * on a clustered fixture, aggregators match hand computation. */
+class TextVectorSpec extends SparkSpec {
+
+  private def shingles(df: org.apache.spark.sql.DataFrame) =
+    df.withColumn("t", split(col("text"), " "))
+      .withColumn("shingles", expr(
+        "array_distinct(transform(sequence(1, size(t) - 2), i -> concat_ws(' ', t[i-1], t[i], t[i+1])))"))
+      .select(col("doc_id"), col("shingles"))
+
+  // near-dup pair (0,1): one token changed out of 12; (2,3) unrelated
+  private lazy val docsFixture = {
+    import spark.implicits._
+    Seq(
+      (0L, "the quick brown fox jumps over the lazy dog again and again"),
+      (1L, "the quick brown fox jumps over the lazy cat again and again"),
+      (2L, "spark shuffles partition data across executors during wide stages"),
+      (3L, "window functions rank rows within ordered partitions efficiently here"),
+    ).toDF("doc_id", "text")
+  }
+
+  test("minhash signature via ArrayMinAgg equals per-column min") {
+    import spark.implicits._
+    val post = shingles(docsFixture).select($"doc_id", explode($"shingles").as("sh"))
+      .withColumn("hashes", expr("transform(sequence(0, 63), i -> xxhash64(i, sh))"))
+    val viaUdaf = post.groupBy($"doc_id").agg(Udafs.arrayMinCol($"hashes").as("sig"))
+      .select($"doc_id", $"sig").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val viaExplode = post.select($"doc_id", posexplode($"hashes"))
+      .groupBy($"doc_id", $"pos").agg(min($"col").as("m"))
+      .groupBy($"doc_id").agg(array_sort(collect_list(struct($"pos", $"m"))).as("s"))
+      .select($"doc_id", expr("transform(s, x -> x.m)")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(viaUdaf == viaExplode)
+  }
+
+  test("minhash LSH banding surfaces the planted near-dup pair only") {
+    import spark.implicits._
+    val sigs = shingles(docsFixture)
+      .select($"doc_id", explode($"shingles").as("sh"))
+      .withColumn("hashes", expr("transform(sequence(0, 63), i -> xxhash64(i, sh))"))
+      .groupBy($"doc_id").agg(Udafs.arrayMinCol($"hashes").as("sig"))
+    val bands = sigs.select($"doc_id",
+      posexplode(expr("transform(sequence(0, 15), b -> hash(slice(sig, b * 4 + 1, 4)))")))
+      .toDF("doc_id", "band_idx", "band_key")
+    val cand = bands.as("a").join(bands.as("b"),
+        $"a.band_idx" === $"b.band_idx" && $"a.band_key" === $"b.band_key" &&
+        $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id", $"b.doc_id").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cand.contains((0L, 1L)), s"planted pair missed: $cand")
+    assert(!cand.contains((2L, 3L)), s"unrelated pair surfaced: $cand")
+  }
+
+  test("cosine HOF: self-similarity 1, orthogonal 0, hand value") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f), Array(1.0f, 0.0f)),
+      (2L, Array(1.0f, 0.0f), Array(0.0f, 5.0f)),
+      (3L, Array(3.0f, 4.0f), Array(4.0f, 3.0f)),
+    ).toDF("id", "a", "b")
+    val out = df.select($"id", round(V.cosine($"a", $"b"), 6).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(1L) == 1.0)
+    assert(out(2L) == 0.0)
+    assert(out(3L) == 0.96) // (12+12)/(5*5)
+  }
+
+  test("VecSumAgg centroid equals hand average") {
+    import spark.implicits._
+    val df = Seq(
+      (0, Array(1.0f, 2.0f)), (0, Array(3.0f, 6.0f)), (1, Array(10.0f, 0.0f)),
+    ).toDF("label", "embedding")
+    val out = df.groupBy($"label")
+      .agg(Udafs.vecSumCol($"embedding").as("s"), count(lit(1)).as("n"))
+      .withColumn("c", expr("transform(s, v -> v / n)"))
+      .select($"label", $"c").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    assert(out(0) == Seq(2.0, 4.0))
+    assert(out(1) == Seq(10.0, 0.0))
+  }
+
+  test("LSH ANN recall ≥ 0.8 on clustered vectors") {
+    import spark.implicits._
+    // 10 clusters of 20 vectors: center c has 1.0 in dims [c, c+9],
+    // members jitter one dimension slightly — high intra-cluster cosine.
+    val rows = for {
+      c <- 0 until 10
+      m <- 0 until 20
+    } yield {
+      val v = new Array[Float](64)
+      for (d <- 0 until 10) v(c * 5 + d % 5) = 1.0f
+      v((c * 5 + m % 5) % 64) += 0.2f * (m % 3)
+      (c.toLong * 20 + m, v)
+    }
+    val emb = rows.toDF("vec_id", "embedding").cache()
+    val nTables = 8
+    val nBits = 4
+    val sigsExpr = expr(
+      s"""transform(sequence(0, ${nTables - 1}), t ->
+         |  aggregate(sequence(0, ${nBits - 1}), 0L, (acc, p) ->
+         |    acc * 2 + CASE WHEN
+         |      aggregate(sequence(0, 63), cast(0.0 as double), (s, d) ->
+         |        s + element_at(embedding, d + 1) *
+         |            (CASE WHEN (xxhash64(t * $nBits + p, d) & 1) = 1 THEN 1.0 ELSE -1.0 END)) > 0
+         |    THEN 1 ELSE 0 END))""".stripMargin)
+    val bucketed = emb.withColumn("sigs", sigsExpr)
+      .select($"vec_id", $"embedding", posexplode($"sigs"))
+      .toDF("vec_id", "embedding", "table_id", "bucket")
+    val probeBuckets = bucketed.filter($"vec_id" === 0L)
+      .select($"embedding".as("probe_emb"), $"table_id", $"bucket")
+    val annTop = bucketed.join(probeBuckets, Seq("table_id", "bucket"))
+      .filter($"vec_id" =!= 0L)
+      .dropDuplicates("vec_id")
+      .select($"vec_id", V.cosine($"embedding", $"probe_emb").as("c"))
+      .orderBy($"c".desc, $"vec_id").limit(10)
+      .select($"vec_id").as[Long].collect().toSet
+    val probeEmb = emb.filter($"vec_id" === 0L).select($"embedding".as("probe_emb"))
+    val bruteTop = emb.crossJoin(broadcast(probeEmb)).filter($"vec_id" =!= 0L)
+      .select($"vec_id", V.cosine($"embedding", $"probe_emb").as("c"))
+      .orderBy($"c".desc, $"vec_id").limit(10)
+      .select($"vec_id").as[Long].collect().toSet
+    val recall = (annTop & bruteTop).size.toDouble / bruteTop.size
+    assert(recall >= 0.8, s"recall=$recall ann=$annTop brute=$bruteTop")
+  }
+
+  test("rolling-hash fingerprint matches hand computation") {
+    import spark.implicits._
+    val df = Seq((1L, "ab")).toDF("doc_id", "text")
+    val fp = df.select(
+      aggregate(split($"text", ""), lit(0L), (acc, c) => (acc * 31 + ascii(c)) % 1000000007L))
+      .head.getLong(0)
+    assert(fp == (97L * 31 + 98) % 1000000007L) // 'a'=97, 'b'=98
+  }
+}
