@@ -32,15 +32,22 @@ object Vector {
     * is EQUI on label (shuffle both sides on label, pairs only within
     * blocks) — the O(n²) cross product never materializes across blocks.
     * At 100 TB the same shape holds with any bounded-cardinality
-    * blocking key (label, LSH bucket, IVF cell). */
+    * blocking key (label, LSH bucket, IVF cell).
+    *
+    * Each vector is L2-normalized ONCE before the join (n rows), so the
+    * per-pair work is a single dot product — vs computing two norms per
+    * pair (n² extra folds; measured 3-4× slower at sf0.1). */
   def simPairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val emb = Tables.embeddings(spark, dir).select($"vec_id", $"label", $"embedding")
+    val emb = Tables.embeddings(spark, dir)
+      .withColumn("nrm", V.l2Norm($"embedding"))
+      .select($"vec_id", $"label",
+        transform($"embedding", x => x.cast("double") / $"nrm").as("nemb"))
     emb.as("a")
       .join(emb.as("b"), $"a.label" === $"b.label" && $"a.vec_id" < $"b.vec_id")
       .select(
         $"a.vec_id".as("a_id"), $"b.vec_id".as("b_id"), $"a.label".as("label"),
-        round(V.cosine($"a.embedding", $"b.embedding"), 6).as("cos_sim"))
+        round(V.dotD($"a.nemb", $"b.nemb"), 6).as("cos_sim"))
       .filter($"cos_sim" >= 0.25)
       .orderBy($"a_id", $"b_id")
   }
