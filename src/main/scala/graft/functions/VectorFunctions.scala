@@ -29,4 +29,15 @@ object VectorFunctions {
     val denom = l2Norm(a) * l2Norm(b)
     when(denom =!= 0.0, dotD(a, b) / denom)
   }
+
+  /** Codegen'd dot product over array<double> (graft.plans.DoubleArrayDot)
+    * — same math as dotD but a tight primitive loop inside whole-stage
+    * codegen instead of an interpreted per-element lambda. Use on the
+    * per-pair hot path of similarity joins; inputs must already be
+    * double arrays (cast("array<double>") is itself codegen'd). */
+  def dotFast(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftExpressionBridge.column(
+      graft.plans.DoubleArrayDot(
+        org.apache.spark.sql.GraftExpressionBridge.expression(a),
+        org.apache.spark.sql.GraftExpressionBridge.expression(b)))
 }

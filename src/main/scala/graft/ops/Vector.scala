@@ -2,28 +2,40 @@ package graft.ops
 
 import graft.Tables
 import graft.functions.{Udafs, VectorFunctions => V}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Similarity search + vector analytics over the embeddings table
-  * (SURVEY.md §2.8). All similarity math is double-precision HOFs
-  * (VectorFunctions — codegen, no UDF); outputs round to 6 dp because
-  * the oracle's accumulation order inside list_cosine_similarity is not
-  * bit-identical to a sequential fold.
+  * (SURVEY.md §2.8). Vector math is double-precision; the per-pair hot
+  * path uses the codegen'd DoubleArrayDot expression (graft.plans) on
+  * vectors that were L2-normalized ONCE per row — so a similarity join
+  * does one tight primitive loop per pair and nothing else. Outputs
+  * round to 6 dp (the oracle's accumulation order inside
+  * list_cosine_similarity is not bit-identical to a sequential fold).
   */
 object Vector {
+
+  /** Embeddings with a unit-norm double-array column (one normalization
+    * pass per row; the n² pair stage then never touches norms). */
+  private def normalized(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.embeddings(spark, dir)
+      .withColumn("nrm", V.l2Norm($"embedding"))
+      .select($"vec_id", $"label",
+        transform($"embedding", x => x.cast("double") / $"nrm").as("nemb"))
+  }
 
   /** Brute-force cosine top-k against a probe vector (vec_id 0). The
     * probe is a 1-row broadcast — the big side streams through codegen
     * once, no shuffle until the final top-k (TakeOrderedAndProject).
-    * This is the exact baseline an ANN variant is measured against. */
+    * This is the exact baseline the ANN variant is measured against. */
   def simKnn(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val emb = Tables.embeddings(spark, dir)
-    val probe = emb.filter($"vec_id" === 0L).select($"embedding".as("probe_emb"))
+    val emb = normalized(spark, dir)
+    val probe = emb.filter($"vec_id" === 0L).select($"nemb".as("probe_nemb"))
     emb.crossJoin(broadcast(probe))
       .filter($"vec_id" =!= 0L)
-      .select($"vec_id", $"label", round(V.cosine($"embedding", $"probe_emb"), 6).as("cos_sim"))
+      .select($"vec_id", $"label", round(V.dotFast($"nemb", $"probe_nemb"), 6).as("cos_sim"))
       .orderBy($"cos_sim".desc, $"vec_id")
       .limit(10)
   }
@@ -32,22 +44,15 @@ object Vector {
     * is EQUI on label (shuffle both sides on label, pairs only within
     * blocks) — the O(n²) cross product never materializes across blocks.
     * At 100 TB the same shape holds with any bounded-cardinality
-    * blocking key (label, LSH bucket, IVF cell).
-    *
-    * Each vector is L2-normalized ONCE before the join (n rows), so the
-    * per-pair work is a single dot product — vs computing two norms per
-    * pair (n² extra folds; measured 3-4× slower at sf0.1). */
+    * blocking key (label, LSH bucket, IVF cell). */
   def simPairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val emb = Tables.embeddings(spark, dir)
-      .withColumn("nrm", V.l2Norm($"embedding"))
-      .select($"vec_id", $"label",
-        transform($"embedding", x => x.cast("double") / $"nrm").as("nemb"))
+    val emb = normalized(spark, dir)
     emb.as("a")
       .join(emb.as("b"), $"a.label" === $"b.label" && $"a.vec_id" < $"b.vec_id")
       .select(
         $"a.vec_id".as("a_id"), $"b.vec_id".as("b_id"), $"a.label".as("label"),
-        round(V.dotD($"a.nemb", $"b.nemb"), 6).as("cos_sim"))
+        round(V.dotFast($"a.nemb", $"b.nemb"), 6).as("cos_sim"))
       .filter($"cos_sim" >= 0.25)
       .orderBy($"a_id", $"b_id")
   }
@@ -71,44 +76,63 @@ object Vector {
       .orderBy($"label")
   }
 
+  /** splitmix64 finalizer — deterministic pseudo-random bits for the LSH
+    * hyperplanes with no RNG state (identical across runs and JVMs). */
+  private def mix(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
   /** Approximate nearest neighbors via multi-table random-hyperplane
-    * LSH: 8 independent tables × 4 signed projections each; a vector
+    * LSH: 8 independent tables × 4 signed ±1 projections each; a vector
     * lands in one 4-bit bucket per table, the probe's candidates are the
     * union over tables of its buckets, exact cosine re-ranks them.
-    * Hyperplanes are pseudo-random but fully deterministic: component
-    * (t, p, d) is ±1 from xxhash64(t*4+p, d) — no RNG state, identical
-    * across runs. Scale path: bucketing shuffles each vector 8 times
-    * (table fan-out), probe lookup is a broadcast join on (table,
-    * bucket) — no brute-force scan; recall/candidate-fraction tuned by
-    * (tables, bits). On near-uniform data candidate sets are large (LSH
-    * needs cluster structure to prune hard) — ScalaTest asserts recall
-    * on a clustered fixture where the guarantee is meaningful. No DuckDB
+    * Hyperplanes are literal ±1 arrays precomputed from splitmix64 —
+    * each projection is one codegen'd DoubleArrayDot against a constant,
+    * not a per-element hash. Sign of the projection is invariant under
+    * the vector's positive scaling, so bucketing runs on the normalized
+    * arrays shared with the re-rank stage.
+    * Scale path: bucketing shuffles each vector nTables times (table
+    * fan-out), probe lookup is a broadcast join on (table, bucket) — no
+    * brute-force scan; recall/candidate-fraction tuned by (tables,
+    * bits). On near-uniform data candidate sets are large (LSH needs
+    * cluster structure to prune hard) — ScalaTest asserts recall on a
+    * clustered fixture where the guarantee is meaningful. No DuckDB
     * oracle (hash-derived planes aren't portable). */
   def annLsh(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val nTables = 8
     val nBits = 4
-    val emb = Tables.embeddings(spark, dir)
-    // per-table signature: bit p = sign of <emb, hyperplane(t, p)>
-    val sigsExpr = expr(
-      s"""transform(sequence(0, ${nTables - 1}), t ->
-        |  aggregate(sequence(0, ${nBits - 1}), 0L, (acc, p) ->
-        |    acc * 2 + CASE WHEN
-        |      aggregate(sequence(0, 63), cast(0.0 as double), (s, d) ->
-        |        s + element_at(embedding, d + 1) *
-        |            (CASE WHEN (xxhash64(t * $nBits + p, d) & 1) = 1 THEN 1.0 ELSE -1.0 END)) > 0
-        |    THEN 1 ELSE 0 END))""".stripMargin)
-    val bucketed = emb.withColumn("sigs", sigsExpr)
-      .select($"vec_id", $"embedding", posexplode($"sigs"))
-      .toDF("vec_id", "embedding", "table_id", "bucket")
+    val dim = 64
+    val planes: IndexedSeq[IndexedSeq[Seq[Double]]] =
+      (0 until nTables).map { t =>
+        (0 until nBits).map { p =>
+          (0 until dim).map { d =>
+            if ((mix(((t.toLong * nBits + p) << 32) | d.toLong) & 1L) == 1L) 1.0 else -1.0
+          }
+        }
+      }
+    val emb = normalized(spark, dir)
+    val bucketCols: Seq[Column] = (0 until nTables).map { t =>
+      (0 until nBits).map { p =>
+        when(V.dotFast($"nemb", typedlit(planes(t)(p))) > 0.0,
+          lit(1L << (nBits - 1 - p))).otherwise(lit(0L))
+      }.reduce(_ + _).as(s"bucket$t")
+    }
+    val bucketed = emb.select(($"vec_id" +: $"nemb" +: bucketCols): _*)
+      .select($"vec_id", $"nemb",
+        posexplode(array((0 until nTables).map(t => col(s"bucket$t")): _*)))
+      .toDF("vec_id", "nemb", "table_id", "bucket")
     val probeBuckets = bucketed.filter($"vec_id" === 0L)
-      .select($"embedding".as("probe_emb"), $"table_id", $"bucket")
+      .select($"nemb".as("probe_nemb"), $"table_id", $"bucket")
     bucketed
       .join(broadcast(probeBuckets), Seq("table_id", "bucket"))
       .filter($"vec_id" =!= 0L)
-      .select($"vec_id", $"embedding", $"probe_emb")
+      .select($"vec_id", $"nemb", $"probe_nemb")
       .dropDuplicates("vec_id")
-      .select($"vec_id", round(V.cosine($"embedding", $"probe_emb"), 6).as("cos_sim"))
+      .select($"vec_id", round(V.dotFast($"nemb", $"probe_nemb"), 6).as("cos_sim"))
       .orderBy($"cos_sim".desc, $"vec_id")
       .limit(10)
   }

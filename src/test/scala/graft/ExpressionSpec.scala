@@ -1,0 +1,48 @@
+package graft
+
+import graft.functions.{VectorFunctions => V}
+import org.apache.spark.sql.functions._
+
+/** The custom codegen'd DoubleArrayDot expression must agree exactly
+  * with the interpreted HOF formulation (same sequential fold order →
+  * bit-identical doubles), survive nulls, and reject wrong types. */
+class ExpressionSpec extends SparkSpec {
+
+  test("dotFast equals HOF dotD bit-for-bit on random-ish vectors") {
+    import spark.implicits._
+    val rows = (1 to 100).map { i =>
+      val a = Array.tabulate(64)(j => math.sin(i * 64 + j))
+      val b = Array.tabulate(64)(j => math.cos(i * 64 + j))
+      (i.toLong, a, b)
+    }
+    val df = rows.toDF("id", "a", "b")
+    val diff = df.select(
+        (V.dotFast($"a", $"b") - V.dotD($"a", $"b")).as("d"))
+      .agg(max(abs($"d"))).head.getDouble(0)
+    assert(diff == 0.0, s"codegen vs interpreted drift: $diff")
+  }
+
+  test("dotFast null semantics: null array → null result") {
+    import spark.implicits._
+    val df = Seq((Some(Array(1.0, 2.0)), Option.empty[Array[Double]]))
+      .toDF("a", "b")
+    val r = df.select(V.dotFast($"a", $"b")).head
+    assert(r.isNullAt(0))
+  }
+
+  test("dotFast rejects non-double arrays at analysis time") {
+    import spark.implicits._
+    val df = Seq((Array(1, 2), Array(3, 4))).toDF("a", "b")
+    val e = intercept[Exception] {
+      df.select(V.dotFast($"a", $"b")).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("double_array_dot") ||
+      e.getMessage.toLowerCase.contains("datatype_mismatch"), e.getMessage)
+  }
+
+  test("dotFast handles length mismatch by folding the shorter prefix") {
+    import spark.implicits._
+    val df = Seq((Array(1.0, 2.0, 3.0), Array(10.0, 20.0))).toDF("a", "b")
+    assert(df.select(V.dotFast($"a", $"b")).head.getDouble(0) == 50.0)
+  }
+}
