@@ -1,0 +1,62 @@
+package graft
+
+import graft.sources.Formats
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Source/sink round-trips (SURVEY.md §2.1 q_scan_csv_json as a unit
+  * test): values — including timestamps — must survive CSV and JSONL
+  * round-trips bit-for-bit under the explicit schemas; partitioned
+  * parquet must prune partitions at the scan. */
+class FormatsSpec extends SparkSpec {
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft_fmt").toString
+
+  private lazy val ordersSlice = {
+    import spark.implicits._
+    Seq(
+      (1L, 10L, "O", 1234.56, ts("1997-03-15 00:00:00"), "1-URGENT"),
+      (2L, 11L, "F", 99.99, ts("1998-07-01 00:00:00"), "5-LOW"),
+      (3L, 10L, "P", 50000.0, ts("2000-01-31 00:00:00"), "3-MEDIUM"),
+    ).toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority")
+  }
+
+  private def sortedRows(df: org.apache.spark.sql.DataFrame) =
+    df.orderBy("o_orderkey").collect().map(_.toSeq).toSeq
+
+  test("CSV round-trip preserves all values incl. timestamps") {
+    val dir = tmp()
+    Formats.writeCsv(ordersSlice, dir)
+    val back = Formats.readCsv(spark, dir, Schemas.orders)
+    assert(sortedRows(back) == sortedRows(ordersSlice))
+  }
+
+  test("JSONL round-trip preserves all values") {
+    val dir = tmp()
+    Formats.writeJsonl(ordersSlice, dir)
+    val back = Formats.readJsonl(spark, dir, Schemas.orders)
+    assert(sortedRows(back) == sortedRows(ordersSlice))
+  }
+
+  test("partitioned parquet write prunes partitions at the scan") {
+    import spark.implicits._
+    val dir = tmp()
+    Formats.writeParquet(ordersSlice, dir, partitionBy = Seq("o_orderstatus"))
+    val schemaNoPart = StructType(Schemas.orders.filterNot(_.name == "o_orderstatus"))
+    val back = spark.read.parquet(dir).filter($"o_orderstatus" === "O")
+    assert(back.count() == 1)
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("o_orderstatus"), plan.take(500))
+  }
+
+  test("CSV read with schema ignores header row and keeps types") {
+    val dir = tmp()
+    Formats.writeCsv(ordersSlice, dir)
+    val back = Formats.readCsv(spark, dir, Schemas.orders)
+    assert(back.schema("o_orderdate").dataType == TimestampType)
+    assert(back.schema("o_totalprice").dataType == DoubleType)
+    assert(back.count() == 3)
+  }
+}
