@@ -330,6 +330,77 @@ object Oracle {
         |       CAST(o_orderkey % 2 = 0 AS INTEGER) AS is_even
         |FROM orders ORDER BY o_orderkey""".stripMargin,
 
+    // SQL surface: subqueries (Catalyst decorrelates to joins) --------------
+    "q_sql_scalar_subquery" ->
+      """SELECT p_partkey, p_retailprice
+        |FROM part
+        |WHERE p_retailprice > (SELECT avg(p_retailprice) FROM part)
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q_sql_in_subquery" ->
+      """SELECT c_custkey, c_name
+        |FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000.0)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_sql_exists_corr" ->
+      """SELECT n_nationkey, n_name
+        |FROM nation
+        |WHERE EXISTS (SELECT 1 FROM customer
+        |              WHERE c_nationkey = n_nationkey AND c_acctbal > 9000.0)
+        |ORDER BY n_nationkey""".stripMargin,
+
+    "q_sql_tpch_q3" ->
+      """SELECT l_orderkey,
+        |       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |       o_orderdate
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |              JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-03-15'
+        |  AND l_shipdate  > TIMESTAMP '1998-03-15'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
+
+    // pivot / extra window / bitwise / salted join ---------------------------
+    "q_agg_pivot" ->
+      """SELECT n_name,
+        |       CAST(sum(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END) AS BIGINT) AS "AUTOMOBILE",
+        |       CAST(sum(CASE WHEN c_mktsegment = 'BUILDING'   THEN 1 ELSE 0 END) AS BIGINT) AS "BUILDING",
+        |       CAST(sum(CASE WHEN c_mktsegment = 'FURNITURE'  THEN 1 ELSE 0 END) AS BIGINT) AS "FURNITURE",
+        |       CAST(sum(CASE WHEN c_mktsegment = 'HOUSEHOLD'  THEN 1 ELSE 0 END) AS BIGINT) AS "HOUSEHOLD",
+        |       CAST(sum(CASE WHEN c_mktsegment = 'MACHINERY'  THEN 1 ELSE 0 END) AS BIGINT) AS "MACHINERY"
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q_win_percent" ->
+      """SELECT o_custkey, o_orderkey,
+        |       percent_rank() OVER w AS pct_rank,
+        |       cume_dist() OVER w AS cume
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_fn_bitwise" ->
+      """SELECT o_orderkey,
+        |       o_orderkey & 255 AS and255,
+        |       o_orderkey | 16 AS or16,
+        |       xor(o_orderkey, o_custkey) AS xor_cust,
+        |       o_orderkey << 2 AS shl2,
+        |       o_orderkey >> 3 AS shr3,
+        |       CAST(bit_count(o_orderkey) AS INTEGER) AS popcount
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    // the salted join must produce EXACTLY the plain join's answer — the
+    // oracle is the unsalted formulation.
+    "q_join_skew_salted" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+
     // §2.8 text analysis / dedup ---------------------------------------------
     "q_text_stats" ->
       """SELECT lang, count(*) AS n_docs,

@@ -86,6 +86,16 @@ object SparkEntry {
     // §2.8 multimodal
     "q_multimodal_join" -> Multimodal.multimodalJoin _,
     "q_multimodal_decode" -> Multimodal.multimodalDecode _,
+    // SQL-text surface: subqueries (decorrelated by Catalyst) + TPC-H Q3
+    "q_sql_scalar_subquery" -> Sql.scalarSubquery _,
+    "q_sql_in_subquery" -> Sql.inSubquery _,
+    "q_sql_exists_corr" -> Sql.existsCorrelated _,
+    "q_sql_tpch_q3" -> Sql.tpchQ3 _,
+    // pivot / extra windows / bitwise / skew-salted join
+    "q_agg_pivot" -> Relational.aggPivot _,
+    "q_win_percent" -> Relational.winPercent _,
+    "q_fn_bitwise" -> Relational.fnBitwise _,
+    "q_join_skew_salted" -> Relational.joinSkewSalted _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

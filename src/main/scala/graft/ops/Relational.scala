@@ -582,6 +582,75 @@ object Relational {
       .orderBy($"o_orderkey")
   }
 
+  /** PIVOT: per-nation counts by market segment as columns. Explicit
+    * value list keeps the output schema static (a dynamic pivot would
+    * need an extra distinct-scan and yields nondeterministic column
+    * order). */
+  def aggPivot(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val segments = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+    Tables.customer(spark, dir)
+      .join(Tables.nation(spark, dir), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .pivot("c_mktsegment", segments)
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy($"n_name")
+  }
+
+  /** percent_rank / cume_dist — rank-derived ratios are exact integer
+    * divisions, so they hash-match the oracle without rounding. */
+  def winPercent(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice", $"o_orderkey")
+    Tables.orders(spark, dir)
+      .select($"o_custkey", $"o_orderkey",
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"),
+      )
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
+  /** Bitwise function family over keys. */
+  def fnBitwise(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .select(
+        $"o_orderkey",
+        $"o_orderkey".bitwiseAND(255L).as("and255"),
+        $"o_orderkey".bitwiseOR(16L).as("or16"),
+        $"o_orderkey".bitwiseXOR($"o_custkey").as("xor_cust"),
+        shiftleft($"o_orderkey", 2).as("shl2"),
+        shiftright($"o_orderkey", 3).as("shr3"),
+        bit_count($"o_orderkey").as("popcount"),
+      )
+      .orderBy($"o_orderkey")
+  }
+
+  /** Skew-mitigated (salted) join: replicate the build side S ways and
+    * split the probe side's hot keys across S salt values, so one
+    * pathological key spreads over S tasks instead of stalling one
+    * straggler. The salt is a deterministic hash of the row id — the
+    * result is byte-identical to the unsalted join (the oracle IS the
+    * plain join). At 100 TB this is the manual fallback when AQE's
+    * skew-join split cannot help (e.g. a shuffled-hash build side). */
+  def joinSkewSalted(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val salts = 8
+    val orders = Tables.orders(spark, dir)
+      .select($"o_custkey", $"o_totalprice", $"o_orderkey")
+      .withColumn("salt", pmod(xxhash64($"o_orderkey"), lit(salts.toLong)))
+    val custReplicated = Tables.customer(spark, dir)
+      .select($"c_custkey", $"c_mktsegment")
+      .withColumn("salt", explode(array((0 until salts).map(s => lit(s.toLong)): _*)))
+    orders
+      .join(custReplicated, $"o_custkey" === $"c_custkey" && orders("salt") === custReplicated("salt"))
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec2($"o_totalprice")).cast("double").as("revenue"))
+      .orderBy($"c_mktsegment")
+  }
+
   // ===========================================================================
   // §2.9 batch twins of streaming semantics
   // ===========================================================================

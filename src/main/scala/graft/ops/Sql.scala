@@ -1,0 +1,71 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The SQL-text entry point: temp views + spark.sql(...). Subqueries are
+  * the interesting cases — Catalyst decorrelates them into joins
+  * (RewriteCorrelatedScalarSubquery, exists→left-semi), so the physical
+  * plans are the same shuffle-friendly shapes as the DataFrame API's;
+  * none of these executes a per-row subquery at any scale.
+  */
+object Sql {
+
+  private def withViews(spark: SparkSession, dir: String): Unit = {
+    Tables.part(spark, dir).createOrReplaceTempView("part")
+    Tables.orders(spark, dir).createOrReplaceTempView("orders")
+    Tables.customer(spark, dir).createOrReplaceTempView("customer")
+    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem")
+    Tables.nation(spark, dir).createOrReplaceTempView("nation")
+  }
+
+  /** Scalar subquery: parts priced above the mean part price. */
+  def scalarSubquery(spark: SparkSession, dir: String): DataFrame = {
+    withViews(spark, dir)
+    spark.sql(
+      """SELECT p_partkey, p_retailprice
+        |FROM part
+        |WHERE p_retailprice > (SELECT avg(p_retailprice) FROM part)
+        |ORDER BY p_partkey""".stripMargin)
+  }
+
+  /** IN subquery: customers having at least one 400k+ order. */
+  def inSubquery(spark: SparkSession, dir: String): DataFrame = {
+    withViews(spark, dir)
+    spark.sql(
+      """SELECT c_custkey, c_name
+        |FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000.0)
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  /** Correlated EXISTS: nations where some customer holds > 9000 balance. */
+  def existsCorrelated(spark: SparkSession, dir: String): DataFrame = {
+    withViews(spark, dir)
+    spark.sql(
+      """SELECT n_nationkey, n_name
+        |FROM nation
+        |WHERE EXISTS (SELECT 1 FROM customer
+        |              WHERE c_nationkey = n_nationkey AND c_acctbal > 9000.0)
+        |ORDER BY n_nationkey""".stripMargin)
+  }
+
+  /** TPC-H Q3-shaped query through the SQL surface: top-10 highest-revenue
+    * undelivered orders for one market segment. DECIMAL revenue (exact,
+    * order-independent) with the same casts as the oracle. */
+  def tpchQ3(spark: SparkSession, dir: String): DataFrame = {
+    withViews(spark, dir)
+    spark.sql(
+      """SELECT l_orderkey,
+        |       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |       o_orderdate
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |              JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-03-15'
+        |  AND l_shipdate  > TIMESTAMP '1998-03-15'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin)
+  }
+}
