@@ -525,6 +525,23 @@ object Oracle {
         |WHERE cos_sim >= 0.25
         |ORDER BY a_id, b_id""".stripMargin,
 
+    "q_dedup_embed" ->
+      """WITH nemb AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |pairs AS (
+        |  SELECT a.vec_id AS vec_id, b.vec_id AS nbr
+        |  FROM nemb a JOIN nemb b
+        |    ON a.label = b.label AND a.vec_id <> b.vec_id
+        |  WHERE round(list_cosine_similarity(a.e, b.e), 6) >= 0.4),
+        |with_self AS (
+        |  SELECT vec_id, vec_id AS nbr FROM embeddings
+        |  UNION ALL SELECT vec_id, nbr FROM pairs)
+        |SELECT vec_id, canonical FROM (
+        |  SELECT vec_id, min(nbr) AS canonical, count(*) AS n_nbrs
+        |  FROM with_self GROUP BY vec_id) t
+        |WHERE n_nbrs > 1
+        |ORDER BY vec_id""".stripMargin,
+
     "q_udaf_centroid" ->
       """WITH flat AS (
         |  SELECT label, generate_subscripts(embedding, 1) AS pos,

@@ -76,6 +76,32 @@ object Vector {
       .orderBy($"label")
   }
 
+  /** Embedding-cosine near-dup dedup: vectors whose cosine ≥ threshold
+    * (within a label block) collapse to the min vec_id among their
+    * neighborhood (including self) as the canonical representative —
+    * the vector-space analogue of dedupExact's groupBy-min. One
+    * label-blocked pair join + one groupBy; no transitive closure (a
+    * single-pass canonicalization, the standard first stage of
+    * embedding dedup at scale). */
+  def dedupEmbed(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val thr = 0.4
+    val emb = normalized(spark, dir)
+    val pairs = emb.as("a")
+      .join(emb.as("b"), $"a.label" === $"b.label" && $"a.vec_id" =!= $"b.vec_id")
+      .select($"a.vec_id".as("vec_id"), $"b.vec_id".as("nbr"),
+        V.dotFast($"a.nemb", $"b.nemb").as("cos"))
+      .filter(round($"cos", 6) >= thr)
+      .select($"vec_id", $"nbr")
+    val withSelf = emb.select($"vec_id", $"vec_id".as("nbr")).unionByName(pairs)
+    withSelf
+      .groupBy($"vec_id")
+      .agg(min($"nbr").as("canonical"), count(lit(1)).as("n_nbrs"))
+      .filter($"n_nbrs" > 1)
+      .select($"vec_id", $"canonical")
+      .orderBy($"vec_id")
+  }
+
   /** splitmix64 finalizer — deterministic pseudo-random bits for the LSH
     * hyperplanes with no RNG state (identical across runs and JVMs). */
   private def mix(z0: Long): Long = {
