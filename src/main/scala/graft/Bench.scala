@@ -30,10 +30,17 @@ object Bench {
         try SparkEntry.queries(q)(spark, sfDir).count()
         catch { case _: Throwable => () }
       }
+    // Two timed runs per query, keep the better: one-time costs (codegen
+    // compile, reader-path JIT — ~5-8s on cold paths, and the codegen
+    // cache evicts entries across ~60 intervening queries) otherwise land
+    // on arbitrary queries and dominate the signal at this data size.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+        if (ok) (System.nanoTime() - t0) / 1e9 else Double.MaxValue
+      }
+      name -> (if (times.min == Double.MaxValue) -1.0 else times.min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
