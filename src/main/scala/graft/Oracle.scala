@@ -450,6 +450,20 @@ object Oracle {
         |      FROM documents) t
         |GROUP BY fp ORDER BY fp""".stripMargin,
 
+    "q_text_tokens_bpe" ->
+      """SELECT lang,
+        |       CAST(sum(len(regexp_extract_all(text, '[a-z]{1,4}'))) AS BIGINT) AS sum_subtokens,
+        |       CAST(sum(len(regexp_extract_all(text, '[a-z]{1,4}'))) AS DOUBLE) / count(*) AS avg_subtokens
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_text_editdist" ->
+      """SELECT bucket, count(*) AS n_docs, min(doc_id) AS min_doc FROM (
+        |  SELECT doc_id,
+        |         CAST(floor(levenshtein(substring(text, 1, 40),
+        |           'the fast key order sort table scan merge') / 5) AS INTEGER) AS bucket
+        |  FROM documents) t
+        |GROUP BY bucket ORDER BY bucket""".stripMargin,
+
     "q_dedup_exact" ->
       """SELECT canonical_doc, n_members FROM (
         |  SELECT min(doc_id) AS canonical_doc, count(*) AS n_members

@@ -74,6 +74,8 @@ object SparkEntry {
     "q_text_quality" -> Text.textQuality _,
     "q_text_langid" -> Text.textLangId _,
     "q_text_fingerprint" -> Text.textFingerprint _,
+    "q_text_editdist" -> Text.textEditDist _,
+    "q_text_tokens_bpe" -> Text.textTokensBpe _,
     "q_dedup_exact" -> Text.dedupExact _,
     "q_dedup_ngram" -> Text.dedupNgram _,
     "q_dedup_minhash" -> Text.dedupMinhash _,

@@ -106,6 +106,39 @@ object Text {
       .orderBy($"fp")
   }
 
+  /** BPE-ish token counting: a regex tokenizer (greedy ≤4-char letter
+    * chunks — subword-shaped, unlike the whitespace tokens) counted per
+    * language. regexp_extract_all is codegen'd; the pattern is kept in
+    * the Java∩RE2 common subset so the oracle tokenizes identically. */
+  def textTokensBpe(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"lang",
+        size(regexp_extract_all($"text", lit("[a-z]{1,4}"), lit(0))).as("n_sub"))
+      .groupBy($"lang")
+      .agg(
+        sum($"n_sub".cast("long")).as("sum_subtokens"),
+        (sum($"n_sub".cast("long")).cast("double") / count(lit(1))).as("avg_subtokens"),
+      )
+      .orderBy($"lang")
+  }
+
+  /** Edit-distance text similarity: levenshtein of each document's
+    * 40-char prefix against a reference phrase, bucketed. At scale this
+    * is the per-row scoring stage of fuzzy matching — O(len²) per row
+    * but embarrassingly parallel (no shuffle until the final count). */
+  def textEditDist(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ref = "the fast key order sort table scan merge"
+    Tables.documents(spark, dir)
+      .select($"doc_id",
+        levenshtein(substring($"text", 1, 40), lit(ref)).as("edit_dist"))
+      .withColumn("bucket", floor($"edit_dist" / 5).cast("int"))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_docs"), min($"doc_id").as("min_doc"))
+      .orderBy($"bucket")
+  }
+
   // ===========================================================================
   // deduplication
   // ===========================================================================

@@ -12,4 +12,27 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object GraftExpressionBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register a SQL-callable function on an existing (classic) session. */
+  def registerFunction(
+      spark: SparkSession,
+      name: String,
+      builder: Seq[Expression] => Expression): Unit = {
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    classic.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, builder, "scala_udf")
+  }
+
+  /** Inject the same function via SparkSessionExtensions at build time. */
+  def injectFunction(
+      ext: SparkSessionExtensions,
+      name: String,
+      builder: Seq[Expression] => Expression): Unit = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+    ext.injectFunction((
+      FunctionIdentifier(name),
+      new ExpressionInfo("graft.plans.DoubleArrayDot", name),
+      builder))
+  }
 }

@@ -45,4 +45,13 @@ class ExpressionSpec extends SparkSpec {
     val df = Seq((Array(1.0, 2.0, 3.0), Array(10.0, 20.0))).toDF("a", "b")
     assert(df.select(V.dotFast($"a", $"b")).head.getDouble(0) == 50.0)
   }
+
+  test("double_array_dot is SQL-callable after GraftFunctions.register") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    Seq((Array(1.0, 2.0), Array(3.0, 4.0))).toDF("a", "b")
+      .createOrReplaceTempView("dot_in")
+    val r = spark.sql("SELECT double_array_dot(a, b) AS d FROM dot_in").head.getDouble(0)
+    assert(r == 11.0)
+  }
 }
