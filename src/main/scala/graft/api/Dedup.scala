@@ -1,0 +1,150 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Reusable deduplication operators over any corpus DataFrame — the
+  * public library surface (the harness queries in graft.ops delegate
+  * here with the testdata's column names). All operators are pure
+  * DataFrame plans: each stage shuffles on a well-distributed key
+  * (normalized text, shingle, band, chunk), never O(pairs) except on
+  * verified candidates.
+  *
+  * Determinism: outputs are keyed by the input's id column and sorted;
+  * hash functions are xxhash64-derived (stable across runs/JVMs).
+  */
+object Dedup {
+
+  /** Word n-gram shingle sets (distinct) per row. */
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    require(n >= 1)
+    // guard: sequence(1, 0) in Spark is the DESCENDING [1, 0], so a row
+    // shorter than n tokens must yield an empty shingle set explicitly
+    df.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("t"))
+      .withColumn("shingles", expr(
+        s"CASE WHEN size(t) >= $n THEN " +
+          s"array_distinct(transform(sequence(1, size(t) - ${n - 1}), i -> " +
+          s"concat_ws(' ', ${(0 until n).map(j => s"t[i-1+$j]").mkString(", ")}))) " +
+          "ELSE array() END"))
+      .select(col("doc_id"), col("shingles"))
+  }
+
+  /** Exact dedup after normalization: groups rows whose normalized key
+    * matches; emits (canonical id = min id, member count). */
+  def exact(df: DataFrame, idCol: String, normKey: Column): DataFrame =
+    df.withColumn("__norm", normKey)
+      .groupBy(col("__norm"))
+      .agg(min(col(idCol)).as("canonical_doc"), count(lit(1)).as("n_members"))
+      .select(col("canonical_doc"), col("n_members"))
+      .orderBy(col("canonical_doc"))
+
+  /** Exact n-gram Jaccard pairs ≥ threshold via inverted-index join —
+    * the accuracy baseline; cost grows with Σ df(shingle)². */
+  def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.5): DataFrame =
+    jaccardPairs(shingles(df, idCol, textCol, n), threshold)
+
+  /** Jaccard over precomputed (doc_id, shingles) — shared by the exact
+    * path and by MinHash verification. */
+  private[graft] def jaccardPairs(shingled: DataFrame, thr: Double): DataFrame = {
+    val post = shingled.select(col("doc_id"), explode(col("shingles")).as("sh"))
+    val sizes = shingled.select(col("doc_id"), size(col("shingles")).as("n"))
+    val inter = post.as("a")
+      .join(post.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("a_id"), col("n").as("n_a")), "a_id")
+      .join(sizes.select(col("doc_id").as("b_id"), col("n").as("n_b")), "b_id")
+      .withColumn("jaccard",
+        round(col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")), 6))
+      .filter(col("jaccard") >= thr)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** MinHash + banded LSH near-dup pairs with exact-Jaccard verification
+    * of candidates: output is exact for thresholds where banding recall
+    * ≈ 1 (miss prob (1-J^rows)^bands), work is O(docs + candidates).
+    *
+    * numHashes = bands × rowsPerBand; hash family = independent 32-bit
+    * halves of xxhash64(shingle, seed) — true min-wise hashes (an
+    * h1+i·h2 family measurably loses recall). Signatures are flat
+    * codegen'd min() columns (whole-stage codegen; ~4× over an
+    * array-UDAF formulation). */
+  def minhashLsh(df: DataFrame, idCol: String, textCol: String, n: Int = 3,
+      bands: Int = 16, rowsPerBand: Int = 4, threshold: Double = 0.8): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val numSeeds = (numHashes + 1) / 2
+    val shingled = shingles(df, idCol, textCol, n).cache()
+    val post = shingled.select(col("doc_id"), explode(col("shingles")).as("sh"))
+    val withH = post.select(col("doc_id") +:
+      (0 until numSeeds).map(i => xxhash64(col("sh"), lit(i)).as(s"h$i")): _*)
+    val minAggs = (0 until numSeeds).flatMap(i => Seq(
+      min(shiftright(col(s"h$i"), 32).bitwiseAND(lit(4294967295L))).as(s"f${2 * i}"),
+      min(col(s"h$i").bitwiseAND(lit(4294967295L))).as(s"f${2 * i + 1}")))
+      .take(numHashes)
+    val sigs = withH.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
+      .withColumn("sig", array((0 until numHashes).map(j => col(s"f$j")): _*))
+      .select(col("doc_id"), col("sig"))
+    val bandsDf = sigs.select(col("doc_id"),
+      posexplode(expr(s"transform(sequence(0, ${bands - 1}), b -> " +
+        s"hash(slice(sig, b * $rowsPerBand + 1, $rowsPerBand)))")))
+      .toDF("doc_id", "band_idx", "band_key")
+    val cand = bandsDf.as("a")
+      .join(bandsDf.as("b"),
+        col("a.band_idx") === col("b.band_idx") && col("a.band_key") === col("b.band_key") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+    cand
+      .join(shingled.select(col("doc_id").as("a_id"), col("shingles").as("sh_a")), "a_id")
+      .join(shingled.select(col("doc_id").as("b_id"), col("shingles").as("sh_b")), "b_id")
+      .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", round(
+        col("n_inter").cast("double") / (size(col("sh_a")) + size(col("sh_b")) - col("n_inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** SimHash near-dup pairs: 64-bit majority-vote signature over shingle
+    * hashes, chunk banding (pigeonhole: hamming ≤ chunks-1 guaranteed
+    * caught), exact hamming filter. Approximate (unlike minhashLsh) —
+    * tune maxHamming to the corpus. */
+  def simhash(df: DataFrame, idCol: String, textCol: String, n: Int = 3,
+      maxHamming: Int = 7): DataFrame = {
+    val chunks = maxHamming + 1
+    require(64 % chunks == 0, s"chunks=$chunks must divide 64")
+    val chunkBits = 64 / chunks
+    val docTok = shingles(df, idCol, textCol, n)
+      .select(col("doc_id"), explode(col("shingles")).as("token"))
+      .withColumn("h", xxhash64(col("token")))
+    val bitSums = (0 until 64).map(j =>
+      sum(shiftright(col("h"), j).bitwiseAND(lit(1L))).as(s"b$j"))
+    val sigs = docTok.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n"), bitSums: _*)
+      .withColumn("bits", array((0 until 64).map(j =>
+        when(col(s"b$j") * 2 > col("n"), 1).otherwise(0)): _*))
+      .select(col("doc_id"), col("bits"))
+      .cache()
+    val chunksDf = sigs.select(col("doc_id"), posexplode(expr(
+      s"transform(sequence(0, ${chunks - 1}), c -> " +
+        s"aggregate(slice(bits, c * $chunkBits + 1, $chunkBits), 0L, (acc, x) -> acc * 2 + x))")))
+      .toDF("doc_id", "chunk_idx", "chunk_key")
+    val cand = chunksDf.as("a")
+      .join(chunksDf.as("b"),
+        col("a.chunk_idx") === col("b.chunk_idx") && col("a.chunk_key") === col("b.chunk_key") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+    cand
+      .join(sigs.select(col("doc_id").as("a_id"), col("bits").as("bits_a")), "a_id")
+      .join(sigs.select(col("doc_id").as("b_id"), col("bits").as("bits_b")), "b_id")
+      .withColumn("hamming", expr(
+        "aggregate(zip_with(bits_a, bits_b, (x, y) -> CASE WHEN x = y THEN 0 ELSE 1 END), 0, (acc, v) -> acc + v)"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a_id"), col("b_id"), col("hamming"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+}

@@ -1,0 +1,121 @@
+package graft.api
+
+import graft.functions.{VectorFunctions => V}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Reusable similarity-search operators over any (id, vector) DataFrame.
+  * Vectors are L2-normalized once per row up front; every pairwise
+  * stage is then a single codegen'd dot product (DoubleArrayDot).
+  */
+object Similarity {
+
+  /** (id, nemb) — unit-norm double arrays; the common first stage. */
+  def normalized(df: DataFrame, idCol: String, vecCol: String,
+      keep: Seq[String] = Nil): DataFrame = {
+    val kept = keep.map(col)
+    df.withColumn("__nrm", V.l2Norm(col(vecCol)))
+      .select((col(idCol).as("vec_id") +:
+        transform(col(vecCol), x => x.cast("double") / col("__nrm")).as("nemb") +:
+        kept): _*)
+  }
+
+  /** Exact cosine top-k against one probe row (by id): 1-row broadcast,
+    * no shuffle until TakeOrderedAndProject. `keep` columns ride along
+    * into the output between the id and the score. */
+  def cosineTopK(df: DataFrame, idCol: String, vecCol: String,
+      probeId: Long, k: Int, keep: Seq[String] = Nil): DataFrame = {
+    val emb = normalized(df, idCol, vecCol, keep)
+    val probe = emb.filter(col("vec_id") === probeId).select(col("nemb").as("probe_nemb"))
+    emb.crossJoin(broadcast(probe))
+      .filter(col("vec_id") =!= probeId)
+      .select((col("vec_id") +: keep.map(col)) :+
+        round(V.dotFast(col("nemb"), col("probe_nemb")), 6).as("cos_sim"): _*)
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** All pairs ≥ threshold within blocks: equi join on the block key —
+    * O(block²) work per block, never a global cross product. The block
+    * key is the scale knob (label, LSH bucket, IVF cell). */
+  def allPairs(df: DataFrame, idCol: String, vecCol: String,
+      blockCol: String, threshold: Double): DataFrame = {
+    val emb = normalized(df, idCol, vecCol, keep = Seq(blockCol))
+    emb.as("a")
+      .join(emb.as("b"),
+        col(s"a.$blockCol") === col(s"b.$blockCol") && col("a.vec_id") < col("b.vec_id"))
+      .select(
+        col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+        col(s"a.$blockCol").as(blockCol),
+        round(V.dotFast(col("a.nemb"), col("b.nemb")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** splitmix64 — deterministic hyperplane bits, no RNG state. */
+  private def mix(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** Multi-table random-hyperplane LSH ANN: nTables × nBits signed
+    * projections (literal ±1 planes, one codegen'd dot each); probe
+    * candidates = union of its buckets across tables; exact cosine
+    * re-rank. Candidate fraction ≈ Σ_t P(bucket match) — tune
+    * (nTables, nBits) to the corpus's cluster structure. */
+  def annLsh(df: DataFrame, idCol: String, vecCol: String, probeId: Long,
+      k: Int, nTables: Int = 8, nBits: Int = 4, dim: Int = 64): DataFrame = {
+    val planes = (0 until nTables).map { t =>
+      (0 until nBits).map { p =>
+        (0 until dim).map { d =>
+          if ((mix(((t.toLong * nBits + p) << 32) | d.toLong) & 1L) == 1L) 1.0 else -1.0
+        }
+      }
+    }
+    val emb = normalized(df, idCol, vecCol)
+    val bucketCols: Seq[Column] = (0 until nTables).map { t =>
+      (0 until nBits).map { p =>
+        when(V.dotFast(col("nemb"), typedlit(planes(t)(p))) > 0.0,
+          lit(1L << (nBits - 1 - p))).otherwise(lit(0L))
+      }.reduce(_ + _).as(s"bucket$t")
+    }
+    val bucketed = emb.select((col("vec_id") +: col("nemb") +: bucketCols): _*)
+      .select(col("vec_id"), col("nemb"),
+        posexplode(array((0 until nTables).map(t => col(s"bucket$t")): _*)))
+      .toDF("vec_id", "nemb", "table_id", "bucket")
+    val probeBuckets = bucketed.filter(col("vec_id") === probeId)
+      .select(col("nemb").as("probe_nemb"), col("table_id"), col("bucket"))
+    bucketed
+      .join(broadcast(probeBuckets), Seq("table_id", "bucket"))
+      .filter(col("vec_id") =!= probeId)
+      .select(col("vec_id"), col("nemb"), col("probe_nemb"))
+      .dropDuplicates("vec_id")
+      .select(col("vec_id"), round(V.dotFast(col("nemb"), col("probe_nemb")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Cosine near-dup canonicalization: each vector collapses to the min
+    * id of its ≥-threshold neighborhood within a block (single-pass, no
+    * transitive closure). */
+  def nearDupCanonical(df: DataFrame, idCol: String, vecCol: String,
+      blockCol: String, threshold: Double): DataFrame = {
+    val emb = normalized(df, idCol, vecCol, keep = Seq(blockCol))
+    val pairs = emb.as("a")
+      .join(emb.as("b"),
+        col(s"a.$blockCol") === col(s"b.$blockCol") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nbr"),
+        V.dotFast(col("a.nemb"), col("b.nemb")).as("cos"))
+      .filter(round(col("cos"), 6) >= threshold)
+      .select(col("vec_id"), col("nbr"))
+    val withSelf = emb.select(col("vec_id"), col("vec_id").as("nbr")).unionByName(pairs)
+    withSelf
+      .groupBy(col("vec_id"))
+      .agg(min(col("nbr")).as("canonical"), count(lit(1)).as("n_nbrs"))
+      .filter(col("n_nbrs") > 1)
+      .select(col("vec_id"), col("canonical"))
+      .orderBy(col("vec_id"))
+  }
+}

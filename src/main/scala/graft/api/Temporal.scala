@@ -1,0 +1,49 @@
+package graft.api
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Reusable event-time operators. Both shuffle each key's rows exactly
+  * once (window over the key partition) — no range join, no per-row
+  * subquery, state bounded by the partition.
+  */
+object Temporal {
+
+  /** Appends a per-key `session_id` (1-based) that increments whenever
+    * the gap to the previous event exceeds gapSeconds. tieCol breaks
+    * equal-timestamp ordering deterministically. */
+  def sessionize(df: DataFrame, keyCol: String, tsCol: String, tieCol: String,
+      gapSeconds: Long): DataFrame = {
+    val byKey = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    df.withColumn("__prev_ts", lag(col(tsCol), 1).over(byKey))
+      .withColumn("__new_session",
+        when(col("__prev_ts").isNull ||
+          unix_timestamp(col(tsCol)) - unix_timestamp(col("__prev_ts")) > gapSeconds, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum(col("__new_session")).over(
+        byKey.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("__prev_ts", "__new_session")
+  }
+
+  /** As-of join: for each left row, the id of the latest right row with
+    * the same key and rightTs ≤ leftTs (ties: the right row sorts
+    * first, so an equal-timestamp right row matches). Implemented as
+    * union + one window pass — each key's rows shuffle once.
+    * Returns (left id, matched right id or null). */
+  def asofJoin(
+      left: DataFrame, leftId: String, leftKey: String, leftTs: String,
+      right: DataFrame, rightId: String, rightKey: String, rightTs: String): DataFrame = {
+    val l = left.select(col(leftId).as("__id"), col(leftKey).as("__key"),
+      col(leftTs).as("__ts"), lit(1).as("__is_left"), lit(null).cast("long").as("__right_id"))
+    val r = right.select(col(rightId).as("__id"), col(rightKey).as("__key"),
+      col(rightTs).as("__ts"), lit(0).as("__is_left"), col(rightId).cast("long").as("__right_id"))
+    val w = Window.partitionBy(col("__key"))
+      .orderBy(col("__ts"), col("__is_left"), col("__id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .withColumn("__matched", last(col("__right_id"), ignoreNulls = true).over(w))
+      .filter(col("__is_left") === 1)
+      .select(col("__id").as(leftId), col("__key").as(leftKey), col("__matched").as("matched_id"))
+  }
+}

@@ -666,20 +666,14 @@ object Relational {
       .orderBy($"hour_start", $"event_type")
   }
 
-  /** Batch sessionization: classic lag + gap>30min cumulative-sum trick —
-    * two window passes over one shuffle on user_id; the batch twin of
-    * session_window() streaming. Emits per-user session count + sizes. */
+  /** Batch sessionization (graft.api.Temporal.sessionize: lag +
+    * gap-threshold cumulative sum, one shuffle per user) — the batch
+    * twin of session_window() streaming. Emits per-user session counts. */
   def sessionizeBatch(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
-    Tables.events(spark, dir)
-      .select($"user_id", $"ts", $"event_id")
-      .withColumn("prev_ts", lag($"ts", 1).over(byUser))
-      .withColumn("new_session",
-        when($"prev_ts".isNull || unix_timestamp($"ts") - unix_timestamp($"prev_ts") > 1800, 1)
-          .otherwise(0))
-      .withColumn("session_id", sum($"new_session").over(
-        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    graft.api.Temporal.sessionize(
+        Tables.events(spark, dir).select($"user_id", $"ts", $"event_id"),
+        "user_id", "ts", "event_id", gapSeconds = 1800)
       .groupBy($"user_id")
       .agg(
         max($"session_id").as("n_sessions"),
