@@ -89,6 +89,7 @@ object SparkEntry {
     // §2.8 multimodal
     "q_multimodal_join" -> Multimodal.multimodalJoin _,
     "q_multimodal_decode" -> Multimodal.multimodalDecode _,
+    "q_multimodal_frames" -> Multimodal.multimodalFrames _,
     // SQL-text surface: subqueries (decorrelated by Catalyst) + TPC-H Q3
     "q_sql_scalar_subquery" -> Sql.scalarSubquery _,
     "q_sql_in_subquery" -> Sql.inSubquery _,

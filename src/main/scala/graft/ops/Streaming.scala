@@ -107,6 +107,42 @@ object Streaming {
       }
   }
 
+  /** The same running aggregate on Spark 4's transformWithState API
+    * (arbitrary state v2): typed ValueState, explicit TTL hooks, timer
+    * support — the forward-looking replacement for
+    * flatMapGroupsWithState. Requires the RocksDB state store provider
+    * (spark.sql.streaming.stateStore.providerClass). */
+  class RunningTotalsProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, UserRunning] {
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.Encoders
+
+    @transient private var state: ValueState[UserRunning] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[UserRunning](
+        "running", Encoders.product[UserRunning], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timers: TimerValues): Iterator[UserRunning] = {
+      val prev = if (state.exists()) state.get() else UserRunning(key, 0L, 0.0)
+      var n = prev.n_events
+      var total = prev.total_value
+      rows.foreach { e => n += 1; total += e.value }
+      val next = UserRunning(key, n, total)
+      state.update(next)
+      Iterator.single(next)
+    }
+  }
+
+  def runningPerUserTws(events: Dataset[Event]): Dataset[UserRunning] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new RunningTotalsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+  }
+
   /** Land a stream into parquet via foreachBatch (the generic sink shape:
     * per-micro-batch the DataFrame is a normal batch frame — write to any
     * batch sink, exactly-once per batch id). */

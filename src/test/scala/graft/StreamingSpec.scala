@@ -98,6 +98,31 @@ class StreamingSpec extends SparkSpec {
     assert(rows.contains((1L, 3L, 10.0))) // state carried into batch 2
   }
 
+  test("transformWithState keeps per-user running totals (RocksDB store)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[Event]
+      val q = Streaming.runningPerUserTws(ms.toDS)
+        .writeStream.format("memory").queryName("running_tws").outputMode("append").start()
+      try {
+        ms.addData(Seq(ev(1, "2024-01-01 10:00:00", 1, "click", 2.0),
+          ev(2, "2024-01-01 10:01:00", 1, "click", 3.0))); q.processAllAvailable()
+        ms.addData(Seq(ev(3, "2024-01-01 10:02:00", 1, "click", 5.0))); q.processAllAvailable()
+      } finally q.stop()
+      val rows = spark.table("running_tws")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(rows.contains((1L, 2L, 5.0)))
+      assert(rows.contains((1L, 3L, 10.0)))
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("sliding window counts match hand-rolled expansion") {
     import spark.implicits._
     val df = Seq(ev(1, "2024-01-01 10:05:00", 1, "click")).toDF
