@@ -86,6 +86,7 @@ object SparkEntry {
     "q_udaf_centroid" -> Vector.udafCentroid _,
     "q_ann_lsh" -> Vector.annLsh _,
     "q_dedup_embed" -> Vector.dedupEmbed _,
+    "q_ann_ivf" -> Vector.annIvf _,
     // §2.8 multimodal
     "q_multimodal_join" -> Multimodal.multimodalJoin _,
     "q_multimodal_decode" -> Multimodal.multimodalDecode _,

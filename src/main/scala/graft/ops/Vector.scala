@@ -60,4 +60,12 @@ object Vector {
   def annLsh(spark: SparkSession, dir: String): DataFrame =
     Similarity.annLsh(Tables.embeddings(spark, dir), "vec_id", "embedding",
       probeId = 0L, k = 10, nTables = 8, nBits = 4, dim = 64)
+
+  /** IVF ANN (16 coarse cells from deterministic spherical k-means,
+    * probe searches top-4 cells) vs probe vec_id 0 —
+    * graft.api.Similarity.annIvf. Rows-only check; recall vs brute
+    * force asserted on the clustered fixture in ScalaTest. */
+  def annIvf(spark: SparkSession, dir: String): DataFrame =
+    Similarity.annIvf(Tables.embeddings(spark, dir), "vec_id", "embedding",
+      probeId = 0L, k = 10, nCells = 16, nProbe = 4, iters = 3)
 }

@@ -130,6 +130,24 @@ class TextVectorSpec extends SparkSpec {
     assert(recall >= 0.8, s"recall=$recall ann=$annTop brute=$bruteTop")
   }
 
+  test("IVF ANN recall ≥ 0.9 on clustered vectors") {
+    import spark.implicits._
+    val rows = for { c <- 0 until 10; m <- 0 until 20 } yield {
+      val v = new Array[Float](64)
+      for (d <- 0 until 10) v(c * 5 + d % 5) = 1.0f
+      v((c * 5 + m % 5) % 64) += 0.2f * (m % 3)
+      (c.toLong * 20 + m, v)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val ivfTop = graft.api.Similarity.annIvf(emb, "vec_id", "embedding",
+        probeId = 0L, k = 10, nCells = 10, nProbe = 2, iters = 3)
+      .select($"vec_id").as[Long].collect().toSet
+    val bruteTop = graft.api.Similarity.cosineTopK(emb, "vec_id", "embedding", 0L, 10)
+      .select($"vec_id").as[Long].collect().toSet
+    val recall = (ivfTop & bruteTop).size.toDouble / bruteTop.size
+    assert(recall >= 0.9, s"recall=$recall ivf=$ivfTop brute=$bruteTop")
+  }
+
   test("rolling-hash fingerprint matches hand computation") {
     import spark.implicits._
     val df = Seq((1L, "ab")).toDF("doc_id", "text")
