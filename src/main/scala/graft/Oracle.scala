@@ -350,6 +350,15 @@ object Oracle {
         |              WHERE c_nationkey = n_nationkey AND c_acctbal > 9000.0)
         |ORDER BY n_nationkey""".stripMargin,
 
+    "q_sql_grouping_sets" ->
+      """SELECT o_orderpriority, o_orderstatus, n_orders, gid FROM (
+        |  SELECT o_orderpriority, o_orderstatus,
+        |         count(*) AS n_orders,
+        |         CAST(GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus) AS BIGINT) AS gid
+        |  FROM orders
+        |  GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderpriority), ())) t
+        |ORDER BY gid, o_orderpriority, o_orderstatus""".stripMargin,
+
     "q_sql_tpch_q3" ->
       """SELECT l_orderkey,
         |       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,

@@ -96,6 +96,7 @@ object SparkEntry {
     "q_sql_in_subquery" -> Sql.inSubquery _,
     "q_sql_exists_corr" -> Sql.existsCorrelated _,
     "q_sql_tpch_q3" -> Sql.tpchQ3 _,
+    "q_sql_grouping_sets" -> Sql.groupingSets _,
     // pivot / extra windows / bitwise / skew-salted join
     "q_agg_pivot" -> Relational.aggPivot _,
     "q_win_percent" -> Relational.winPercent _,

@@ -50,6 +50,20 @@ object Sql {
         |ORDER BY n_nationkey""".stripMargin)
   }
 
+  /** Explicit GROUPING SETS (the general form rollup/cube specialize):
+    * per-(priority,status), per-priority, and grand-total rows in one
+    * pass — Catalyst expands then aggregates, still partial+final. */
+  def groupingSets(spark: SparkSession, dir: String): DataFrame = {
+    withViews(spark, dir)
+    spark.sql(
+      """SELECT o_orderpriority, o_orderstatus,
+        |       count(*) AS n_orders,
+        |       CAST(GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus) AS BIGINT) AS gid
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderpriority), ())
+        |ORDER BY gid, o_orderpriority, o_orderstatus""".stripMargin)
+  }
+
   /** TPC-H Q3-shaped query through the SQL surface: top-10 highest-revenue
     * undelivered orders for one market segment. DECIMAL revenue (exact,
     * order-independent) with the same casts as the oracle. */

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Nested-type operators: struct build/flatten, array-of-struct
+  * explode+inline, map construction and higher-order map functions —
+  * the §1 data-model surface the flat testdata doesn't exercise. */
+class NestedSpec extends SparkSpec {
+
+  test("struct round-trip: build, project fields, flatten") {
+    import spark.implicits._
+    val df = Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "name", "v")
+      .select($"id", struct($"name", $"v").as("payload"))
+    val flat = df.select($"id", $"payload.name", $"payload.v")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(flat == Set((1L, "a", 10.0), (2L, "b", 20.0)))
+  }
+
+  test("collect sorted array-of-struct per key, then inline back") {
+    import spark.implicits._
+    val lines = Seq((1L, 1, 5.0), (1L, 2, 7.0), (2L, 1, 3.0)).toDF("okey", "line", "qty")
+    val nested = lines
+      .groupBy($"okey")
+      .agg(array_sort(collect_list(struct($"line", $"qty"))).as("items"))
+    assert(nested.filter($"okey" === 1L).select(size($"items")).head.getInt(0) == 2)
+    val back = nested.select($"okey", inline($"items"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
+    assert(back == Set((1L, 1, 5.0), (1L, 2, 7.0), (2L, 1, 3.0)))
+  }
+
+  test("map functions: build, lookup, keys/values, transform_values") {
+    import spark.implicits._
+    val df = Seq((1L, Array("a", "b"), Array(1, 2))).toDF("id", "ks", "vs")
+      .select($"id", map_from_arrays($"ks", $"vs").as("m"))
+    val r = df.select(
+      element_at($"m", "b").as("b_val"),
+      size(map_keys($"m")).as("n_keys"),
+      element_at(transform_values($"m", (_, v) => v * 10), "a").as("a_x10"),
+      map_contains_key($"m", "zz").as("has_zz"),
+    ).head
+    assert(r.getInt(0) == 2 && r.getInt(1) == 2 && r.getInt(2) == 10 && !r.getBoolean(3))
+  }
+
+  test("from_json into struct then to_json round-trips") {
+    import spark.implicits._
+    val df = Seq((1L, """{"k": 87, "tag": "x"}""")).toDF("id", "js")
+    val parsed = df.select($"id",
+      from_json($"js", org.apache.spark.sql.types.StructType.fromDDL("k INT, tag STRING")).as("s"))
+    assert(parsed.select($"s.k").head.getInt(0) == 87)
+    val back = parsed.select(to_json($"s").as("js2")).head.getString(0)
+    assert(back.contains("\"k\":87") && back.contains("\"tag\":\"x\""))
+  }
+}
