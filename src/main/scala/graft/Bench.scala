@@ -35,12 +35,15 @@ object Bench {
     // cache evicts entries across ~60 intervening queries) otherwise land
     // on arbitrary queries and dominate the signal at this data size.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // a failed query contributes its elapsed (wasted) time, never a
+      // negative sentinel — a sentinel summed into the total would make
+      // breakage IMPROVE the headline metric
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
-        if (ok) (System.nanoTime() - t0) / 1e9 else Double.MaxValue
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+        (System.nanoTime() - t0) / 1e9
       }
-      name -> (if (times.min == Double.MaxValue) -1.0 else times.min)
+      name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -76,6 +76,13 @@ object Dedup {
       bands: Int = 16, rowsPerBand: Int = 4, threshold: Double = 0.8): DataFrame = {
     val numHashes = bands * rowsPerBand
     val numSeeds = (numHashes + 1) / 2
+    // .cache() is load-bearing, not a micro-optimization: the shingle
+    // set feeds three plan branches (signatures + both verification
+    // joins), and the cached relation's exact size statistics let
+    // Catalyst broadcast the small sides (removing it measurably flipped
+    // the downstream joins to sort-merge — ~8× slower at sf0.1). Cost: a
+    // few MB of evictable storage per call until the session ends or
+    // spark.catalog.clearCache().
     val shingled = shingles(df, idCol, textCol, n).cache()
     val post = shingled.select(col("doc_id"), explode(col("shingles")).as("sh"))
     val withH = post.select(col("doc_id") +:
@@ -127,7 +134,7 @@ object Dedup {
       .withColumn("bits", array((0 until 64).map(j =>
         when(col(s"b$j") * 2 > col("n"), 1).otherwise(0)): _*))
       .select(col("doc_id"), col("bits"))
-      .cache()
+      .cache() // feeds chunking + both hamming joins; see minhashLsh note
     val chunksDf = sigs.select(col("doc_id"), posexplode(expr(
       s"transform(sequence(0, ${chunks - 1}), c -> " +
         s"aggregate(slice(bits, c * $chunkBits + 1, $chunkBits), 0L, (acc, x) -> acc * 2 + x))")))

@@ -10,13 +10,18 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** (id, nemb) — unit-norm double arrays; the common first stage. */
+  /** (id, nemb) — unit-norm double arrays; the common first stage.
+    * A zero vector normalizes to the zero vector (cosine 0 with
+    * everything) rather than crashing: under Spark 4's default ANSI
+    * mode an unguarded divide throws DIVIDE_BY_ZERO. */
   def normalized(df: DataFrame, idCol: String, vecCol: String,
       keep: Seq[String] = Nil): DataFrame = {
     val kept = keep.map(col)
     df.withColumn("__nrm", V.l2Norm(col(vecCol)))
       .select((col(idCol).as("vec_id") +:
-        transform(col(vecCol), x => x.cast("double") / col("__nrm")).as("nemb") +:
+        transform(col(vecCol), x =>
+          when(col("__nrm") =!= 0.0, x.cast("double") / col("__nrm"))
+            .otherwise(lit(0.0))).as("nemb") +:
         kept): _*)
   }
 
@@ -111,6 +116,7 @@ object Similarity {
     val sample = emb.orderBy(xxhash64(col("vec_id")), col("vec_id"))
       .limit(64 * k)
       .collect().map(_.getSeq[Double](1).toIndexedSeq)
+    require(sample.nonEmpty, "kmeansFit: input DataFrame has no rows")
     def dot(a: Seq[Double], b: Seq[Double]): Double = {
       var s = 0.0; var i = 0
       while (i < a.length) { s += a(i) * b(i); i += 1 }; s
@@ -174,7 +180,7 @@ object Similarity {
     }
     val probeCells = probeRow
       .select(col("probe_nemb"), explode(array(cellScores: _*)).as("sc"))
-      .orderBy(col("sc.score").desc)
+      .orderBy(col("sc.score").desc, col("sc.cell"))
       .limit(nProbe)
       .select(col("probe_nemb"), col("sc.cell").as("cell"))
     bucketed

@@ -34,16 +34,26 @@ object Temporal {
   def asofJoin(
       left: DataFrame, leftId: String, leftKey: String, leftTs: String,
       right: DataFrame, rightId: String, rightKey: String, rightTs: String): DataFrame = {
-    val l = left.select(col(leftId).as("__id"), col(leftKey).as("__key"),
-      col(leftTs).as("__ts"), lit(1).as("__is_left"), lit(null).cast("long").as("__right_id"))
-    val r = right.select(col(rightId).as("__id"), col(rightKey).as("__key"),
-      col(rightTs).as("__ts"), lit(0).as("__is_left"), col(rightId).cast("long").as("__right_id"))
+    // id columns keep their OWN types on both sides (a shared column
+    // would make unionByName coerce, e.g. string UUID → BIGINT throws
+    // under ANSI); the union-wide tiebreak is a string rendering, used
+    // only to order equal-timestamp rows deterministically
+    val leftIdType = left.schema(leftId).dataType
+    val rightIdType = right.schema(rightId).dataType
+    val l = left.select(col(leftId).as("__lid"), col(leftKey).as("__key"),
+      col(leftTs).as("__ts"), lit(1).as("__is_left"),
+      col(leftId).cast("string").as("__tie"),
+      lit(null).cast(rightIdType).as("__right_id"))
+    val r = right.select(lit(null).cast(leftIdType).as("__lid"), col(rightKey).as("__key"),
+      col(rightTs).as("__ts"), lit(0).as("__is_left"),
+      col(rightId).cast("string").as("__tie"),
+      col(rightId).as("__right_id"))
     val w = Window.partitionBy(col("__key"))
-      .orderBy(col("__ts"), col("__is_left"), col("__id"))
+      .orderBy(col("__ts"), col("__is_left"), col("__tie"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.unionByName(r)
       .withColumn("__matched", last(col("__right_id"), ignoreNulls = true).over(w))
       .filter(col("__is_left") === 1)
-      .select(col("__id").as(leftId), col("__key").as(leftKey), col("__matched").as("matched_id"))
+      .select(col("__lid").as(leftId), col("__key").as(leftKey), col("__matched").as("matched_id"))
   }
 }

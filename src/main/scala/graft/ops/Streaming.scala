@@ -143,15 +143,19 @@ object Streaming {
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
   }
 
-  /** Land a stream into parquet via foreachBatch (the generic sink shape:
-    * per-micro-batch the DataFrame is a normal batch frame — write to any
-    * batch sink, exactly-once per batch id). */
+  /** Land a stream into parquet via foreachBatch. Idempotent under
+    * micro-batch REPLAY: each batch overwrites its own batch_id=N
+    * subdirectory, so a batch re-run after a crash-before-commit lands
+    * the same rows in the same place instead of duplicating them
+    * (plain mode("append") would double-write on replay). Readers use
+    * spark.read.parquet(outDir) — batch_id surfaces as a partition
+    * column they can ignore or prune on. */
   def sinkToParquet(df: DataFrame, outDir: String, checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
     df.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        batch.write.mode("append").parquet(outDir)
+        batch.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
       }
       .start()
 }

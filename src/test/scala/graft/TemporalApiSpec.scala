@@ -39,4 +39,17 @@ class TemporalApiSpec extends SparkSpec {
     assert(out(201L).contains(101L))
     assert(out(202L).isEmpty)
   }
+
+  test("asofJoin preserves non-numeric right id types (string UUIDs)") {
+    import spark.implicits._
+    val clicks = Seq(("uuid-a", 7L, ts("2024-01-01 10:00:00")))
+      .toDF("click_id", "user_id", "ts")
+    val purchases = Seq((200L, 7L, ts("2024-01-01 10:10:00")))
+      .toDF("purchase_id", "user_id", "ts")
+    val out = Temporal.asofJoin(
+        purchases, "purchase_id", "user_id", "ts",
+        clicks, "click_id", "user_id", "ts")
+      .collect()
+    assert(out.head.getString(2) == "uuid-a")
+  }
 }

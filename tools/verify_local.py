@@ -19,12 +19,6 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def norm(v):
-    if isinstance(v, float):
-        return v
-    return v
-
-
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
@@ -74,7 +68,8 @@ def main(sf_dir, out_dir):
                     if bad is None:
                         bad = (i, ecols[c], ev, gv)
                 else:
-                    bad = (i, ecols[c], ev, gv)
+                    if bad is None:
+                        bad = (i, ecols[c], ev, gv)
                     break
             if bad and not isinstance(bad[2], float):
                 break
