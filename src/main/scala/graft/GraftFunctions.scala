@@ -28,10 +28,13 @@ object GraftFunctions {
 }
 
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     B.injectFunction(ext, "double_array_dot",
       args => {
         require(args.length == 2, "double_array_dot(a, b) takes exactly 2 arguments")
         DoubleArrayDot(args(0), args(1))
       })
+    // naive abs(a-b) <= w joins become banded equi joins automatically
+    ext.injectOptimizerRule(_ => graft.plans.BandJoinRewrite)
+  }
 }

@@ -102,6 +102,16 @@ object Oracle {
         |GROUP BY a.p_partkey
         |ORDER BY a.p_partkey""".stripMargin,
 
+    // same semantics as q_join_theta — the Spark side is the NAIVE theta
+    // join made scalable by the BandJoinRewrite optimizer rule
+    "q_join_theta_auto" ->
+      """SELECT a.p_partkey AS a_partkey, count(*) AS n_close
+        |FROM part a JOIN part b
+        |  ON abs(a.p_retailprice - b.p_retailprice) <= 1.0
+        | AND a.p_partkey <> b.p_partkey
+        |GROUP BY a.p_partkey
+        |ORDER BY a.p_partkey""".stripMargin,
+
     "q_join_asof" ->
       """WITH pc AS (
         |  SELECT event_id, ts, user_id, event_type,

@@ -36,6 +36,7 @@ object SparkEntry {
     "q_join_anti" -> Relational.joinAnti _,
     "q_join_broadcast" -> Relational.joinBroadcast _,
     "q_join_theta" -> Relational.joinTheta _,
+    "q_join_theta_auto" -> Relational.joinThetaAuto _,
     "q_join_asof" -> Relational.joinAsof _,
     "q_join_self" -> Relational.joinSelf _,
     // §2.4 aggregations
