@@ -24,13 +24,13 @@ object Oracle {
 
     "q_scan_pruned" ->
       """SELECT l_orderkey, l_linenumber, l_quantity
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin,
 
     // §2.2 projection / filter ----------------------------------------------
     "q_project_expr" ->
       """SELECT l_orderkey, l_linenumber,
         |       CAST(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)) AS DOUBLE) AS revenue
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, revenue""".stripMargin,
 
     "q_filter_pred" ->
       """SELECT CAST(CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue,
@@ -419,6 +419,36 @@ object Oracle {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment
         |ORDER BY c_mktsegment""".stripMargin,
+
+    // data-quality audit ------------------------------------------------------
+    "q_quality_audit" ->
+      """SELECT check_name, n_violations FROM (
+        |  SELECT 'lineitem_orphan_orderkey' AS check_name,
+        |    (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+        |      (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS n_violations
+        |  UNION ALL SELECT 'lineitem_orphan_partkey',
+        |    (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+        |      (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+        |  UNION ALL SELECT 'orders_orphan_custkey',
+        |    (SELECT count(*) FROM orders o WHERE NOT EXISTS
+        |      (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+        |  UNION ALL SELECT 'orders_null_orderdate',
+        |    (SELECT count(*) FROM orders WHERE o_orderdate IS NULL)
+        |  UNION ALL SELECT 'lineitem_null_quantity',
+        |    (SELECT count(*) FROM lineitem WHERE l_quantity IS NULL)
+        |  UNION ALL SELECT 'orders_duplicate_pk',
+        |    (SELECT count(*) FROM (SELECT o_orderkey FROM orders
+        |      GROUP BY o_orderkey HAVING count(*) > 1) t)
+        |  UNION ALL SELECT 'lineitem_duplicate_pk',
+        |    (SELECT count(*) FROM (SELECT l_orderkey, l_linenumber FROM lineitem
+        |      GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1) t)
+        |  UNION ALL SELECT 'lineitem_nonpositive_qty',
+        |    (SELECT count(*) FROM lineitem WHERE l_quantity <= 0.0)
+        |  UNION ALL SELECT 'lineitem_discount_range',
+        |    (SELECT count(*) FROM lineitem WHERE l_discount < 0.0 OR l_discount > 1.0)
+        |  UNION ALL SELECT 'orders_status_domain',
+        |    (SELECT count(*) FROM orders WHERE o_orderstatus NOT IN ('F', 'O', 'P'))) t
+        |ORDER BY check_name""".stripMargin,
 
     // §2.8 text analysis / dedup ---------------------------------------------
     "q_text_stats" ->

@@ -103,6 +103,8 @@ object SparkEntry {
     "q_win_percent" -> Relational.winPercent _,
     "q_fn_bitwise" -> Relational.fnBitwise _,
     "q_join_skew_salted" -> Relational.joinSkewSalted _,
+    // warehouse operations
+    "q_quality_audit" -> Quality.qualityAudit _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

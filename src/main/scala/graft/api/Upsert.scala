@@ -1,0 +1,38 @@
+package graft.api
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Merge/upsert over immutable columnar storage — the landing pattern
+  * the reference genre implements against MySQL/HBase, re-expressed for
+  * a parquet lake: union the existing snapshot with the update batch
+  * and keep, per key, the row that wins the (version, source) ordering.
+  * One shuffle on the key; rewrite the partition/table afterwards
+  * (copy-on-write, the Delta/Iceberg-style merge without table-format
+  * metadata).
+  */
+object Upsert {
+
+  /** Per key, keep the single row with the greatest orderCol; an update
+    * row beats an existing row at equal orderCol. Column sets must
+    * match (unionByName). */
+  def upsert(existing: DataFrame, updates: DataFrame,
+      keyCols: Seq[String], orderCol: String): DataFrame = {
+    val tagged = existing.withColumn("__src", lit(0))
+      .unionByName(updates.withColumn("__src", lit(1)))
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(orderCol).desc, col("__src").desc)
+    tagged
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "__src")
+  }
+
+  /** Soft delete: drop keys present in `tombstones` from `existing`
+    * (left-anti on the key). */
+  def applyDeletes(existing: DataFrame, tombstones: DataFrame,
+      keyCols: Seq[String]): DataFrame =
+    existing.join(tombstones.select(keyCols.map(col): _*).distinct(),
+      keyCols, "left_anti")
+}

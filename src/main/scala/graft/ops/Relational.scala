@@ -49,12 +49,15 @@ object Relational {
   }
 
   /** Column-pruned scan: only 3 of 11 lineitem columns may reach the scan
-    * (check ReadSchema in explain). Sorted by the composite PK. */
+    * (check ReadSchema in explain). Sorted by ALL output columns: the
+    * quality audit showed (l_orderkey, l_linenumber) is NOT unique in
+    * this data, so a two-column sort would leave tie order ambiguous
+    * between engines. */
   def scanPruned(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.lineitem(spark, dir)
       .select($"l_orderkey", $"l_linenumber", $"l_quantity")
-      .orderBy($"l_orderkey", $"l_linenumber")
+      .orderBy($"l_orderkey", $"l_linenumber", $"l_quantity")
   }
 
   // ===========================================================================
@@ -69,7 +72,7 @@ object Relational {
         $"l_orderkey", $"l_linenumber",
         dec4($"l_extendedprice" * (lit(1.0) - $"l_discount")).cast("double").as("revenue"),
       )
-      .orderBy($"l_orderkey", $"l_linenumber")
+      .orderBy($"l_orderkey", $"l_linenumber", $"revenue")
   }
 
   /** TPC-H Q6-shaped predicate stack: date BETWEEN + IN-list + range, all
