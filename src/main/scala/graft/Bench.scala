@@ -34,21 +34,27 @@ object Bench {
     // compile, reader-path JIT — ~5-8s on cold paths, and the codegen
     // cache evicts entries across ~60 intervening queries) otherwise land
     // on arbitrary queries and dominate the signal at this data size.
+    //
+    // A FAILED query must be visible and must never flatter the total:
+    // it is reported in the "failed" list and carries a 600s penalty in
+    // the headline metric (a fast-failing query would otherwise look
+    // like a fast success and a regression would IMPROVE the number).
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // a failed query contributes its elapsed (wasted) time, never a
-      // negative sentinel — a sentinel summed into the total would make
-      // breakage IMPROVE the headline metric
+      var ok = true
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => ok = false }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
+      if (!ok) failed += name
+      name -> (times.min + (if (ok) 0.0 else 600.0))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

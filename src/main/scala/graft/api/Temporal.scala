@@ -27,9 +27,12 @@ object Temporal {
   }
 
   /** As-of join: for each left row, the id of the latest right row with
-    * the same key and rightTs ≤ leftTs (ties: the right row sorts
-    * first, so an equal-timestamp right row matches). Implemented as
-    * union + one window pass — each key's rows shuffle once.
+    * the same key and rightTs ≤ leftTs (an equal-timestamp right row
+    * matches). Among right rows tied on (key, ts) the winner is the one
+    * sorting last under (length, value) string ordering of its id —
+    * numeric order for non-negative integer ids, deterministic-but-
+    * lexicographic for other id types. Implemented as union + one
+    * window pass — each key's rows shuffle once.
     * Returns (left id, matched right id or null). */
   def asofJoin(
       left: DataFrame, leftId: String, leftKey: String, leftTs: String,
@@ -49,7 +52,7 @@ object Temporal {
       col(rightId).cast("string").as("__tie"),
       col(rightId).as("__right_id"))
     val w = Window.partitionBy(col("__key"))
-      .orderBy(col("__ts"), col("__is_left"), col("__tie"))
+      .orderBy(col("__ts"), col("__is_left"), length(col("__tie")), col("__tie"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.unionByName(r)
       .withColumn("__matched", last(col("__right_id"), ignoreNulls = true).over(w))

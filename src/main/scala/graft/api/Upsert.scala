@@ -21,8 +21,14 @@ object Upsert {
       keyCols: Seq[String], orderCol: String): DataFrame = {
     val tagged = existing.withColumn("__src", lit(0))
       .unionByName(updates.withColumn("__src", lit(1)))
+    // final tiebreak on a content hash: rows tied on (key, version, src)
+    // pick a winner by VALUE, not by task scheduling — identical
+    // duplicate rows remain interchangeable, differing ones resolve
+    // deterministically
+    val contentCols = tagged.columns.filterNot(_ == "__src").map(col).toSeq
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col(orderCol).desc, col("__src").desc)
+      .orderBy(col(orderCol).desc, col("__src").desc,
+        xxhash64(to_json(struct(contentCols: _*))))
     tagged
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)

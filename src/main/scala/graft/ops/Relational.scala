@@ -216,24 +216,28 @@ object Relational {
 
   /** The SAME band-join semantics written NAIVELY — `abs(a-b) <= w` with
     * no equi keys — made scalable by the BandJoinRewrite optimizer rule
-    * (graft.plans): the rule turns the O(n²) BNL plan into the banded
-    * equi join automatically, so users don't have to hand-band. Shares
+    * (graft.plans). The rule is applied EAGERLY to this one query's
+    * analyzed plan (not registered session-wide: a hidden global
+    * optimizer mutation from inside a query builder would make every
+    * later plan depend on call order). Session-wide opt-in remains
+    * available via GraftExtensions / extraOptimizations. Shares
     * q_join_theta's oracle shape; plan + equality asserted in
     * BandJoinSpec. */
   def joinThetaAuto(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    if (!spark.experimental.extraOptimizations.contains(graft.plans.BandJoinRewrite)) {
-      spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ graft.plans.BandJoinRewrite
-    }
     val p = Tables.part(spark, dir).select($"p_partkey", $"p_retailprice")
-    p.as("a")
+    val naive = p.as("a")
       .join(p.as("b"),
         abs($"a.p_retailprice" - $"b.p_retailprice") <= 1.0 &&
         $"a.p_partkey" =!= $"b.p_partkey")
       .groupBy($"a.p_partkey".as("a_partkey"))
       .agg(count(lit(1)).as("n_close"))
       .orderBy($"a_partkey")
+    // rewrite the whole analyzed plan: the rule's output-preserving
+    // Project keeps the join's attribute ids valid for the aggregation
+    // above it
+    org.apache.spark.sql.GraftExpressionBridge.ofRows(spark,
+      graft.plans.BandJoinRewrite(naive.queryExecution.analyzed))
   }
 
   /** As-of join: for every purchase event, the most recent prior-or-equal

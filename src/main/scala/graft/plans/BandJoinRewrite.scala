@@ -42,9 +42,13 @@ object BandJoinRewrite extends Rule[LogicalPlan] {
     case LessThanOrEqual(Abs(Subtract(a, b, _), _), Literal(w, t)) =>
       val width = t match {
         case DoubleType => w.asInstanceOf[Double]
-        case org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType |
-             org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.FloatType =>
-          w.toString.toDouble
+        // exact widening — "0.1f".toString.toDouble would be SMALLER than
+        // the float's exact value, making the band narrower than the
+        // residual predicate and silently dropping qualifying pairs
+        case org.apache.spark.sql.types.FloatType => w.asInstanceOf[Float].toDouble
+        case org.apache.spark.sql.types.IntegerType => w.asInstanceOf[Int].toDouble
+        case org.apache.spark.sql.types.LongType => w.asInstanceOf[Long].toDouble
+        case org.apache.spark.sql.types.ShortType => w.asInstanceOf[Short].toDouble
         case _ => return None
       }
       if (width > 0) Some((a, b, width)) else None

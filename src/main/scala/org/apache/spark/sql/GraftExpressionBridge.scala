@@ -23,6 +23,15 @@ object GraftExpressionBridge {
       name, builder, "scala_udf")
   }
 
+  /** Build a DataFrame from a hand-constructed logical plan (used to
+    * apply a graft optimizer rule eagerly to ONE query instead of
+    * registering it session-wide). */
+  def ofRows(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame = {
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    org.apache.spark.sql.classic.Dataset.ofRows(classic, plan)
+  }
+
   /** Inject the same function via SparkSessionExtensions at build time. */
   def injectFunction(
       ext: SparkSessionExtensions,

@@ -55,7 +55,8 @@ def main(sf_dir, out_dir):
                          for v in row)
         erows = sorted([tuple(r[c] for c in ecols) for r in exp.to_pylist()], key=key)
         grows = sorted([tuple(r[c] for c in gcols) for r in got.to_pylist()], key=key)
-        bad = None
+        float_bad = None
+        hard_bad = None
         maxdiff = 0.0
         for i, (er, gr) in enumerate(zip(erows, grows)):
             for c, (ev, gv) in enumerate(zip(er, gr)):
@@ -65,14 +66,16 @@ def main(sf_dir, out_dir):
                     if math.isnan(ev) and math.isnan(gv):
                         continue
                     maxdiff = max(maxdiff, abs(ev - gv))
-                    if bad is None:
-                        bad = (i, ecols[c], ev, gv)
+                    if float_bad is None:
+                        float_bad = (i, ecols[c], ev, gv)
                 else:
-                    if bad is None:
-                        bad = (i, ecols[c], ev, gv)
+                    if hard_bad is None:
+                        hard_bad = (i, ecols[c], ev, gv)
                     break
-            if bad and not isinstance(bad[2], float):
+            if hard_bad:
                 break
+        # a hard (non-float) mismatch always outranks float noise
+        bad = hard_bad or float_bad
         if bad:
             i, c, ev, gv = bad
             print(f"FAIL {name}: first diff at row {i} col {c}: oracle={ev!r} spark={gv!r}"
