@@ -303,6 +303,24 @@ object Oracle {
         |       CAST(epoch_ms(o_orderdate) // 1000 AS BIGINT) AS epoch_s
         |FROM orders ORDER BY o_orderkey""".stripMargin,
 
+    "q_sql_tpch_q4" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-07-01'
+        |  AND o_orderdate <  TIMESTAMP '1997-10-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q_fn_date2" ->
+      """SELECT o_orderkey,
+        |       CAST(dayofyear(o_orderdate) AS INTEGER) AS doy,
+        |       CAST(weekofyear(o_orderdate) AS INTEGER) AS iso_week,
+        |       last_day(CAST(o_orderdate AS DATE)) AS month_end,
+        |       CAST(CAST(o_orderdate AS DATE) + INTERVAL 7 DAY AS DATE) AS plus7d
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
     "q_fn_math" ->
       """SELECT p_partkey,
         |       round(p_retailprice, 0) AS price_r0,

@@ -62,6 +62,7 @@ object SparkEntry {
     // §2.7 scalar function families
     "q_fn_string" -> Relational.fnString _,
     "q_fn_date" -> Relational.fnDate _,
+    "q_fn_date2" -> Relational.fnDate2 _,
     "q_fn_math" -> Relational.fnMath _,
     "q_fn_array" -> Relational.fnArray _,
     "q_fn_json" -> Relational.fnJson _,
@@ -98,6 +99,7 @@ object SparkEntry {
     "q_sql_exists_corr" -> Sql.existsCorrelated _,
     "q_sql_tpch_q3" -> Sql.tpchQ3 _,
     "q_sql_grouping_sets" -> Sql.groupingSets _,
+    "q_sql_tpch_q4" -> Sql.tpchQ4 _,
     // pivot / extra windows / bitwise / skew-salted join
     "q_agg_pivot" -> Relational.aggPivot _,
     "q_win_percent" -> Relational.winPercent _,

@@ -544,6 +544,21 @@ object Relational {
       .orderBy($"o_orderkey")
   }
 
+  /** Second date family: day-of-year / ISO week / last-of-month /
+    * day-shift arithmetic. */
+  def fnDate2(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .select(
+        $"o_orderkey",
+        dayofyear($"o_orderdate").as("doy"),
+        weekofyear($"o_orderdate").as("iso_week"),
+        last_day($"o_orderdate".cast("date")).as("month_end"),
+        date_add($"o_orderdate".cast("date"), 7).as("plus7d"),
+      )
+      .orderBy($"o_orderkey")
+  }
+
   /** Math functions over prices; transcendentals rounded to 6 dp (libm
     * last-ulp differences across engines). */
   def fnMath(spark: SparkSession, dir: String): DataFrame = {

@@ -50,6 +50,24 @@ object Sql {
         |ORDER BY n_nationkey""".stripMargin)
   }
 
+  /** TPC-H Q4-shaped: orders placed in one quarter having at least one
+    * line shipped after the order date, counted by priority — the
+    * canonical correlated-EXISTS aggregate (decorrelates to a semi
+    * join). */
+  def tpchQ4(spark: SparkSession, dir: String): DataFrame = {
+    withViews(spark, dir)
+    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem")
+    spark.sql(
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-07-01'
+        |  AND o_orderdate <  TIMESTAMP '1997-10-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)
+  }
+
   /** Explicit GROUPING SETS (the general form rollup/cube specialize):
     * per-(priority,status), per-priority, and grand-total rows in one
     * pass — Catalyst expands then aggregates, still partial+final. */
