@@ -650,6 +650,14 @@ object Oracle {
         |       event_type, count(*) AS n_events
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    // sliding windows expanded by explicit bucket arithmetic: an event in
+    // 15-min bucket B belongs to the 1h windows starting at B-45m..B
+    "q_stream_sliding_batch" ->
+      """SELECT CAST(to_timestamp((epoch_ms(ts) // 900000) * 900 - k * 900) AS TIMESTAMP) AS win_start,
+        |       event_type, count(*) AS n_events
+        |FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) ks
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "q_sessionize_batch" ->
       """WITH g AS (
         |  SELECT user_id, ts, event_id,

@@ -69,6 +69,7 @@ object SparkEntry {
     "q_fn_cond" -> Relational.fnCond _,
     // §2.9 batch twins of streaming
     "q_stream_tumbling_batch" -> Relational.streamTumblingBatch _,
+    "q_stream_sliding_batch" -> Relational.streamSlidingBatch _,
     "q_sessionize_batch" -> Relational.sessionizeBatch _,
     // §2.8 text analysis / dedup
     "q_text_stats" -> Text.textStats _,

@@ -710,6 +710,17 @@ object Relational {
       .orderBy($"hour_start", $"event_type")
   }
 
+  /** Sliding 1-hour windows every 15 minutes on batch data — each event
+    * lands in 4 windows (Spark's window() generator). The oracle
+    * reproduces the expansion with explicit bucket arithmetic
+    * (event × k∈0..3, window start = 15-min bucket − k·15min), so this
+    * formerly rows-only query is fully hash-checked. */
+  def streamSlidingBatch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Streaming.slidingCounts(Tables.events(spark, dir))
+      .orderBy($"win_start", $"event_type")
+  }
+
   /** Batch sessionization (graft.api.Temporal.sessionize: lag +
     * gap-threshold cumulative sum, one shuffle per user) — the batch
     * twin of session_window() streaming. Emits per-user session counts. */
