@@ -400,6 +400,18 @@ object Oracle {
         |ORDER BY revenue DESC, l_orderkey
         |LIMIT 10""".stripMargin,
 
+    "q_agg_argmax" ->
+      """SELECT o_orderpriority,
+        |       arg_max(o_orderkey, ord) AS top_orderkey,
+        |       arg_min(o_orderkey, ord) AS bottom_orderkey,
+        |       max(o_totalprice) AS top_price
+        |FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |        lpad(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR), 12, '0')
+        |          || lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS ord
+        |      FROM orders) t
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
     // pivot / extra window / bitwise / salted join ---------------------------
     "q_agg_pivot" ->
       """SELECT n_name,

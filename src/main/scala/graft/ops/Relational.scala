@@ -626,6 +626,28 @@ object Relational {
       .orderBy($"o_orderkey")
   }
 
+  /** max_by/min_by (arg-max/arg-min) with DETERMINISTIC ties: both
+    * engines pick arbitrarily when ordering values collide, so the
+    * ordering key is a fixed-width zero-padded string of
+    * (price_cents, orderkey) — lexicographic order ≡ numeric order and
+    * the key is unique. Returns each priority's highest- and
+    * lowest-priced order. */
+  def aggArgmax(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ordKey = concat(
+      lpad(dec2($"o_totalprice").multiply(100).cast("long").cast("string"), 12, "0"),
+      lpad($"o_orderkey".cast("string"), 12, "0"))
+    Tables.orders(spark, dir)
+      .withColumn("__ord", ordKey)
+      .groupBy($"o_orderpriority")
+      .agg(
+        max_by($"o_orderkey", $"__ord").as("top_orderkey"),
+        min_by($"o_orderkey", $"__ord").as("bottom_orderkey"),
+        max($"o_totalprice").as("top_price"),
+      )
+      .orderBy($"o_orderpriority")
+  }
+
   /** PIVOT: per-nation counts by market segment as columns. Explicit
     * value list keeps the output schema static (a dynamic pivot would
     * need an extra distinct-scan and yields nondeterministic column

@@ -92,6 +92,24 @@ class RelationalSpec extends SparkSpec {
     assert(math.abs(approx - exact).toDouble / exact < 0.05, s"approx=$approx exact=$exact")
   }
 
+  test("approx_percentile within tolerance of exact percentile") {
+    import spark.implicits._
+    val df = (1 to 10000).map(_.toDouble).toDF("v")
+    val exact = df.selectExpr("percentile(v, 0.9)").head.getDouble(0)
+    val approx = df.selectExpr("approx_percentile(v, 0.9, 1000)").head.getDouble(0)
+    assert(math.abs(approx - exact) / exact < 0.02, s"approx=$approx exact=$exact")
+  }
+
+  test("persist/unpersist lifecycle: storage level set and cleared") {
+    import spark.implicits._
+    val df = (1 to 100).toDF("x")
+    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    assert(df.storageLevel == org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    assert(df.count() == 100)
+    df.unpersist(blocking = true)
+    assert(df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+  }
+
   test("window rank is tie-safe (unique tiebreak key)") {
     import spark.implicits._
     val orders = Seq((1L, 10L, 500.0), (2L, 10L, 500.0), (3L, 10L, 500.0), (4L, 10L, 400.0))
