@@ -27,7 +27,15 @@ object Tables {
     * (PARQUET_TYPE_ILLEGAL). Read it as a nanosecond Long (legacy flag) and
     * convert via integer division — `ts DIV 1000` then timestamp_micros —
     * which is exact (the generator emits µs-precision values; and double
-    * division would be lossy anyway: 2024 epoch-ns ≈ 1.7e18 > 2^53). */
+    * division would be lossy anyway: 2024 epoch-ns ≈ 1.7e18 > 2^53).
+    *
+    * SESSION-WIDE SIDE EFFECT: this sets spark.sql.legacy.parquet
+    * .nanosAsLong for the whole session (the flag is read at scan
+    * planning, not per-reader) — after the first call, any OTHER
+    * TIMESTAMP(NANOS) parquet read in the session yields Longs instead
+    * of failing. Graft's own mains (Verify/Bench) set the flag at
+    * session build so behavior is order-independent; external callers
+    * embedding this library should do the same. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.schema(Schemas.eventsRaw)

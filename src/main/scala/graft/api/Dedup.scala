@@ -71,7 +71,14 @@ object Dedup {
     * halves of xxhash64(shingle, seed) — true min-wise hashes (an
     * h1+i·h2 family measurably loses recall). Signatures are flat
     * codegen'd min() columns (whole-stage codegen; ~4× over an
-    * array-UDAF formulation). */
+    * array-UDAF formulation).
+    *
+    * CACHING CONTRACT: each call `.cache()`s its shingle relation and —
+    * because the returned plan is lazy — cannot unpersist it; the entry
+    * (a few MB, evictable) lives until spark.catalog.clearCache() or
+    * session end. Long-lived sessions making many calls should clear
+    * the cache between batches. The cache is load-bearing for join
+    * strategy, not an optimization — see the inline note. */
   def minhashLsh(df: DataFrame, idCol: String, textCol: String, n: Int = 3,
       bands: Int = 16, rowsPerBand: Int = 4, threshold: Double = 0.8): DataFrame = {
     val numHashes = bands * rowsPerBand
@@ -118,7 +125,11 @@ object Dedup {
   /** SimHash near-dup pairs: 64-bit majority-vote signature over shingle
     * hashes, chunk banding (pigeonhole: hamming ≤ chunks-1 guaranteed
     * caught), exact hamming filter. Approximate (unlike minhashLsh) —
-    * tune maxHamming to the corpus. */
+    * tune maxHamming to the corpus.
+    *
+    * CACHING CONTRACT: caches its signature relation for the session
+    * lifetime (lazily-returned plan can't unpersist) — same contract and
+    * rationale as [[minhashLsh]]. */
   def simhash(df: DataFrame, idCol: String, textCol: String, n: Int = 3,
       maxHamming: Int = 7): DataFrame = {
     val chunks = maxHamming + 1

@@ -4,7 +4,7 @@ import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{DecimalType, IntegerType, StructField, StructType}
 
 /** Relational operator surface (SURVEY.md §2.1–§2.7, §2.9 batch twins).
   *
@@ -600,11 +600,15 @@ object Relational {
       .orderBy($"vec_id")
   }
 
-  /** JSON extraction from the events.props string column. */
+  /** JSON extraction from the events.props string column. Uses from_json
+    * with the known {"k": int} schema (one Jackson parse per row into a
+    * typed struct) rather than get_json_object (schema-less re-parse per
+    * extraction — measured as a recurring 3-5 s bench spike at sf0.1). */
   def fnJson(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    val propsSchema = StructType(Seq(StructField("k", IntegerType)))
     Tables.events(spark, dir)
-      .select($"event_id", get_json_object($"props", "$.k").cast("int").as("k"))
+      .select(from_json($"props", propsSchema).getField("k").as("k"))
       .groupBy($"k")
       .agg(count(lit(1)).as("n_events"))
       .orderBy($"k")

@@ -56,7 +56,6 @@ object Sql {
     * join). */
   def tpchQ4(spark: SparkSession, dir: String): DataFrame = {
     withViews(spark, dir)
-    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem")
     spark.sql(
       """SELECT o_orderpriority, count(*) AS order_count
         |FROM orders

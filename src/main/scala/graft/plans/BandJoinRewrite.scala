@@ -37,7 +37,21 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   */
 object BandJoinRewrite extends Rule[LogicalPlan] {
 
-  /** abs(lhs - rhs) <= w, returned as (leftExpr, rightExpr, w). */
+  /** abs(lhs - rhs) <= w, returned as (leftExpr, rightExpr, w).
+    *
+    * Width widening to Double must be EXACT, or the band grid is
+    * narrower than the residual predicate and qualifying pairs are
+    * silently dropped: Float/Int/Short widen exactly always; Long only
+    * when the value round-trips (|w| ≤ 2^53-ish — checked); Decimal
+    * (what a SQL-text literal like `1.0` parses as) only when its
+    * BigDecimal round-trips through Double — checked, else the rule
+    * declines and the join keeps its (correct, slow) BNL plan.
+    *
+    * Magnitude envelope: band ids are floor(x / w) computed in Double,
+    * exact while |x / w| < 2^52. Callers with operand/width ratios
+    * beyond that (astronomically wide bands over astronomically large
+    * values) are outside this rule's envelope — the quotient's ULP
+    * exceeds 1 and a qualifying pair's band ids can differ by 2. */
   private def asBandPredicate(e: Expression): Option[(Expression, Expression, Double)] = e match {
     case LessThanOrEqual(Abs(Subtract(a, b, _), _), Literal(w, t)) =>
       val width = t match {
@@ -47,8 +61,19 @@ object BandJoinRewrite extends Rule[LogicalPlan] {
         // residual predicate and silently dropping qualifying pairs
         case org.apache.spark.sql.types.FloatType => w.asInstanceOf[Float].toDouble
         case org.apache.spark.sql.types.IntegerType => w.asInstanceOf[Int].toDouble
-        case org.apache.spark.sql.types.LongType => w.asInstanceOf[Long].toDouble
+        case org.apache.spark.sql.types.LongType =>
+          val l = w.asInstanceOf[Long]
+          if (l.toDouble.toLong != l) return None // inexact beyond 2^53
+          l.toDouble
         case org.apache.spark.sql.types.ShortType => w.asInstanceOf[Short].toDouble
+        case _: org.apache.spark.sql.types.DecimalType =>
+          // SQL-text literals ('1.0') parse as DECIMAL(2,1) — without this
+          // case an SQL-authored band predicate silently keeps the O(n²)
+          // BNL plan. Only exact Double round-trips qualify.
+          val bd = w.asInstanceOf[org.apache.spark.sql.types.Decimal].toBigDecimal
+          val d = bd.toDouble
+          if (!java.lang.Double.isFinite(d) || BigDecimal(d).compare(bd) != 0) return None
+          d
         case _ => return None
       }
       if (width > 0) Some((a, b, width)) else None
