@@ -14,6 +14,30 @@ package graft
   */
 object Oracle {
 
+  /** Sign-LSH bucket CTE mirroring graft.api.Similarity.signLshBuckets
+    * (nBits=6, extraBits=4, maxOccupancy=32) bit-for-bit: bucket bits are
+    * raw-float sign tests (no arithmetic → no cross-engine rounding), the
+    * occupancy count is exact integer arithmetic. Generated from the same
+    * parameters the Spark queries pass so the two sides cannot drift. */
+  private def signBucketCte(nBits: Int, extraBits: Int, maxOccupancy: Int): String = {
+    def bits(start: Int, n: Int): String =
+      (0 until n).map(j =>
+        s"CASE WHEN embedding[${start + j}] > 0 THEN ${1L << (n - 1 - j)} ELSE 0 END")
+        .mkString("\n           + ")
+    s"""b AS (
+       |  SELECT vec_id, embedding,
+       |         ${bits(1, nBits)} AS base,
+       |         ${bits(nBits + 1, extraBits)} AS extra
+       |  FROM embeddings),
+       |c AS (SELECT base, count(*) AS cnt FROM b GROUP BY base),
+       |k AS (
+       |  SELECT b.vec_id, b.embedding,
+       |         CAST(CASE WHEN c.cnt > $maxOccupancy
+       |                   THEN ${1L << nBits} + b.base * ${1L << extraBits} + b.extra
+       |                   ELSE b.base END AS BIGINT) AS bucket
+       |  FROM b JOIN c ON b.base = c.base)""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
 
     // §2.1 scans -------------------------------------------------------------
@@ -25,6 +49,13 @@ object Oracle {
     "q_scan_pruned" ->
       """SELECT l_orderkey, l_linenumber, l_quantity
         |FROM lineitem ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin,
+
+    // the Spark side reads ONE partition of a hive-partitioned copy of
+    // orders; pruning must reproduce exactly the filtered original
+    "q_scan_partition" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+        |FROM orders WHERE o_orderpriority = '1-URGENT'
+        |ORDER BY o_orderkey""".stripMargin,
 
     // §2.2 projection / filter ----------------------------------------------
     "q_project_expr" ->
@@ -608,24 +639,26 @@ object Oracle {
         |WHERE vec_id <> 0
         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
 
+    // blocked by the sign-LSH sketch bucket (mirrors signLshBuckets) —
+    // same-bucket candidates, exact cosine, hash-checked output
     "q_sim_pairs" ->
-      """SELECT a_id, b_id, label, cos_sim FROM (
-        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.label AS label,
+      s"""WITH ${signBucketCte(6, 4, 32)}
+        |SELECT a_id, b_id, bucket, cos_sim FROM (
+        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.bucket AS bucket,
         |         round(list_cosine_similarity(
         |           CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
-        |  FROM embeddings a
-        |  JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id) t
+        |  FROM k a JOIN k b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) t
         |WHERE cos_sim >= 0.25
         |ORDER BY a_id, b_id""".stripMargin,
 
     "q_dedup_embed" ->
-      """WITH nemb AS (
-        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      s"""WITH ${signBucketCte(6, 4, 32)},
         |pairs AS (
         |  SELECT a.vec_id AS vec_id, b.vec_id AS nbr
-        |  FROM nemb a JOIN nemb b
-        |    ON a.label = b.label AND a.vec_id <> b.vec_id
-        |  WHERE round(list_cosine_similarity(a.e, b.e), 6) >= 0.4),
+        |  FROM k a JOIN k b
+        |    ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+        |  WHERE round(list_cosine_similarity(
+        |          CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= 0.4),
         |with_self AS (
         |  SELECT vec_id, vec_id AS nbr FROM embeddings
         |  UNION ALL SELECT vec_id, nbr FROM pairs)

@@ -24,6 +24,7 @@ object SparkEntry {
     // §2.1 scans
     "q_scan_parquet" -> Relational.scanParquet _,
     "q_scan_pruned" -> Relational.scanPruned _,
+    "q_scan_partition" -> Relational.scanPartition _,
     // §2.2 projection / filter
     "q_project_expr" -> Relational.projectExpr _,
     "q_filter_pred" -> Relational.filterPred _,

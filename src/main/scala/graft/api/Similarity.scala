@@ -40,9 +40,77 @@ object Similarity {
       .limit(k)
   }
 
+  /** Deterministic sign-LSH bucket assignment with one level of
+    * occupancy-bounded refinement — the scale-safe block key for
+    * [[allPairs]]/[[nearDupCanonical]] (a `label`-style attribute block
+    * caps at O((n/|labels|)²) per block and dies at 100 TB).
+    *
+    * Bucket bit j is the SIGN of raw coordinate j — an axis-aligned
+    * member of the random-hyperplane LSH family (planes = standard basis
+    * vectors; signs are invariant under L2 normalization). Chosen over
+    * projected hyperplanes deliberately: a sign test involves NO
+    * arithmetic, so any engine reading the same floats computes the
+    * same bucket bit-for-bit (a Σ±xᵢ projection's sign can flip between
+    * engines when the sum lands within rounding noise of 0) — which is
+    * what lets the DuckDB oracle replicate the blocking exactly.
+    *
+    * Occupancy bound: base buckets (coords 1..nBits) whose population
+    * exceeds maxOccupancy are split by extraBits further sign bits into
+    * a disjoint key range (offset 2^nBits). One refinement level bounds
+    * every bucket that is sign-separable in the refinement coords;
+    * vectors identical in ALL nBits+extraBits signs stay together — for
+    * near-dup work that is the desired outcome (they are candidates).
+    * The population count is one tiny aggregate (≤ 2^nBits rows)
+    * broadcast back — no second pass over the data.
+    *
+    * Recall contract: candidate pairs are SAME-BUCKET pairs only. Two
+    * vectors differing in any selected sign land apart (standard LSH
+    * recall; raise recall with fewer bits or multi-probe). Downstream
+    * outputs are exact over the candidate set, and the oracle mirrors
+    * the bucket definition, so correctness checks stay exact. */
+  def signLshBuckets(df: DataFrame, idCol: String, vecCol: String,
+      nBits: Int = 6, extraBits: Int = 4, maxOccupancy: Int = 32): DataFrame = {
+    require(nBits >= 1 && extraBits >= 1 && maxOccupancy >= 1)
+    def signBits(startCoord: Int, bits: Int): Column =
+      (0 until bits).map { j =>
+        when(element_at(col(vecCol), startCoord + j).cast("double") > 0.0,
+          lit(1L << (bits - 1 - j))).otherwise(lit(0L))
+      }.reduce(_ + _)
+    val based = df
+      .withColumn("__base", signBits(1, nBits))
+      .withColumn("__extra", signBits(nBits + 1, extraBits))
+    val counts = based.groupBy(col("__base")).agg(count(lit(1)).as("__cnt"))
+    based
+      .join(broadcast(counts), "__base")
+      .withColumn("bucket",
+        when(col("__cnt") > maxOccupancy,
+          lit(1L << nBits) + col("__base") * (1L << extraBits) + col("__extra"))
+          .otherwise(col("__base")))
+      .drop("__base", "__extra", "__cnt")
+  }
+
+  /** All near-pairs ≥ threshold under sign-LSH blocking: assign buckets
+    * with [[signLshBuckets]], then exact cosine within each bucket. The
+    * 100 TB shape: one bucket equi-join with bounded occupancy instead
+    * of an attribute block whose size grows with the corpus. */
+  def allPairsSketch(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nBits: Int = 6, extraBits: Int = 4,
+      maxOccupancy: Int = 32): DataFrame =
+    allPairs(signLshBuckets(df, idCol, vecCol, nBits, extraBits, maxOccupancy),
+      idCol, vecCol, "bucket", threshold)
+
+  /** Near-dup canonicalization under sign-LSH blocking — [[nearDupCanonical]]
+    * with the [[signLshBuckets]] key instead of an attribute block. */
+  def nearDupCanonicalSketch(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nBits: Int = 6, extraBits: Int = 4,
+      maxOccupancy: Int = 32): DataFrame =
+    nearDupCanonical(signLshBuckets(df, idCol, vecCol, nBits, extraBits, maxOccupancy),
+      idCol, vecCol, "bucket", threshold)
+
   /** All pairs ≥ threshold within blocks: equi join on the block key —
     * O(block²) work per block, never a global cross product. The block
-    * key is the scale knob (label, LSH bucket, IVF cell). */
+    * key is the scale knob: an attribute (label) for small corpora, the
+    * [[signLshBuckets]] sketch bucket or an IVF cell at scale. */
   def allPairs(df: DataFrame, idCol: String, vecCol: String,
       blockCol: String, threshold: Double): DataFrame = {
     val emb = normalized(df, idCol, vecCol, keep = Seq(blockCol))

@@ -21,12 +21,16 @@ object Vector {
     Similarity.cosineTopK(Tables.embeddings(spark, dir), "vec_id", "embedding",
       probeId = 0L, k = 10, keep = Seq("label"))
 
-  /** All pairs with cosine ≥ 0.25, blocked by label (equi join on the
-    * block key — the O(n²) cross product never materializes across
-    * blocks; at 100 TB swap the block key for an LSH bucket/IVF cell). */
+  /** All near-pairs with cosine ≥ 0.25, blocked by the sign-LSH sketch
+    * bucket (graft.api.Similarity.signLshBuckets: 6 base sign bits, 4
+    * refinement bits, occupancy cap 32) — the 100 TB shape: bucket
+    * occupancy is bounded, so per-block work doesn't grow with the
+    * corpus the way the old `label` block did. The DuckDB oracle
+    * replicates the bucket arithmetic exactly (sign tests + integer
+    * counts), so the output is hash-checked despite the sketch. */
   def simPairs(spark: SparkSession, dir: String): DataFrame =
-    Similarity.allPairs(Tables.embeddings(spark, dir), "vec_id", "embedding",
-      blockCol = "label", threshold = 0.25)
+    Similarity.allPairsSketch(Tables.embeddings(spark, dir), "vec_id", "embedding",
+      threshold = 0.25, nBits = 6, extraBits = 4, maxOccupancy = 32)
 
   /** Per-label centroid via the VecSumAgg typed Aggregator (element-wise
     * double sum, one pass, partial-merge) — output is scalar summaries
@@ -47,11 +51,13 @@ object Vector {
       .orderBy($"label")
   }
 
-  /** Embedding-cosine near-dup canonicalization (≥ 0.4 within label,
-    * min-vec_id representative) — graft.api.Similarity.nearDupCanonical. */
+  /** Embedding-cosine near-dup canonicalization (≥ 0.4 within the
+    * sign-LSH sketch bucket, min-vec_id representative) —
+    * graft.api.Similarity.nearDupCanonicalSketch with the same bucket
+    * parameters (and the same oracle-portability argument) as simPairs. */
   def dedupEmbed(spark: SparkSession, dir: String): DataFrame =
-    Similarity.nearDupCanonical(Tables.embeddings(spark, dir), "vec_id", "embedding",
-      blockCol = "label", threshold = 0.4)
+    Similarity.nearDupCanonicalSketch(Tables.embeddings(spark, dir), "vec_id", "embedding",
+      threshold = 0.4, nBits = 6, extraBits = 4, maxOccupancy = 32)
 
   /** Multi-table random-hyperplane LSH ANN (8 tables × 4 bits) vs probe
     * vec_id 0 — graft.api.Similarity.annLsh for algorithm + scale notes.

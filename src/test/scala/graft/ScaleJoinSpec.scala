@@ -43,6 +43,57 @@ class ScaleJoinSpec extends SparkSpec {
     assert(rows == Set((10L, 2L)), rows.toString)
   }
 
+  test("signLshBuckets: occupancy-bounded refinement splits a skewed bucket") {
+    import spark.implicits._
+    // skewed fixture: ALL vectors share the 6 base sign bits (one hot
+    // base bucket of 2000 — over the cap), but are uniformly sign-
+    // separable in the 4 refinement coords
+    val n = 2000
+    val data = (0 until n).map { i =>
+      val refinement = (0 until 4).map(b => if (((i >> (3 - b)) & 1) == 1) 0.5f else -0.5f)
+      (i.toLong, (Seq.fill(6)(0.5f) ++ refinement).toArray)
+    }.toDF("vec_id", "embedding")
+    val bucketed = graft.api.Similarity.signLshBuckets(
+      data, "vec_id", "embedding", nBits = 6, extraBits = 4, maxOccupancy = 32)
+    val occ = bucketed.groupBy($"bucket").count().collect()
+    // the hot bucket split into all 16 refinement buckets of n/16 each
+    assert(occ.length == 16, s"expected 16 refined buckets, got ${occ.length}")
+    assert(occ.map(_.getLong(1)).max == n / 16,
+      s"max occupancy ${occ.map(_.getLong(1)).max} != ${n / 16}")
+    // per-block join work: unrefined blocking would be one n² block;
+    // refinement bounds the candidate pair count to ~1/16 of that
+    val pairs = occ.map(c => c.getLong(1) * (c.getLong(1) - 1) / 2).sum
+    assert(pairs <= n.toLong * (n - 1) / 2 / 10, s"pair count $pairs not bounded")
+  }
+
+  test("salted join: hot key's max shuffle group shrinks ~1/S, result unchanged") {
+    import spark.implicits._
+    val salts = 8
+    // genuinely hot key: 8000 of 8100 left rows share k=1
+    val left = ((0 until 8000).map(i => (1L, i.toLong)) ++
+      (0 until 100).map(i => (2L + i % 50, (8000 + i).toLong))).toDF("k", "row_id")
+    val right = (1L to 51L).map(k => (k, s"seg${k % 5}")).toDF("rk", "seg")
+    // max rows landing in one shuffle group = the max-task input proxy
+    // (each group hashes to exactly one reducer task)
+    val unsaltedMax = left.groupBy($"k").count()
+      .agg(max($"count")).head().getLong(0)
+    val salted = left.withColumn("salt", pmod(xxhash64($"row_id"), lit(salts.toLong)))
+    val saltedMax = salted.groupBy($"k", $"salt").count()
+      .agg(max($"count")).head().getLong(0)
+    assert(unsaltedMax == 8000L)
+    assert(saltedMax <= unsaltedMax / salts * 13 / 10, // ~1/S with hash noise
+      s"salted max group $saltedMax vs unsalted $unsaltedMax")
+    // the salted join must produce EXACTLY the plain join's answer
+    val rightRep = right.withColumn("salt",
+      explode(array((0 until salts).map(s => lit(s.toLong)): _*)))
+    val plain = left.join(right, $"k" === $"rk")
+      .groupBy($"seg").count().collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val viaSalt = salted.join(rightRep,
+        salted("k") === rightRep("rk") && salted("salt") === rightRep("salt"))
+      .groupBy($"seg").count().collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(plain == viaSalt, s"salted answer drifted: $viaSalt vs $plain")
+  }
+
   test("bucketed tables co-locate: join plan has no shuffle exchange") {
     import spark.implicits._
     // warehouse.dir is a static conf — managed tables land in the default
