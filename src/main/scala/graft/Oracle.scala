@@ -583,6 +583,8 @@ object Oracle {
         |  GROUP BY k) g
         |ORDER BY canonical_doc""".stripMargin,
 
+    // mirrors the Spark side's df-capped candidate generation (df ≤ 100)
+    // + exact verification over full shingle sets
     "q_dedup_ngram" ->
       """WITH tok AS (
         |  SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS pos,
@@ -592,9 +594,18 @@ object Oracle {
         |  FROM tok a
         |  JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
         |  JOIN tok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+        |dfok AS (
+        |  SELECT sh FROM (SELECT sh, count(*) AS df FROM sh GROUP BY sh) t
+        |  WHERE df <= 100),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  JOIN dfok ON dfok.sh = a.sh),
         |inter AS (
         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_inter
-        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  JOIN cand ON cand.a_id = a.doc_id AND cand.b_id = b.doc_id
+        |  GROUP BY 1, 2),
         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1)
         |SELECT a_id, b_id, jaccard FROM (
         |  SELECT a_id, b_id,
@@ -628,6 +639,41 @@ object Oracle {
         |  JOIN sizes sb ON b_id = sb.doc_id) t
         |WHERE jaccard >= 0.8
         |ORDER BY a_id, b_id""".stripMargin,
+
+    // cluster collapse: the same exact J≥0.8 pair set, closed transitively
+    // (recursive reachability), each doc mapped to its component's min id
+    "q_dedup_cluster" ->
+      """WITH RECURSIVE tok AS (
+        |  SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS pos,
+        |         unnest(string_split(text, ' ')) AS w FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS sh
+        |  FROM tok a
+        |  JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |  JOIN tok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+        |inter AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_inter
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |p AS (
+        |  SELECT a_id, b_id FROM (
+        |    SELECT a_id, b_id,
+        |           round(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 6) AS jaccard
+        |    FROM inter
+        |    JOIN sizes sa ON a_id = sa.doc_id
+        |    JOIN sizes sb ON b_id = sb.doc_id) t
+        |  WHERE jaccard >= 0.8),
+        |edges AS (
+        |  SELECT a_id AS src, b_id AS dst FROM p
+        |  UNION SELECT b_id, a_id FROM p),
+        |reach AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+        |SELECT doc_id, canonical_doc FROM (
+        |  SELECT src AS doc_id, least(src, min(dst)) AS canonical_doc
+        |  FROM reach GROUP BY src) t
+        |ORDER BY doc_id""".stripMargin,
 
     // §2.8 similarity search -------------------------------------------------
     "q_sim_knn" ->

@@ -84,6 +84,7 @@ object SparkEntry {
     "q_dedup_exact" -> Text.dedupExact _,
     "q_dedup_ngram" -> Text.dedupNgram _,
     "q_dedup_minhash" -> Text.dedupMinhash _,
+    "q_dedup_cluster" -> Text.dedupCluster _,
     "q_dedup_simhash" -> Text.dedupSimhash _,
     // §2.8 similarity search / vectors
     "q_sim_knn" -> Vector.simKnn _,

@@ -38,26 +38,58 @@ object Dedup {
       .select(col("canonical_doc"), col("n_members"))
       .orderBy(col("canonical_doc"))
 
-  /** Exact n-gram Jaccard pairs ≥ threshold via inverted-index join —
-    * the accuracy baseline; cost grows with Σ df(shingle)². */
+  /** Exact n-gram Jaccard pairs ≥ threshold via a df-capped
+    * inverted-index join. The inverted join's cost is Σ df(shingle)² —
+    * ONE high-frequency shingle (boilerplate, stopword runs) makes a
+    * single key quadratic at 100 TB — so shingles with df > maxDf are
+    * excluded from CANDIDATE GENERATION (standard ppjoin-style
+    * frequency pruning). Verification then computes Jaccard over the
+    * FULL shingle sets, so every emitted pair's score is exact; the
+    * only pairs lost are those whose shared shingles are ALL above the
+    * cap — i.e. pairs that overlap exclusively in corpus boilerplate.
+    * maxDf = Int.MaxValue recovers the uncapped exact baseline.
+    *
+    * CACHING CONTRACT: caches the shingle relation for the session
+    * lifetime — same contract and rationale as [[minhashLsh]]. */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, threshold: Double = 0.5): DataFrame =
-    jaccardPairs(shingles(df, idCol, textCol, n), threshold)
+      n: Int = 3, threshold: Double = 0.5, maxDf: Int = Int.MaxValue): DataFrame =
+    jaccardPairs(shingles(df, idCol, textCol, n), threshold, maxDf)
 
-  /** Jaccard over precomputed (doc_id, shingles) — shared by the exact
-    * path and by MinHash verification. */
-  private[graft] def jaccardPairs(shingled: DataFrame, thr: Double): DataFrame = {
+  /** Candidate pairs sharing ≥1 shingle with df ≤ maxDf — the bounded
+    * inverted-index join (exposed to tests so the df² bound is
+    * assertable). Input must be (doc_id, shingles) with distinct
+    * shingles per doc. */
+  private[graft] def jaccardCandidates(shingled: DataFrame, maxDf: Int): DataFrame = {
     val post = shingled.select(col("doc_id"), explode(col("shingles")).as("sh"))
-    val sizes = shingled.select(col("doc_id"), size(col("shingles")).as("n"))
-    val inter = post.as("a")
-      .join(post.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-      .agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(sizes.select(col("doc_id").as("a_id"), col("n").as("n_a")), "a_id")
-      .join(sizes.select(col("doc_id").as("b_id"), col("n").as("n_b")), "b_id")
-      .withColumn("jaccard",
-        round(col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")), 6))
+    val keep =
+      if (maxDf == Int.MaxValue) post
+      else {
+        // df per shingle shuffles on the same key as the join itself;
+        // the surviving posting lists are each ≤ maxDf long, so the
+        // self-join below is ≤ maxDf² per key — bounded, not corpus-²
+        val dfOk = post.groupBy(col("sh")).agg(count(lit(1)).as("__df"))
+          .filter(col("__df") <= maxDf).select(col("sh"))
+        post.join(dfOk, "sh")
+      }
+    keep.as("a")
+      .join(keep.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+  }
+
+  /** Jaccard over precomputed (doc_id, shingles): df-capped candidates,
+    * then exact verification over the full shingle sets. */
+  private[graft] def jaccardPairs(shingled0: DataFrame, thr: Double, maxDf: Int): DataFrame = {
+    // cache: feeds candidate generation + both verification joins (and
+    // carries exact size statistics for the broadcast decision) — same
+    // load-bearing role as in minhashLsh
+    val shingled = shingled0.cache()
+    jaccardCandidates(shingled, maxDf)
+      .join(shingled.select(col("doc_id").as("a_id"), col("shingles").as("sh_a")), "a_id")
+      .join(shingled.select(col("doc_id").as("b_id"), col("shingles").as("sh_b")), "b_id")
+      .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", round(
+        col("n_inter").cast("double") / (size(col("sh_a")) + size(col("sh_b")) - col("n_inter")), 6))
       .filter(col("jaccard") >= thr)
       .select(col("a_id"), col("b_id"), col("jaccard"))
       .orderBy(col("a_id"), col("b_id"))
@@ -120,6 +152,57 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("a_id"), col("b_id"), col("jaccard"))
       .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** Collapse near-dup PAIRS into clusters (connected components): a
+    * real training-data dedup keeps ONE doc per transitive group
+    * (A~B, B~C ⇒ {A,B,C} share one canonical), not one per pair.
+    *
+    * Algorithm: iterative min-id label propagation — each node adopts
+    * min(own label, neighbors' labels) per round until a fixpoint
+    * (checked with a one-scalar-per-round driver count, like kmeansFit's
+    * bounded model traffic; maxIters caps pathological chains). Rounds
+    * needed = component diameter; per round: one edge⋈label equi join +
+    * a groupBy — all shuffles on well-distributed node ids. Production
+    * note: for graphs with huge diameters the same loop admits the
+    * large-star/small-star contraction (alternate min over full
+    * neighborhood + edge rewrite) for O(log n) rounds; near-dup
+    * clusters are shallow so plain propagation is the better constant.
+    * Label lineage is truncated every round with localCheckpoint —
+    * without it the plan doubles per iteration.
+    *
+    * The fixpoint (min id of each component) is iteration-order
+    * independent, so the output is deterministic and oracle-checkable
+    * via recursive SQL. Emits (doc_id, canonical_doc) for every doc
+    * appearing in ≥1 pair, sorted. */
+  def clusterPairs(pairs: DataFrame, aCol: String, bCol: String,
+      maxIters: Int = 20): DataFrame = {
+    val fwd = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+    val edges = fwd
+      .unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIters) {
+      val nbrMin = edges.join(labels.select(col("id").as("dst"), col("comp")), "dst")
+        .groupBy(col("src")).agg(min(col("comp")).as("nbr_min"))
+      val next = labels.as("l")
+        .join(nbrMin.as("n"), col("l.id") === col("n.src"), "left")
+        .select(col("l.id").as("id"),
+          least(col("l.comp"), coalesce(col("n.nbr_min"), col("l.comp"))).as("comp"),
+          col("l.comp").as("prev"))
+        .localCheckpoint()
+      changed = next.filter(col("comp") =!= col("prev")).count()
+      labels = next.drop("prev")
+      iter += 1
+    }
+    edges.unpersist() // labels is materialized (localCheckpoint) — safe
+    labels.select(col("id").as("doc_id"), col("comp").as("canonical_doc"))
+      .orderBy(col("doc_id"))
   }
 
   /** SimHash near-dup pairs: 64-bit majority-vote signature over shingle

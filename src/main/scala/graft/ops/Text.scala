@@ -148,12 +148,15 @@ object Text {
     api.Dedup.exact(Tables.documents(spark, dir), "doc_id",
       array_join(array_sort(array_distinct(split(col("text"), " "))), " "))
 
-  /** Exact n-gram Jaccard near-dup pairs (inverted-index join) — see
-    * graft.api.Dedup.ngramJaccard for the reusable operator; threshold
-    * 0.5 (corpus has a clean gap: planted near-dups at J ≥ 0.9,
-    * background at J ≤ 0.15). */
+  /** Exact n-gram Jaccard near-dup pairs via the df-capped
+    * inverted-index join (df ≤ 100: a shingle in >100 docs at sf0.01 is
+    * corpus boilerplate and is pruned from candidate generation; scores
+    * stay exact over full shingle sets) — see graft.api.Dedup
+    * .ngramJaccard. Threshold 0.5 (corpus has a clean gap: planted
+    * near-dups at J ≥ 0.9, background at J ≤ 0.15). */
   def dedupNgram(spark: SparkSession, dir: String): DataFrame =
-    api.Dedup.ngramJaccard(Tables.documents(spark, dir), "doc_id", "text", n = 3, threshold = 0.5)
+    api.Dedup.ngramJaccard(Tables.documents(spark, dir), "doc_id", "text",
+      n = 3, threshold = 0.5, maxDf = 100)
 
   /** MinHash(64) + 16×4 banded LSH with exact-Jaccard verification —
     * output is exact (shares the inverted-index oracle); see
@@ -161,6 +164,18 @@ object Text {
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
     api.Dedup.minhashLsh(Tables.documents(spark, dir), "doc_id", "text",
       n = 3, bands = 16, rowsPerBand = 4, threshold = 0.8)
+
+  /** Dedup cluster collapse: MinHash+LSH near-dup pairs (same
+    * parameters as dedupMinhash, so the pair set is the exact J ≥ 0.8
+    * set) collapsed to connected components — every doc in a transitive
+    * near-dup group maps to the group's min doc_id. See
+    * graft.api.Dedup.clusterPairs; the oracle replays the closure with
+    * recursive SQL over the same exact pair set. */
+  def dedupCluster(spark: SparkSession, dir: String): DataFrame =
+    api.Dedup.clusterPairs(
+      api.Dedup.minhashLsh(Tables.documents(spark, dir), "doc_id", "text",
+        n = 3, bands = 16, rowsPerBand = 4, threshold = 0.8),
+      "a_id", "b_id")
 
   /** SimHash(64) with 8×8-bit chunk banding, hamming ≤ 7 — see
     * graft.api.Dedup.simhash. Approximate; planted-near-dup recall is

@@ -109,4 +109,49 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("clusterPairs: chains collapse to min id; idempotent; count-bounded") {
+    import spark.implicits._
+    // two chains (diameter > 1 forces multi-round propagation) + a pair
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (21L, 20L), (21L, 22L)).toDF("a_id", "b_id")
+    val m = graft.api.Dedup.clusterPairs(pairs, "a_id", "b_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(m == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L), m.toString)
+    // idempotence: clustering the (doc, canonical) edges reproduces the map
+    val again = graft.api.Dedup.clusterPairs(
+        m.toSeq.toDF("a_id", "b_id"), "a_id", "b_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(again == m, s"not idempotent: $again")
+    // cluster count ≤ doc count, canonical is a member ≤ every member
+    assert(m.values.toSet.size <= m.size)
+    assert(m.forall { case (doc, canon) => canon <= doc && m(canon) == canon })
+  }
+
+  test("clusterPairs property: random graphs match a driver-side union-find") {
+    import spark.implicits._
+    val edgesGen = Gen.chooseNum(0, 30).flatMap(n =>
+      Gen.listOfN(n, Gen.zip(Gen.chooseNum(0L, 19L), Gen.chooseNum(0L, 19L))))
+    forAll(edgesGen) { es =>
+      val edges = es.filter { case (a, b) => a != b }
+      if (edges.nonEmpty) {
+        // reference: classic union-find on the driver
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val expected = parent.keys.map(k => k -> find(k)).toMap
+        val got = graft.api.Dedup.clusterPairs(
+            edges.toDF("a_id", "b_id"), "a_id", "b_id")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+        assert(got == expected, s"edges=$edges got=$got expected=$expected")
+      }
+    }
+  }
 }

@@ -156,4 +156,32 @@ class TextVectorSpec extends SparkSpec {
       .head.getLong(0)
     assert(fp == (97L * 31 + 98) % 1000000007L) // 'a'=97, 'b'=98
   }
+
+  test("df-capped Jaccard: a planted boilerplate shingle stops being quadratic") {
+    import spark.implicits._
+    // 200 docs ALL sharing one boilerplate phrase (3 shingles with
+    // df=200) + unique content; docs 0/1 are a genuine near-dup pair
+    val boiler = "copyright header applies to this file"
+    val docs = (0 until 200).map { i =>
+      val body =
+        if (i == 1) "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        else if (i == 0) "alpha beta gamma delta epsilon zeta eta theta iota lambda"
+        else s"unique$i content$i varies$i alot$i here$i now$i then$i done$i extra$i more$i"
+      (i.toLong, s"$boiler $body")
+    }.toDF("doc_id", "text")
+    val shingled = graft.api.Dedup.shingles(docs, "doc_id", "text", n = 3)
+    // uncapped inverted index: every doc pair shares the boilerplate
+    // shingles → the full quadratic C(200,2) candidate set
+    val uncapped = graft.api.Dedup.jaccardCandidates(shingled, Int.MaxValue).count()
+    assert(uncapped == 200L * 199 / 2, s"fixture not fully connected: $uncapped")
+    // df ≤ 100 prunes the boilerplate posting lists: only pairs sharing
+    // sub-cap shingles survive candidate generation
+    val capped = graft.api.Dedup.jaccardCandidates(shingled, 100).count()
+    assert(capped < 20, s"df cap did not bound the candidate set: $capped")
+    // and the genuine near-dup still comes out, with exact Jaccard
+    val pairs = graft.api.Dedup.ngramJaccard(docs, "doc_id", "text",
+        n = 3, threshold = 0.5, maxDf = 100)
+      .select($"a_id", $"b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 1L)), s"expected only the planted pair: $pairs")
+  }
 }
