@@ -735,6 +735,19 @@ object Oracle {
         |FROM documents JOIN embeddings ON doc_id = vec_id
         |GROUP BY lang ORDER BY lang""".stripMargin,
 
+    // PNG encode→decode roundtrip: gray8 PNG is lossless, so decoded
+    // width/mean-luma must equal per-character arithmetic on the source
+    // text (ASCII corpus: byte value = code point)
+    "q_multimodal_decode" ->
+      """SELECT doc_id, lang AS container,
+        |       CAST(CASE WHEN length(text) = 0 THEN 1 ELSE length(text) END AS INTEGER) AS width,
+        |       CAST(1 AS INTEGER) AS height,
+        |       round(CASE WHEN length(text) = 0 THEN 0.0
+        |             ELSE CAST(list_sum(list_transform(string_split_regex(text, ''),
+        |                    x -> CAST(ascii(x) AS BIGINT))) AS DOUBLE) / length(text)
+        |             END, 6) AS mean_luma
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     // §2.9 batch twins of streaming -------------------------------------------
     "q_stream_tumbling_batch" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,

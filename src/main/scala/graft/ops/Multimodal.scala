@@ -5,11 +5,13 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column operators (SURVEY.md §2.8): text ⋈ vector joins, and
-  * the opaque-binary pipeline shape (decode → feature-extract) a real
-  * image/audio corpus needs. The container has no media codecs, so the
-  * decode kernel is a clearly-marked deterministic stub — the Spark-side
-  * plumbing (binary column, typed metadata struct, per-partition batch
-  * processing, pushdown-friendly schema) is real and tested.
+  * the opaque-binary pipeline (encode → decode → feature-extract) a real
+  * image/audio corpus needs. The decode path runs a GENUINE pure-JVM
+  * codec — javax.imageio PNG encode/decode inside the per-partition
+  * batch shape (q_multimodal_decode is oracle-checked end-to-end
+  * because gray8 PNG is lossless). Only the video frame SAMPLER
+  * (sampleFrames) remains a deterministic stub: no video codec exists
+  * in the JVM; its mapPartitions fan-out shape is the real contract.
   */
 object Multimodal {
 
@@ -31,45 +33,75 @@ object Multimodal {
       .orderBy($"lang")
   }
 
-  /** Binary-column pipeline: documents' text bytes stand in for an opaque
-    * media blob. Schema: (doc_id, blob binary, meta struct). The "decode"
-    * is a STUB — deterministic pseudo-features from the blob itself (real
-    * deployments swap in a codec inside the same mapPartitions batch
-    * shape; partitioning, schema, and batching are the real contract).
-    * Emits per-"format" feature aggregates. */
+  /** Typed rows for the per-partition media kernels. */
+  case class Blob(doc_id: Long, blob: Array[Byte], container: String)
+  case class PngBlob(doc_id: Long, container: String, png: Array[Byte])
+  case class Decoded(doc_id: Long, container: String, width: Int, height: Int,
+      mean_luma: Double)
+  case class Frame(doc_id: Long, frame_idx: Int, width: Int, height: Int,
+      mean_luma: Double)
+
+  /** REAL codec, encode side: each blob's bytes become the pixel row of a
+    * 1×N gray8 image, written to PNG bytes with javax.imageio. Kernel
+    * init (disabling ImageIO's tmp-file cache) happens once per
+    * PARTITION — the batch-shape contract a libjpeg/ffmpeg kernel would
+    * need too. An empty blob becomes a single zero pixel (PNG has no
+    * 0-width images). */
+  def encodePng(blobs: Dataset[Blob]): Dataset[PngBlob] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions { iter =>
+      javax.imageio.ImageIO.setUseCache(false) // per-partition codec init
+      iter.map { b =>
+        val w = math.max(1, b.blob.length)
+        val img = new java.awt.image.BufferedImage(
+          w, 1, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val raster = img.getRaster
+        b.blob.indices.foreach(i => raster.setSample(i, 0, 0, b.blob(i) & 0xff))
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        PngBlob(b.doc_id, b.container, bos.toByteArray)
+      }
+    }
+  }
+
+  /** REAL codec, decode side: ImageIO.read parses the PNG container +
+    * inflate stream (an actual decode, not arithmetic on the input) and
+    * the kernel extracts (width, height, mean luma) from the raster. */
+  def decodePng(pngs: Dataset[PngBlob]): Dataset[Decoded] = {
+    import pngs.sparkSession.implicits._
+    pngs.mapPartitions { iter =>
+      javax.imageio.ImageIO.setUseCache(false)
+      iter.map { p =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p.png))
+        val (w, h) = (img.getWidth, img.getHeight)
+        val raster = img.getRaster
+        var s = 0L; var x = 0
+        while (x < w) {
+          var y = 0
+          while (y < h) { s += raster.getSample(x, y, 0); y += 1 }
+          x += 1
+        }
+        Decoded(p.doc_id, p.container, w, h, s.toDouble / (w.toLong * h))
+      }
+    }
+  }
+
+  /** Binary-column pipeline over a genuine pure-JVM codec: documents'
+    * text bytes → gray8 PNG (encodePng) → ImageIO decode (decodePng) →
+    * per-blob features. Gray8 PNG is lossless, so the decoded pixel
+    * means equal the source byte means and the whole pipeline is
+    * oracle-checked: DuckDB recomputes width/mean from the characters
+    * (ASCII corpus ⇒ byte value = code point). */
   def multimodalDecode(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val blobs = Tables.documents(spark, dir)
-      .select(
-        $"doc_id",
-        encode($"text", "UTF-8").as("blob"),
-        struct($"lang".as("container"), $"n_chars".as("n_bytes")).as("meta"),
-      )
-    // STUB decode: width/height/frames derived from blob bytes — stands in
-    // for an image/audio decode; deterministic and cheap.
-    val decoded = blobs.select(
-      $"doc_id",
-      $"meta.container".as("container"),
-      octet_length($"blob").as("n_bytes"),
-      (abs(xxhash64($"blob")) % 1920 + 1).as("width"),
-      (abs(xxhash64($"blob", lit(1))) % 1080 + 1).as("height"),
-      (abs(xxhash64($"blob", lit(2))) % 300 + 1).as("n_frames"),
-    )
-    decoded
-      .groupBy($"container")
-      .agg(
-        count(lit(1)).as("n_blobs"),
-        sum($"n_bytes".cast("long")).as("total_bytes"),
-        sum($"width".cast("long") * $"height".cast("long")).as("total_pixels"),
-        max($"n_frames").as("max_frames"),
-      )
-      .orderBy($"container")
+      .select($"doc_id", encode($"text", "UTF-8").as("blob"), $"lang".as("container"))
+      .as[Blob]
+    decodePng(encodePng(blobs)).toDF()
+      .select($"doc_id", $"container", $"width", $"height",
+        round($"mean_luma", 6).as("mean_luma"))
+      .orderBy($"doc_id")
   }
-
-  /** Typed rows for the per-partition media kernels. */
-  case class Blob(doc_id: Long, blob: Array[Byte], container: String)
-  case class Frame(doc_id: Long, frame_idx: Int, width: Int, height: Int,
-      mean_luma: Double)
 
   /** Frame-sampling + resize pipeline in the per-partition batch shape a
     * real codec needs (a decoder is initialized once per PARTITION, not

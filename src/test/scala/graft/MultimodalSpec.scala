@@ -30,4 +30,25 @@ class MultimodalSpec extends SparkSpec {
     val b = Multimodal.sampleFrames(blobs, 1).collect().toSeq
     assert(a == b && a.nonEmpty)
   }
+
+  test("PNG encode→decode roundtrip is lossless and matches byte arithmetic") {
+    import spark.implicits._
+    val bytes = "hello png".getBytes("UTF-8")
+    val blobs = Seq(
+      Blob(1L, bytes, "img"),
+      Blob(2L, Array.emptyByteArray, "img"),        // empty → 1 zero pixel
+      Blob(3L, Array[Byte](0, 127, -1, -128), "img"), // full unsigned range
+    ).toDS()
+    val pngs = Multimodal.encodePng(blobs).collect()
+    // the encode produced actual PNG containers (magic bytes)
+    assert(pngs.forall(p => (p.png(0) & 0xff) == 0x89 && p.png(1) == 'P'.toByte))
+    val decoded = Multimodal.decodePng(Multimodal.encodePng(blobs))
+      .collect().map(d => d.doc_id -> d).toMap
+    assert(decoded(1L).width == bytes.length && decoded(1L).height == 1)
+    assert(decoded(1L).mean_luma ==
+      bytes.map(b => (b & 0xff).toDouble).sum / bytes.length)
+    assert(decoded(2L).width == 1 && decoded(2L).mean_luma == 0.0)
+    // signed bytes decode as their unsigned pixel values: (0+127+255+128)/4
+    assert(decoded(3L).mean_luma == (0 + 127 + 255 + 128) / 4.0)
+  }
 }
