@@ -38,7 +38,64 @@ object Oracle {
        |  FROM b JOIN c ON b.base = c.base)""".stripMargin
   }
 
+  /** Full simhash replay (mirrors graft.api.Dedup.simhash for n=3):
+    * per-token polynomial char folds → shingle hash pairs → 64
+    * multiply-shift bit votes (plane constants shared with the Spark
+    * side via Dedup.simhashPlanes) → majority signature → chunk banding
+    * → exact hamming over candidates. Every step is 64-bit integer
+    * arithmetic, so the two engines agree bit-for-bit. */
+  private def simhashOracle(maxHamming: Int): String = {
+    val planes = graft.api.Dedup.simhashPlanes.zipWithIndex
+      .map { case ((a, b), j) => s"($j, $a, $b)" }.mkString(", ")
+    val p1 = graft.api.Dedup.SimhashP1
+    val p2 = graft.api.Dedup.SimhashP2
+    val chunkBits = 64 / (maxHamming + 1)
+    s"""WITH tok AS (
+       |  SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS pos,
+       |         unnest(string_split(text, ' ')) AS w FROM documents),
+       |th AS (
+       |  SELECT doc_id, pos,
+       |         list_reduce(list_transform(string_split_regex(w, ''),
+       |           x -> CAST(ascii(x) AS BIGINT)), (a, b) -> (a * 31 + b) % $p1) AS h1,
+       |         list_reduce(list_transform(string_split_regex(w, ''),
+       |           x -> CAST(ascii(x) AS BIGINT)), (a, b) -> (a * 131 + b) % $p2) AS h2
+       |  FROM tok),
+       |shh AS (
+       |  SELECT DISTINCT a.doc_id,
+       |         ((a.h1 * 8191 + b.h1) % $p1 * 8191 + c.h1) % $p1 AS h1,
+       |         ((a.h2 * 8191 + b.h2) % $p2 * 8191 + c.h2) % $p2 AS h2
+       |  FROM th a
+       |  JOIN th b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+       |  JOIN th c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+       |votes AS (
+       |  SELECT doc_id, j,
+       |         CASE WHEN 2 * sum(((h1 * pa + h2 * pb) >> 15) & 1) > count(*)
+       |              THEN 1 ELSE 0 END AS bit
+       |  FROM shh CROSS JOIN (SELECT * FROM (VALUES $planes) v(j, pa, pb)) planes
+       |  GROUP BY 1, 2),
+       |chunks AS (
+       |  SELECT doc_id, j // $chunkBits AS chunk_idx,
+       |         sum(bit * (1 << ($chunkBits - 1 - (j % $chunkBits)))) AS chunk_key
+       |  FROM votes GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM chunks a JOIN chunks b
+       |    ON a.chunk_idx = b.chunk_idx AND a.chunk_key = b.chunk_key
+       |   AND a.doc_id < b.doc_id)
+       |SELECT a_id, b_id, hamming FROM (
+       |  SELECT c.a_id, c.b_id,
+       |         CAST(sum(CASE WHEN va.bit <> vb.bit THEN 1 ELSE 0 END) AS INTEGER) AS hamming
+       |  FROM cand c
+       |  JOIN votes va ON va.doc_id = c.a_id
+       |  JOIN votes vb ON vb.doc_id = c.b_id AND vb.j = va.j
+       |  GROUP BY c.a_id, c.b_id) t
+       |WHERE hamming <= $maxHamming
+       |ORDER BY a_id, b_id""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
+
+    "q_dedup_simhash" -> simhashOracle(7),
 
     // §2.1 scans -------------------------------------------------------------
     "q_scan_parquet" ->

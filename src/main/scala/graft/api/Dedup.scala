@@ -205,10 +205,42 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Deterministic odd 31-bit plane constants (a_j, b_j) for the simhash
+    * bit family — splitmix64-derived, embedded as literals in BOTH the
+    * Spark plan and the DuckDB oracle so the two engines vote
+    * identically. Bit j of a shingle's contribution is
+    * ((h1·a_j + h2·b_j) >> 15) & 1 — multiply-shift mixing; all
+    * products stay < 2^62 (ANSI-safe). */
+  private[graft] val simhashPlanes: IndexedSeq[(Long, Long)] = {
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    (0 until 64).map(j =>
+      ((mix(j.toLong) & 0x7FFFFFFFL) | 1L, (mix(j + 4096L) & 0x7FFFFFFFL) | 1L))
+  }
+
+  /** Modulus for the h1 polynomial char fold (base 31). */
+  private[graft] val SimhashP1 = 1000000007L
+  /** Modulus for the h2 polynomial char fold (base 131). */
+  private[graft] val SimhashP2 = 998244353L
+
   /** SimHash near-dup pairs: 64-bit majority-vote signature over shingle
     * hashes, chunk banding (pigeonhole: hamming ≤ chunks-1 guaranteed
     * caught), exact hamming filter. Approximate (unlike minhashLsh) —
     * tune maxHamming to the corpus.
+    *
+    * Hash family is PORTABLE by construction (chosen over xxhash64,
+    * which no other engine can evaluate): per-token polynomial char
+    * folds (h1 base 31 mod 1e9+7, h2 base 131 mod 998244353), combined
+    * across the n consecutive tokens of a shingle with base 8191, then
+    * 64 multiply-shift bit planes ([[simhashPlanes]]). Every step is
+    * exact 64-bit integer arithmetic a DuckDB oracle reproduces
+    * bit-for-bit — banding, hamming verification and all. Shingle
+    * dedup is by hash pair (collision odds ~(shingles per doc)²/2⁶⁰,
+    * and both engines agree even when one occurs).
     *
     * CACHING CONTRACT: caches its signature relation for the session
     * lifetime (lazily-returned plan can't unpersist) — same contract and
@@ -218,11 +250,26 @@ object Dedup {
     val chunks = maxHamming + 1
     require(64 % chunks == 0, s"chunks=$chunks must divide 64")
     val chunkBits = 64 / chunks
-    val docTok = shingles(df, idCol, textCol, n)
-      .select(col("doc_id"), explode(col("shingles")).as("token"))
-      .withColumn("h", xxhash64(col("token")))
-    val bitSums = (0 until 64).map(j =>
-      sum(shiftright(col("h"), j).bitwiseAND(lit(1L))).as(s"b$j"))
+    def comb(arr: String, p: Long): String =
+      (1 until n).foldLeft(s"$arr[i-1]")((acc, k) => s"($acc * 8191 + $arr[i-1+$k]) % $p")
+    val docTok = df
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("t"))
+      .withColumn("h1s", expr(
+        s"transform(t, w -> aggregate(split(w, ''), 0L, (a, c) -> (a * 31 + ascii(c)) % $SimhashP1))"))
+      .withColumn("h2s", expr(
+        s"transform(t, w -> aggregate(split(w, ''), 0L, (a, c) -> (a * 131 + ascii(c)) % $SimhashP2))"))
+      .withColumn("shh", expr(
+        s"CASE WHEN size(t) >= $n THEN " +
+          s"array_distinct(transform(sequence(1, size(t) - ${n - 1}), i -> " +
+          s"named_struct('h1', ${comb("h1s", SimhashP1)}, 'h2', ${comb("h2s", SimhashP2)}))) " +
+          "ELSE array() END"))
+      .select(col("doc_id"), explode(col("shh")).as("s"))
+      .select(col("doc_id"), col("s.h1").as("h1"), col("s.h2").as("h2"))
+    val bitSums = (0 until 64).map { j =>
+      val (pa, pb) = simhashPlanes(j)
+      sum(shiftright(col("h1") * lit(pa) + col("h2") * lit(pb), 15)
+        .bitwiseAND(lit(1L))).as(s"b$j")
+    }
     val sigs = docTok.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n"), bitSums: _*)
       .withColumn("bits", array((0 until 64).map(j =>

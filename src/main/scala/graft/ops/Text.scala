@@ -178,8 +178,10 @@ object Text {
       "a_id", "b_id")
 
   /** SimHash(64) with 8×8-bit chunk banding, hamming ≤ 7 — see
-    * graft.api.Dedup.simhash. Approximate; planted-near-dup recall is
-    * asserted in ScalaTest (no DuckDB oracle: xxhash64 not portable). */
+    * graft.api.Dedup.simhash. The hash family is portable polynomial
+    * arithmetic, so the ENTIRE pipeline (signatures, banding, hamming
+    * verification) is replayed by the DuckDB oracle and hash-checked —
+    * upgraded from the rows-only check the xxhash64 family allowed. */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
     api.Dedup.simhash(Tables.documents(spark, dir), "doc_id", "text", n = 3, maxHamming = 7)
 }

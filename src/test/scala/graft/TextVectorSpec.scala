@@ -157,6 +157,26 @@ class TextVectorSpec extends SparkSpec {
     assert(fp == (97L * 31 + 98) % 1000000007L) // 'a'=97, 'b'=98
   }
 
+  test("portable simhash: identical shingle sets collide at hamming 0, unrelated don't") {
+    import spark.implicits._
+    // simhash with 10-shingle docs is NOISY by construction (per-bit
+    // majority margin ~sqrt(shingles)), so the planted pair here is an
+    // exact shingle-set duplicate (token order shuffled inside a
+    // repeated phrase won't do — same 3-gram multiset required)
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog again and again"),
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "spark shuffles partition data across executors during wide stages"),
+      (3L, "window functions rank rows within ordered partitions efficiently here"),
+    ).toDF("doc_id", "text")
+    val out = graft.api.Dedup.simhash(docs, "doc_id", "text", n = 3, maxHamming = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(out.exists(p => p._1 == 0L && p._2 == 1L && p._3 == 0),
+      s"exact dup not at hamming 0: ${out.toSeq}")
+    assert(!out.exists(p => Set(p._1, p._2).intersect(Set(2L, 3L)).nonEmpty),
+      s"unrelated docs surfaced: ${out.toSeq}")
+  }
+
   test("df-capped Jaccard: a planted boilerplate shingle stops being quadratic") {
     import spark.implicits._
     // 200 docs ALL sharing one boilerplate phrase (3 shingles with
