@@ -39,34 +39,31 @@ object Oracle {
   }
 
   /** Full simhash replay (mirrors graft.api.Dedup.simhash for n=3):
-    * per-token polynomial char folds → shingle hash pairs → 64
-    * multiply-shift bit votes (plane constants shared with the Spark
-    * side via Dedup.simhashPlanes) → majority signature → chunk banding
-    * → exact hamming over candidates. Every step is 64-bit integer
-    * arithmetic, so the two engines agree bit-for-bit. */
+    * 3-gram shingles → per-shingle MD5, two 8-hex-char windows parsed
+    * to 32-bit ints → 64 multiply-shift bit votes (plane constants
+    * shared with the Spark side via Dedup.simhashPlanes) → majority
+    * signature → chunk banding → exact hamming over candidates. MD5 and
+    * integer arithmetic agree bit-for-bit across engines. */
   private def simhashOracle(maxHamming: Int): String = {
     val planes = graft.api.Dedup.simhashPlanes.zipWithIndex
       .map { case ((a, b), j) => s"($j, $a, $b)" }.mkString(", ")
-    val p1 = graft.api.Dedup.SimhashP1
-    val p2 = graft.api.Dedup.SimhashP2
     val chunkBits = 64 / (maxHamming + 1)
+    // hex window → BIGINT via a 16-ary digit fold (DuckDB has no direct
+    // hex-string cast); 'a'..'f' are 87 below their value, '0'..'9' 48
+    def hexFold(start: Int): String =
+      s"list_reduce(list_transform(string_split_regex(substring(md5(sh), $start, 8), ''), " +
+        "x -> CAST(CASE WHEN ascii(x) >= 97 THEN ascii(x) - 87 ELSE ascii(x) - 48 END AS BIGINT)), " +
+        "(a, b) -> a * 16 + b)"
     s"""WITH tok AS (
        |  SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS pos,
        |         unnest(string_split(text, ' ')) AS w FROM documents),
-       |th AS (
-       |  SELECT doc_id, pos,
-       |         list_reduce(list_transform(string_split_regex(w, ''),
-       |           x -> CAST(ascii(x) AS BIGINT)), (a, b) -> (a * 31 + b) % $p1) AS h1,
-       |         list_reduce(list_transform(string_split_regex(w, ''),
-       |           x -> CAST(ascii(x) AS BIGINT)), (a, b) -> (a * 131 + b) % $p2) AS h2
-       |  FROM tok),
+       |sh AS (
+       |  SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS sh
+       |  FROM tok a
+       |  JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+       |  JOIN tok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
        |shh AS (
-       |  SELECT DISTINCT a.doc_id,
-       |         ((a.h1 * 8191 + b.h1) % $p1 * 8191 + c.h1) % $p1 AS h1,
-       |         ((a.h2 * 8191 + b.h2) % $p2 * 8191 + c.h2) % $p2 AS h2
-       |  FROM th a
-       |  JOIN th b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
-       |  JOIN th c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+       |  SELECT doc_id, ${hexFold(1)} AS h1, ${hexFold(9)} AS h2 FROM sh),
        |votes AS (
        |  SELECT doc_id, j,
        |         CASE WHEN 2 * sum(((h1 * pa + h2 * pb) >> 15) & 1) > count(*)

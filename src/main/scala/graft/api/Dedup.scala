@@ -205,12 +205,13 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
-  /** Deterministic odd 31-bit plane constants (a_j, b_j) for the simhash
+  /** Deterministic odd 30-bit plane constants (a_j, b_j) for the simhash
     * bit family — splitmix64-derived, embedded as literals in BOTH the
     * Spark plan and the DuckDB oracle so the two engines vote
     * identically. Bit j of a shingle's contribution is
-    * ((h1·a_j + h2·b_j) >> 15) & 1 — multiply-shift mixing; all
-    * products stay < 2^62 (ANSI-safe). */
+    * ((h1·a_j + h2·b_j) >> 15) & 1 — multiply-shift mixing; with
+    * h1,h2 < 2^32 and 30-bit planes every product stays < 2^62 and the
+    * sum < 2^63 (ANSI-safe, exact in any 64-bit engine). */
   private[graft] val simhashPlanes: IndexedSeq[(Long, Long)] = {
     def mix(z0: Long): Long = {
       var z = z0 + 0x9E3779B97F4A7C15L
@@ -219,13 +220,8 @@ object Dedup {
       z ^ (z >>> 31)
     }
     (0 until 64).map(j =>
-      ((mix(j.toLong) & 0x7FFFFFFFL) | 1L, (mix(j + 4096L) & 0x7FFFFFFFL) | 1L))
+      ((mix(j.toLong) & 0x3FFFFFFFL) | 1L, (mix(j + 4096L) & 0x3FFFFFFFL) | 1L))
   }
-
-  /** Modulus for the h1 polynomial char fold (base 31). */
-  private[graft] val SimhashP1 = 1000000007L
-  /** Modulus for the h2 polynomial char fold (base 131). */
-  private[graft] val SimhashP2 = 998244353L
 
   /** SimHash near-dup pairs: 64-bit majority-vote signature over shingle
     * hashes, chunk banding (pigeonhole: hamming ≤ chunks-1 guaranteed
@@ -233,14 +229,14 @@ object Dedup {
     * tune maxHamming to the corpus.
     *
     * Hash family is PORTABLE by construction (chosen over xxhash64,
-    * which no other engine can evaluate): per-token polynomial char
-    * folds (h1 base 31 mod 1e9+7, h2 base 131 mod 998244353), combined
-    * across the n consecutive tokens of a shingle with base 8191, then
-    * 64 multiply-shift bit planes ([[simhashPlanes]]). Every step is
-    * exact 64-bit integer arithmetic a DuckDB oracle reproduces
-    * bit-for-bit — banding, hamming verification and all. Shingle
-    * dedup is by hash pair (collision odds ~(shingles per doc)²/2⁶⁰,
-    * and both engines agree even when one occurs).
+    * which no other engine can evaluate): per-shingle MD5, with two
+    * 8-hex-char windows parsed as 32-bit ints (h1, h2), then 64
+    * multiply-shift bit planes ([[simhashPlanes]]). MD5 and the hex
+    * parse are bit-identical in any engine, so a DuckDB oracle replays
+    * signatures, banding AND hamming verification exactly. Perf note:
+    * md5/conv are codegen'd per-row scalars — an earlier polynomial
+    * char-fold formulation (interpreted HOF over every character) was
+    * measured 100x slower on the pre-shuffle single-partition stage.
     *
     * CACHING CONTRACT: caches its signature relation for the session
     * lifetime (lazily-returned plan can't unpersist) — same contract and
@@ -250,21 +246,11 @@ object Dedup {
     val chunks = maxHamming + 1
     require(64 % chunks == 0, s"chunks=$chunks must divide 64")
     val chunkBits = 64 / chunks
-    def comb(arr: String, p: Long): String =
-      (1 until n).foldLeft(s"$arr[i-1]")((acc, k) => s"($acc * 8191 + $arr[i-1+$k]) % $p")
-    val docTok = df
-      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("t"))
-      .withColumn("h1s", expr(
-        s"transform(t, w -> aggregate(split(w, ''), 0L, (a, c) -> (a * 31 + ascii(c)) % $SimhashP1))"))
-      .withColumn("h2s", expr(
-        s"transform(t, w -> aggregate(split(w, ''), 0L, (a, c) -> (a * 131 + ascii(c)) % $SimhashP2))"))
-      .withColumn("shh", expr(
-        s"CASE WHEN size(t) >= $n THEN " +
-          s"array_distinct(transform(sequence(1, size(t) - ${n - 1}), i -> " +
-          s"named_struct('h1', ${comb("h1s", SimhashP1)}, 'h2', ${comb("h2s", SimhashP2)}))) " +
-          "ELSE array() END"))
-      .select(col("doc_id"), explode(col("shh")).as("s"))
-      .select(col("doc_id"), col("s.h1").as("h1"), col("s.h2").as("h2"))
+    val hex = md5(col("sh").cast("binary"))
+    val docTok = shingles(df, idCol, textCol, n)
+      .select(col("doc_id"), explode(col("shingles")).as("sh"))
+      .withColumn("h1", conv(substring(hex, 1, 8), 16, 10).cast("long"))
+      .withColumn("h2", conv(substring(hex, 9, 8), 16, 10).cast("long"))
     val bitSums = (0 until 64).map { j =>
       val (pa, pb) = simhashPlanes(j)
       sum(shiftright(col("h1") * lit(pa) + col("h2") * lit(pb), 15)
