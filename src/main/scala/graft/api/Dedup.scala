@@ -221,8 +221,11 @@ object Dedup {
       .unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .cache()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id"))
+    // init already IS the first propagation round: comp = min(self, all
+    // neighbors) from one groupBy — same shuffle the old distinct-init
+    // paid, one fewer loop round (each round is a fixed-overhead job)
+    var labels = edges.groupBy(col("src")).agg(min(col("dst")).as("nbr_min"))
+      .select(col("src").as("id"), least(col("src"), col("nbr_min")).as("comp"))
       .localCheckpoint()
     var changed = 1L
     var iter = 0
