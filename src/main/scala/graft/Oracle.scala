@@ -802,6 +802,34 @@ object Oracle {
         |             END, 6) AS mean_luma
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // frame sampling over the decoded PNG row: frame f = pixels
+    // [f*64, f*64+64) of a width-N image, sampled at stride 2; lossless
+    // PNG ⇒ frame luma = mean of the matching 64-char window of text.
+    // Both engines sum frames in ascending frame order, so the double
+    // accumulation inside avg() agrees exactly.
+    "q_multimodal_frames" ->
+      """WITH f AS (
+        |  SELECT doc_id, text,
+        |         CASE WHEN length(text) = 0 THEN 1 ELSE length(text) END AS width,
+        |         unnest(range(0,
+        |           CASE WHEN length(text) < 64 THEN 1 ELSE length(text) // 64 END,
+        |           2)) AS frame_idx
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, width, frame_idx,
+        |         substring(text, frame_idx * 64 + 1, 64) AS win
+        |  FROM f),
+        |l AS (
+        |  SELECT doc_id, width, frame_idx,
+        |         CASE WHEN length(win) = 0 THEN 0.0
+        |              ELSE CAST(list_sum(list_transform(string_split_regex(win, ''),
+        |                     x -> CAST(ascii(x) AS BIGINT))) AS DOUBLE) / length(win)
+        |         END AS luma
+        |  FROM w)
+        |SELECT doc_id, count(*) AS n_frames, round(avg(luma), 6) AS avg_luma,
+        |       CAST(max(width) AS INTEGER) AS width
+        |FROM l GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     // §2.9 batch twins of streaming -------------------------------------------
     "q_stream_tumbling_batch" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,

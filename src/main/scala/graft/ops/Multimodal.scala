@@ -5,13 +5,15 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column operators (SURVEY.md §2.8): text ⋈ vector joins, and
-  * the opaque-binary pipeline (encode → decode → feature-extract) a real
-  * image/audio corpus needs. The decode path runs a GENUINE pure-JVM
-  * codec — javax.imageio PNG encode/decode inside the per-partition
-  * batch shape (q_multimodal_decode is oracle-checked end-to-end
-  * because gray8 PNG is lossless). Only the video frame SAMPLER
-  * (sampleFrames) remains a deterministic stub: no video codec exists
-  * in the JVM; its mapPartitions fan-out shape is the real contract.
+  * the opaque-binary pipeline (encode → decode → feature-extract →
+  * frame-sample) a real image/audio/video corpus needs. Every kernel
+  * runs a GENUINE pure-JVM codec — javax.imageio PNG encode/decode
+  * inside the per-partition batch shape — and because gray8 PNG is
+  * lossless, both q_multimodal_decode and q_multimodal_frames are
+  * oracle-checked end-to-end (decoded pixel values provably equal the
+  * source bytes, which DuckDB recomputes from the characters). A
+  * production video pipeline swaps ImageIO for an ffmpeg binding in
+  * the same mapPartitions slots; the plan shape doesn't change.
   */
 object Multimodal {
 
@@ -103,48 +105,51 @@ object Multimodal {
       .orderBy($"doc_id")
   }
 
-  /** Frame-sampling + resize pipeline in the per-partition batch shape a
-    * real codec needs (a decoder is initialized once per PARTITION, not
-    * per row — the mapPartitions boundary is the contract; swap the stub
-    * body for an actual codec without touching the plan).
-    *
-    * STUB KERNEL: "frames" are 64-byte windows of the blob sampled every
-    * `stride` frames; "resize" halves the fake dimensions; "luma" is a
-    * deterministic byte mean. Fan-out is rows → frames (flatMap inside
-    * the partition), so downstream sees a normal (doc_id, frame_idx,
-    * features) DataFrame it can aggregate/join at scale. */
-  def sampleFrames(blobs: Dataset[Blob], stride: Int): Dataset[Frame] = {
-    import blobs.sparkSession.implicits._
-    blobs.mapPartitions { iter =>
-      // per-partition "decoder" init would go here (once, not per row)
-      iter.flatMap { b =>
-        val nFrames = math.max(1, b.blob.length / 64)
+  /** REAL frame sampler over DECODED pixels: ImageIO-parse each PNG,
+    * then every `stride`-th 64-pixel window of the decoded row is a
+    * "frame" with its mean luma — the decode-then-sample pipeline a
+    * video corpus needs, in the same per-partition batch shape (decoder
+    * init once per partition, flatMap fan-out rows → frames so
+    * downstream sees a normal (doc_id, frame_idx, features) relation).
+    * Gray8 PNG is lossless, so frame lumas are oracle-checkable from
+    * per-character windows of the source text. */
+  def sampleFrames(pngs: Dataset[PngBlob], stride: Int): Dataset[Frame] = {
+    import pngs.sparkSession.implicits._
+    pngs.mapPartitions { iter =>
+      javax.imageio.ImageIO.setUseCache(false) // per-partition codec init
+      iter.flatMap { p =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p.png))
+        val w = img.getWidth
+        val raster = img.getRaster
+        val nFrames = math.max(1, w / 64)
         (0 until nFrames by stride).map { f =>
-          val window = b.blob.slice(f * 64, math.min((f + 1) * 64, b.blob.length))
-          val fullW = 2 * (64 + (math.abs(b.doc_id) % 1856)).toInt
-          val fullH = 2 * (64 + (math.abs(b.doc_id * 31) % 976)).toInt
-          val luma = if (window.isEmpty) 0.0
-            else window.map(x => (x & 0xff).toDouble).sum / window.length
-          Frame(b.doc_id, f, fullW / 2, fullH / 2, luma) // "resized" by half
+          val start = f * 64
+          val end = math.min(start + 64, w)
+          var s = 0L; var x = start
+          while (x < end) { s += raster.getSample(x, 0, 0); x += 1 }
+          val luma = if (end == start) 0.0 else s.toDouble / (end - start)
+          Frame(p.doc_id, f, w, img.getHeight, luma)
         }
       }
     }
   }
 
-  /** Frame-sample query over the documents-as-blobs corpus: per container,
-    * frame counts + mean of the stub luma feature. Rows-only check (the
-    * kernel is a stub); the plumbing — binary column, typed Dataset,
-    * partition-batch kernel, fan-out, aggregate — is the real contract. */
+  /** Frame-sample query over the documents-as-blobs corpus: encode →
+    * REAL ImageIO decode → stride-2 frame sampling → per-doc frame
+    * count + mean frame luma. Oracle-checked end to end: the oracle
+    * recomputes each frame's luma from the matching 64-character window
+    * of the source text (both engines sum the same frames in the same
+    * ascending order, so even the double accumulation matches). */
   def multimodalFrames(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val blobs = Tables.documents(spark, dir)
       .select($"doc_id", encode($"text", "UTF-8").as("blob"), $"lang".as("container"))
       .as[Blob]
-    sampleFrames(blobs, stride = 2).toDF()
+    sampleFrames(encodePng(blobs), stride = 2).toDF()
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_frames"),
         round(avg($"mean_luma"), 6).as("avg_luma"),
-        max($"width").as("width"), max($"height").as("height"))
+        max($"width").as("width"))
       .orderBy($"doc_id")
   }
 }
