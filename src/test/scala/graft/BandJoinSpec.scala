@@ -59,4 +59,35 @@ class BandJoinSpec extends SparkSpec {
       assert(j.count() == 6) // self equi join
     }
   }
+
+  test("SQL-text DECIMAL width now triggers the rewrite (was silently BNL)") {
+    withRule {
+      prices.createOrReplaceTempView("bj_prices")
+      // '1.0' parses as DECIMAL(2,1) — the case the advice flagged
+      val j = spark.sql(
+        """SELECT a.id AS a_id, b.id AS b_id
+          |FROM bj_prices a JOIN bj_prices b
+          |  ON abs(a.price - b.price) <= 1.0 AND a.id <> b.id""".stripMargin)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(400))
+      val naiveRows = naive().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val sqlRows = j.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(sqlRows == naiveRows && sqlRows.nonEmpty)
+    }
+  }
+
+  test("declines widths whose Double widening is inexact (stays BNL, stays correct)") {
+    import spark.implicits._
+    withRule {
+      val big = Seq(1L -> 1L, 2L -> 3L).toDF("id", "v")
+      // (2^53 + 1) does not round-trip through Double — the rule must
+      // decline rather than build a band grid narrower than the predicate
+      val w = (1L << 53) + 1
+      val j = big.as("a").join(big.as("b"),
+        abs($"a.v" - $"b.v") <= w && $"a.id" =!= $"b.id")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(400))
+      assert(j.count() == 2) // both cross pairs qualify — nothing dropped
+    }
+  }
 }
