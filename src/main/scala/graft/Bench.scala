@@ -5,10 +5,12 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main (driver contract): times every SparkEntry query at the
   * SPARK_GRAFT_SF_DIR scale factor and prints one JSON line.
   *
-  * A short warmup (the flagship query, twice) runs before timing so the
-  * numbers measure steady-state plans, not first-query JIT/codegen and
-  * parquet-footer warmup. Queries are timed in sorted-name order for
-  * run-to-run comparability.
+  * A warmup pass covering each table family's reader path AND the
+  * heavy dedup codegen units runs before timing, then caches are
+  * cleared, so the numbers measure steady-state plans from a cold-cache
+  * state — not first-query JIT/codegen, parquet-footer reads, or
+  * another query's leftover cached relations. Queries are timed in
+  * sorted-name order for run-to-run comparability.
   */
 object Bench {
   def main(args: Array[String]): Unit = {

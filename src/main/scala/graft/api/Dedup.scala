@@ -61,12 +61,14 @@ object Dedup {
     * corpus². Both join inputs share the `sh` partitioning from the df
     * aggregation, and the count falls out of the join's groupBy (no
     * per-pair array work). Returns (a_id, b_id, cnt_c ≥ 1). */
-  private[graft] def cappedIntersections(shingled: DataFrame, maxDf: Int): DataFrame = {
+  private[graft] def cappedIntersections(shingled: DataFrame, maxDf: Int,
+      dfTable: Option[DataFrame] = None): DataFrame = {
     val post = shingled.select(col("doc_id"), explode(col("shingles")).as("sh"))
     val capped =
       if (maxDf == Int.MaxValue) post
       else {
-        val dfOk = post.groupBy(col("sh")).agg(count(lit(1)).as("__df"))
+        val dfOk = dfTable
+          .getOrElse(post.groupBy(col("sh")).agg(count(lit(1)).as("__df")))
           .filter(col("__df") <= maxDf).select(col("sh"))
         post.join(dfOk, "sh")
       }
@@ -107,15 +109,20 @@ object Dedup {
     val shingled = shingled0.cache()
     val post = shingled.select(col("doc_id"), explode(col("shingles")).as("sh"))
     val sizes = shingled.select(col("doc_id"), size(col("shingles")).as("sz"))
+    // shingle document frequencies, aggregated ONCE (cached, vocab-sized)
+    // and filtered two ways: ≤ maxDf feeds candidate generation, > maxDf
+    // feeds the per-doc over-cap counts for the bound
+    val dfAll =
+      if (maxDf == Int.MaxValue) None
+      else Some(post.groupBy(col("sh")).agg(count(lit(1)).as("__df")).cache())
     // per-doc count of over-cap shingles (0 rows when maxDf = MaxValue)
-    val oc =
-      if (maxDf == Int.MaxValue) sizes.limit(0).select(col("doc_id"), col("sz").as("oc"))
-      else {
-        val dfHot = post.groupBy(col("sh")).agg(count(lit(1)).as("__df"))
-          .filter(col("__df") > maxDf).select(col("sh"))
-        post.join(dfHot, "sh").groupBy(col("doc_id")).agg(count(lit(1)).as("oc"))
-      }
-    val bounded = cappedIntersections(shingled, maxDf)
+    val oc = dfAll match {
+      case None => sizes.limit(0).select(col("doc_id"), col("sz").cast("long").as("oc"))
+      case Some(dfs) =>
+        post.join(dfs.filter(col("__df") > maxDf).select(col("sh")), "sh")
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("oc"))
+    }
+    val bounded = cappedIntersections(shingled, maxDf, dfAll)
       .join(sizes.select(col("doc_id").as("a_id"), col("sz").as("sz_a")), "a_id")
       .join(sizes.select(col("doc_id").as("b_id"), col("sz").as("sz_b")), "b_id")
       .join(oc.select(col("doc_id").as("a_id"), col("oc").as("oc_a")), Seq("a_id"), "left")
@@ -123,7 +130,11 @@ object Dedup {
       .withColumn("m", least(coalesce(col("oc_a"), lit(0L)), coalesce(col("oc_b"), lit(0L))))
       .filter((col("cnt_c") + col("m")).cast("double")
         / (col("sz_a") + col("sz_b") - col("cnt_c") - col("m")) >= thr - 1e-6)
-    broadcast(bounded.select(col("a_id"), col("b_id")))
+    // no broadcast hint on the survivors: their count is data-dependent
+    // (a duplicate-heavy corpus legitimately has many true pairs), so
+    // the join strategy is left to the optimizer — AQE's runtime stats
+    // broadcast them when small and shuffle them when not
+    bounded.select(col("a_id"), col("b_id"))
       .join(shingled.select(col("doc_id").as("a_id"), col("shingles").as("sh_a")), "a_id")
       .join(shingled.select(col("doc_id").as("b_id"), col("shingles").as("sh_b")), "b_id")
       .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))))
@@ -251,6 +262,12 @@ object Dedup {
       iter += 1
     }
     edges.unpersist() // labels is materialized (localCheckpoint) — safe
+    // fail LOUDLY rather than return non-canonical labels: a silent
+    // partial result would keep/drop the wrong documents downstream and
+    // be indistinguishable from a correct one
+    require(changed == 0,
+      s"clusterPairs did not converge in $maxIters rounds ($changed labels still moving); " +
+        "raise maxIters — with path halving, rounds needed is ~log2(component diameter)")
     labels.select(col("id").as("doc_id"), col("comp").as("canonical_doc"))
       .orderBy(col("doc_id"))
   }
@@ -262,16 +279,10 @@ object Dedup {
     * ((h1·a_j + h2·b_j) >> 15) & 1 — multiply-shift mixing; with
     * h1,h2 < 2^32 and 30-bit planes every product stays < 2^62 and the
     * sum < 2^63 (ANSI-safe, exact in any 64-bit engine). */
-  private[graft] val simhashPlanes: IndexedSeq[(Long, Long)] = {
-    def mix(z0: Long): Long = {
-      var z = z0 + 0x9E3779B97F4A7C15L
-      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-      z ^ (z >>> 31)
-    }
+  private[graft] val simhashPlanes: IndexedSeq[(Long, Long)] =
     (0 until 64).map(j =>
-      ((mix(j.toLong) & 0x3FFFFFFFL) | 1L, (mix(j + 4096L) & 0x3FFFFFFFL) | 1L))
-  }
+      ((Similarity.splitmix64(j.toLong) & 0x3FFFFFFFL) | 1L,
+        (Similarity.splitmix64(j + 4096L) & 0x3FFFFFFFL) | 1L))
 
   /** SimHash near-dup pairs: 64-bit majority-vote signature over shingle
     * hashes, chunk banding (pigeonhole: hamming ≤ chunks-1 guaranteed

@@ -71,9 +71,13 @@ object Similarity {
   def signLshBuckets(df: DataFrame, idCol: String, vecCol: String,
       nBits: Int = 6, extraBits: Int = 4, maxOccupancy: Int = 32): DataFrame = {
     require(nBits >= 1 && extraBits >= 1 && maxOccupancy >= 1)
+    // try_element_at: vectors shorter than nBits+extraBits coords get 0
+    // for the missing sign bits instead of an ANSI array-index error —
+    // deterministic, and identical to the oracle's semantics (DuckDB
+    // list indexing out of range yields NULL, and NULL > 0 is not true)
     def signBits(startCoord: Int, bits: Int): Column =
       (0 until bits).map { j =>
-        when(element_at(col(vecCol), startCoord + j).cast("double") > 0.0,
+        when(try_element_at(col(vecCol), lit(startCoord + j)).cast("double") > 0.0,
           lit(1L << (bits - 1 - j))).otherwise(lit(0L))
       }.reduce(_ + _)
     val based = df
@@ -125,13 +129,18 @@ object Similarity {
       .orderBy(col("a_id"), col("b_id"))
   }
 
-  /** splitmix64 — deterministic hyperplane bits, no RNG state. */
-  private def mix(z0: Long): Long = {
+  /** splitmix64 finalizer — deterministic pseudo-random bits with no RNG
+    * state; the single shared source for LSH hyperplane bits here and
+    * the simhash plane constants in [[Dedup.simhashPlanes]] (one copy:
+    * these constants are correctness-critical because the DuckDB oracle
+    * embeds them). */
+  private[graft] def splitmix64(z0: Long): Long = {
     var z = z0 + 0x9E3779B97F4A7C15L
     z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
     z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
     z ^ (z >>> 31)
   }
+  private def mix(z0: Long): Long = splitmix64(z0)
 
   /** Multi-table random-hyperplane LSH ANN: nTables × nBits signed
     * projections (literal ±1 planes, one codegen'd dot each); probe

@@ -69,10 +69,21 @@ object Relational {
     * for the production layout a 100 TB table would already have. */
   def scanPartition(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // dest is keyed by the SANITIZED SOURCE PATH (not a 32-bit hash —
+    // collisions would silently read another dir's copy) and validated
+    // by ROW COUNT, not just a _SUCCESS marker: tmp cleaners can remove
+    // part-files while leaving the marker, and a count mismatch (stale,
+    // partial, or regenerated source) forces a rewrite instead of
+    // silently returning wrong rows. The count costs one metadata-only
+    // pass over each layout.
     val dest = new java.io.File(
       sys.props("java.io.tmpdir"),
-      s"graft_part_orders_${Integer.toHexString(dir.hashCode)}")
-    if (!new java.io.File(dest, "_SUCCESS").exists()) {
+      "graft_part_orders_" + dir.replaceAll("[^A-Za-z0-9._-]", "_"))
+    val srcCount = Tables.orders(spark, dir).count()
+    val valid = new java.io.File(dest, "_SUCCESS").exists() &&
+      (try spark.read.parquet(dest.toString).count() == srcCount
+       catch { case _: Exception => false })
+    if (!valid) {
       graft.sources.Formats.writeParquet(
         Tables.orders(spark, dir), dest.toString, partitionBy = Seq("o_orderpriority"))
     }

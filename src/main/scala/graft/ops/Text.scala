@@ -170,7 +170,16 @@ object Text {
     * set) collapsed to connected components — every doc in a transitive
     * near-dup group maps to the group's min doc_id. See
     * graft.api.Dedup.clusterPairs; the oracle replays the closure with
-    * recursive SQL over the same exact pair set. */
+    * recursive SQL over the same exact pair set.
+    *
+    * Recall note: banding recall at J ≥ 0.8 is 1−(1−J⁴)¹⁶ (≈1−2e-4 at
+    * the threshold, ≈1−4e-8 at the corpus's planted J ≥ 0.9) — the same
+    * assumption q_dedup_minhash's oracle already makes, but a missed
+    * borderline edge here would split a component and diff several rows
+    * rather than one. On this generator's clean J-gap corpus the pair
+    * sets are identical at every tested scale factor; a corpus with
+    * mass near the threshold should raise bands or lower the threshold
+    * margin before trusting the closure. */
   def dedupCluster(spark: SparkSession, dir: String): DataFrame =
     api.Dedup.clusterPairs(
       api.Dedup.minhashLsh(Tables.documents(spark, dir), "doc_id", "text",

@@ -69,7 +69,11 @@ object BandJoinRewrite extends Rule[LogicalPlan] {
         case _: org.apache.spark.sql.types.DecimalType =>
           // SQL-text literals ('1.0') parse as DECIMAL(2,1) — without this
           // case an SQL-authored band predicate silently keeps the O(n²)
-          // BNL plan. Only exact Double round-trips qualify.
+          // BNL plan. Only exact Double round-trips qualify. A null
+          // decimal literal (possible on the direct-application path,
+          // before null-propagation folds it) declines like every other
+          // branch instead of NPE-ing inside the optimizer.
+          if (w == null) return None
           val bd = w.asInstanceOf[org.apache.spark.sql.types.Decimal].toBigDecimal
           val d = bd.toDouble
           if (!java.lang.Double.isFinite(d) || BigDecimal(d).compare(bd) != 0) return None
