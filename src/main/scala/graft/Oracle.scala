@@ -277,6 +277,14 @@ object Oracle {
         |       max(l_quantity) AS max_qty
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
+    "q_agg_percentile" ->
+      """SELECT l_returnflag,
+        |       round(quantile_cont(l_quantity, 0.25), 6) AS p25_qty,
+        |       round(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
+        |       round(quantile_cont(l_quantity, 0.75), 6) AS p75_qty,
+        |       round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
     "q_agg_collect" ->
       """SELECT n_name,
         |       array_to_string(list_sort(list(DISTINCT c_mktsegment)), ',') AS segments

@@ -48,6 +48,7 @@ object SparkEntry {
     "q_agg_cube" -> Relational.aggCube _,
     "q_agg_having" -> Relational.aggHaving _,
     "q_agg_stats" -> Relational.aggStats _,
+    "q_agg_percentile" -> Relational.aggPercentile _,
     "q_agg_collect" -> Relational.aggCollect _,
     "q_agg_argmax" -> Relational.aggArgmax _,
     // §2.5 windows

@@ -405,6 +405,25 @@ object Relational {
       .orderBy($"l_returnflag")
   }
 
+  /** Exact interpolated percentiles per group — Spark's percentile() and
+    * DuckDB's quantile_cont() share the continuous-quantile definition
+    * (rank p·(n−1), linear interpolation), so the values hash-match at
+    * 6 dp. At scale this is the sort-based exact form; the sketch-based
+    * approx_percentile is the constant-memory alternative (its
+    * t-digest-style output is engine-specific, hence not oracled). */
+  def aggPercentile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        round(expr("percentile(l_quantity, 0.25)"), 6).as("p25_qty"),
+        round(expr("percentile(l_quantity, 0.5)"), 6).as("p50_qty"),
+        round(expr("percentile(l_quantity, 0.75)"), 6).as("p75_qty"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 6).as("p90_price"),
+      )
+      .orderBy($"l_returnflag")
+  }
+
   /** collect_set + array_sort, flattened to a string so the oracle compare
     * is order- and container-insensitive. */
   def aggCollect(spark: SparkSession, dir: String): DataFrame = {
