@@ -370,6 +370,13 @@ object Oracle {
         |SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
         |ORDER BY custkey""".stripMargin,
 
+    "q_set_except_all" ->
+      """SELECT custkey, count(*) AS n_remaining FROM (
+        |  SELECT o_custkey AS custkey FROM orders
+        |  EXCEPT ALL
+        |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT') t
+        |GROUP BY custkey ORDER BY custkey""".stripMargin,
+
     // §2.7 scalar function families -----------------------------------------
     "q_fn_string" ->
       """SELECT p_partkey,

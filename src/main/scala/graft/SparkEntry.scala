@@ -62,6 +62,7 @@ object SparkEntry {
     "q_set_union" -> Relational.setUnion _,
     "q_set_intersect" -> Relational.setIntersect _,
     "q_set_except" -> Relational.setExcept _,
+    "q_set_except_all" -> Relational.setExceptAll _,
     // §2.7 scalar function families
     "q_fn_string" -> Relational.fnString _,
     "q_fn_date" -> Relational.fnDate _,

@@ -553,6 +553,21 @@ object Relational {
       .orderBy($"custkey")
   }
 
+  /** EXCEPT ALL (multiset semantics — multiplicities subtract instead of
+    * vanishing): each customer's non-URGENT order rows minus their
+    * URGENT order rows, aggregated so the bag result is hash-comparable.
+    * Catalyst rewrites exceptAll to a count-tagged aggregate + generator
+    * — no materialized bag, still partial+final aggregation shaped. */
+  def setExceptAll(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, dir)
+    o.select($"o_custkey".as("custkey"))
+      .exceptAll(o.filter($"o_orderpriority" === "1-URGENT").select($"o_custkey".as("custkey")))
+      .groupBy($"custkey")
+      .agg(count(lit(1)).as("n_remaining"))
+      .orderBy($"custkey")
+  }
+
   // ===========================================================================
   // §2.7 scalar function families
   // ===========================================================================

@@ -94,6 +94,39 @@ class ScaleJoinSpec extends SparkSpec {
     assert(plain == viaSalt, s"salted answer drifted: $viaSalt vs $plain")
   }
 
+  test("AQE splits a skewed sort-merge join partition at runtime (skew=true)") {
+    import spark.implicits._
+    // thresholds tuned down so the fixture's hot key (3MB partition vs
+    // ~KB median) crosses AQE's skew bar: partition > threshold AND >
+    // factor x median
+    val tuned = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "2KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val prev = tuned.map { case (k, _) => k -> spark.conf.getOption(k) }
+    tuned.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val payload = "x" * 64
+      val left = ((1 to 60000).map(i => (1L, s"$payload$i")) ++
+        (1 to 2000).map(i => ((i % 500) + 2L, s"$payload$i"))).toDF("k", "pay")
+      val right = (1L to 501L).map(k => (k, s"r$k")).toDF("rk", "rv")
+      // the plan under inspection is the JOIN itself: a downstream
+      // keyed aggregate would impose a distribution requirement that
+      // makes AQE decline the split (it won't add a shuffle unless
+      // forceOptimizeSkewedJoin)
+      val j = left.join(right, $"k" === $"rk").select($"rv")
+      assert(j.collect().length == 62000)
+      val finalPlan = j.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        "AQE did not mark the skewed join:\n" + finalPlan.take(1200))
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("bucketed tables co-locate: join plan has no shuffle exchange") {
     import spark.implicits._
     // warehouse.dir is a static conf — managed tables land in the default
