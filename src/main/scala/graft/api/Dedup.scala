@@ -100,11 +100,11 @@ object Dedup {
     * 1e-6 slack so the oracle's round(j, 6) ≥ thr comparison can never
     * disagree at the boundary.
     *
-    * CACHING CONTRACT: caches the shingle relation (same contract as
-    * [[minhashLsh]]) — it feeds ~7 plan branches here, and the cached
-    * exact statistics keep the df/size/verify joins broadcast-shaped
-    * (measured 5x slower without: every join degrades to shuffled
-    * sort-merge). */
+    * CACHING CONTRACT: caches TWO relations for the session lifetime —
+    * the shingle relation (feeds ~7 plan branches; its exact statistics
+    * keep the df/size/verify joins broadcast-shaped, measured 5x slower
+    * without) and the vocab-sized shingle-df table (aggregated once,
+    * filtered both ways). Same clearCache guidance as [[minhashLsh]]. */
   private[graft] def jaccardPairs(shingled0: DataFrame, thr: Double, maxDf: Int): DataFrame = {
     val shingled = shingled0.cache()
     val post = shingled.select(col("doc_id"), explode(col("shingles")).as("sh"))

@@ -140,7 +140,6 @@ object Similarity {
     z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
     z ^ (z >>> 31)
   }
-  private def mix(z0: Long): Long = splitmix64(z0)
 
   /** Multi-table random-hyperplane LSH ANN: nTables × nBits signed
     * projections (literal ±1 planes, one codegen'd dot each); probe
@@ -152,7 +151,7 @@ object Similarity {
     val planes = (0 until nTables).map { t =>
       (0 until nBits).map { p =>
         (0 until dim).map { d =>
-          if ((mix(((t.toLong * nBits + p) << 32) | d.toLong) & 1L) == 1L) 1.0 else -1.0
+          if ((splitmix64(((t.toLong * nBits + p) << 32) | d.toLong) & 1L) == 1L) 1.0 else -1.0
         }
       }
     }

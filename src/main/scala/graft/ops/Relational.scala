@@ -67,25 +67,44 @@ object Relational {
     * docs/PLANS.md records the evidence). The partitioned copy of orders
     * (keyed by source dir, written once, `_SUCCESS`-marked) stands in
     * for the production layout a 100 TB table would already have. */
+  /** dest paths whose partitioned copy this JVM has already validated
+    * against the source fingerprint — re-validation only pays once per
+    * session, not once per call. */
+  private val validatedPartCopies =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def ordersFingerprint(df: DataFrame): (Long, Long) = {
+    import org.apache.spark.sql.functions.{bit_xor => bxor}
+    val r = df.agg(count(lit(1)), bxor(xxhash64(
+      col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("o_orderpriority")))).head()
+    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+  }
+
   def scanPartition(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // dest is keyed by the SANITIZED SOURCE PATH (not a 32-bit hash —
-    // collisions would silently read another dir's copy) and validated
-    // by ROW COUNT, not just a _SUCCESS marker: tmp cleaners can remove
-    // part-files while leaving the marker, and a count mismatch (stale,
-    // partial, or regenerated source) forces a rewrite instead of
-    // silently returning wrong rows. The count costs one metadata-only
-    // pass over each layout.
+    // dest is keyed by the FULL SANITIZED SOURCE PATH (a 32-bit hash
+    // key could collide across dirs; the sanitization itself is
+    // non-injective, which the content check below covers) and
+    // validated by a CONTENT FINGERPRINT — (row count, order-invariant
+    // bit_xor of row hashes) — not just a _SUCCESS marker: tmp cleaners
+    // can remove part-files while leaving the marker, and a
+    // regenerated source with the same row count would fool a bare
+    // count. Validation runs ONCE per JVM per dest (memoized), so the
+    // steady-state query is exactly the pruned one-directory read.
     val dest = new java.io.File(
       sys.props("java.io.tmpdir"),
       "graft_part_orders_" + dir.replaceAll("[^A-Za-z0-9._-]", "_"))
-    val srcCount = Tables.orders(spark, dir).count()
-    val valid = new java.io.File(dest, "_SUCCESS").exists() &&
-      (try spark.read.parquet(dest.toString).count() == srcCount
-       catch { case _: Exception => false })
-    if (!valid) {
-      graft.sources.Formats.writeParquet(
-        Tables.orders(spark, dir), dest.toString, partitionBy = Seq("o_orderpriority"))
+    if (!validatedPartCopies.contains(dest.toString)) {
+      val src = ordersFingerprint(Tables.orders(spark, dir))
+      val valid = new java.io.File(dest, "_SUCCESS").exists() &&
+        (try ordersFingerprint(spark.read.parquet(dest.toString)
+           .select($"o_orderkey", $"o_custkey", $"o_totalprice", $"o_orderpriority")) == src
+         catch { case _: Exception => false })
+      if (!valid) {
+        graft.sources.Formats.writeParquet(
+          Tables.orders(spark, dir), dest.toString, partitionBy = Seq("o_orderpriority"))
+      }
+      validatedPartCopies.add(dest.toString)
     }
     spark.read.parquet(dest.toString)
       .filter($"o_orderpriority" === "1-URGENT")
@@ -554,10 +573,12 @@ object Relational {
   }
 
   /** EXCEPT ALL (multiset semantics — multiplicities subtract instead of
-    * vanishing): each customer's non-URGENT order rows minus their
-    * URGENT order rows, aggregated so the bag result is hash-comparable.
-    * Catalyst rewrites exceptAll to a count-tagged aggregate + generator
-    * — no materialized bag, still partial+final aggregation shaped. */
+    * vanishing): ALL of a customer's order rows exceptAll their URGENT
+    * order rows, i.e. n_remaining = total orders − urgent orders per
+    * surviving customer, aggregated so the bag result is
+    * hash-comparable. Catalyst rewrites exceptAll to a count-tagged
+    * aggregate + generator — no materialized bag, still partial+final
+    * aggregation shaped. */
   def setExceptAll(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val o = Tables.orders(spark, dir)
