@@ -223,6 +223,19 @@ object Oracle {
         |GROUP BY user_id
         |ORDER BY user_id""".stripMargin,
 
+    // the Spark side runs the BANDED equi formulation; the oracle is the
+    // naive inequality overlap join — equality proves the banding exact
+    "q_join_interval" ->
+      """WITH iv AS (
+        |  SELECT user_id, event_id, ts AS s, ts + INTERVAL 10 MINUTE AS e
+        |  FROM events)
+        |SELECT a.user_id AS user_id, count(*) AS n_overlaps
+        |FROM iv a JOIN iv b
+        |  ON a.user_id = b.user_id AND a.event_id < b.event_id
+        | AND a.s <= b.e AND b.s <= a.e
+        |GROUP BY a.user_id
+        |ORDER BY a.user_id""".stripMargin,
+
     // §2.4 aggregations ------------------------------------------------------
     "q_agg_groupby" ->
       """SELECT l_returnflag, l_linestatus,

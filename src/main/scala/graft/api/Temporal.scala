@@ -26,6 +26,37 @@ object Temporal {
       .drop("__prev_ts", "__new_session")
   }
 
+  /** Bounded-duration interval-OVERLAP self-join within a key: pairs
+    * (a, b) with a.id < b.id whose [start, end] windows intersect.
+    * PRECONDITION: every interval's duration ≤ maxDurSeconds.
+    *
+    * Spark executes a raw overlap condition (two inequalities) as an
+    * O(n²) nested-loop join; here overlap ⟹ |startA − startB| ≤ maxDur
+    * ⟹ their floor(start/maxDur) band ids differ by ≤ 1, so one side
+    * carries 3 candidate bands and the join is EQUI on (key, band) with
+    * the exact overlap predicate as residual — shuffle-partitionable at
+    * any scale (the plans.BandJoinRewrite trick, applied at the API
+    * level because the predicate spans two columns per side). Each
+    * qualifying pair matches in exactly one band, so no dedup pass.
+    * Banding uses second-truncated epochs; a truncated gap of
+    * maxDur + 1 implies a true gap > maxDur, so truncation never drops
+    * a qualifying pair. The residual compares full-precision
+    * timestamps. */
+  def intervalOverlapSelfJoin(df: DataFrame, idCol: String, keyCol: String,
+      startCol: String, endCol: String, maxDurSeconds: Long): DataFrame = {
+    require(maxDurSeconds > 0)
+    val base = df.select(col(idCol).as("id"), col(keyCol).as("key"),
+      col(startCol).as("s"), col(endCol).as("e"),
+      floor(unix_timestamp(col(startCol)) / maxDurSeconds).as("band"))
+    val probes = base.withColumn("band",
+      explode(array(col("band") - 1, col("band"), col("band") + 1)))
+    base.as("a").join(probes.as("b"),
+        col("a.key") === col("b.key") && col("a.band") === col("b.band") &&
+        col("a.id") < col("b.id") &&
+        col("a.s") <= col("b.e") && col("b.s") <= col("a.e"))
+      .select(col("a.key").as("key"), col("a.id").as("a_id"), col("b.id").as("b_id"))
+  }
+
   /** As-of join: for each left row, the id of the latest right row with
     * the same key and rightTs ≤ leftTs (an equal-timestamp right row
     * matches). Among right rows tied on (key, ts) the winner is the one

@@ -328,6 +328,25 @@ object Relational {
       .orderBy($"user_id")
   }
 
+  /** Interval-overlap self-join: pairs of a user's events whose 10-minute
+    * activity windows [ts, ts+10min] intersect, counted per user. The
+    * raw two-inequality overlap condition would be an O(n²) BNL; the
+    * graft.api.Temporal.intervalOverlapSelfJoin banding makes it an equi
+    * join on (user, time band) — the oracle runs the naive inequality
+    * form, proving the banded plan exact. */
+  def joinInterval(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val iv = Tables.events(spark, dir)
+      .select($"user_id", $"event_id", $"ts".as("s"),
+        ($"ts" + expr("INTERVAL 10 MINUTES")).as("e"))
+    graft.api.Temporal.intervalOverlapSelfJoin(
+        iv, idCol = "event_id", keyCol = "user_id",
+        startCol = "s", endCol = "e", maxDurSeconds = 600L)
+      .groupBy($"key".as("user_id"))
+      .agg(count(lit(1)).as("n_overlaps"))
+      .orderBy($"user_id")
+  }
+
   // ===========================================================================
   // §2.4 aggregations
   // ===========================================================================

@@ -52,4 +52,29 @@ class TemporalApiSpec extends SparkSpec {
       .collect()
     assert(out.head.getString(2) == "uuid-a")
   }
+
+  test("intervalOverlapSelfJoin equals the naive overlap join, incl. boundaries") {
+    import spark.implicits._
+    // durations = 600s = maxDur; pairs planted at exact-touch boundaries
+    // (gap exactly 600s → single-instant overlap) and across band edges
+    val iv = Seq(
+      (1L, 1L, "2024-01-01 10:00:00"),
+      (2L, 1L, "2024-01-01 10:10:00"), // touches 1 at exactly e1 = s2
+      (3L, 1L, "2024-01-01 10:09:59"), // overlaps 1 and 2
+      (4L, 1L, "2024-01-01 10:20:01"), // gap 601s from 2's start+... overlaps 2? s4=10:20:01 ≤ e2=10:20:00? NO — just misses
+      (5L, 2L, "2024-01-01 10:05:00"), // other key — must not pair with key 1
+      (6L, 1L, "2024-01-01 23:59:30"),
+      (7L, 1L, "2024-01-02 00:00:30"), // overlap across midnight/band edge
+    ).map { case (id, k, t) => (id, k, ts(t), new java.sql.Timestamp(ts(t).getTime + 600000L)) }
+      .toDF("id", "k", "s", "e")
+    val banded = Temporal.intervalOverlapSelfJoin(iv, "id", "k", "s", "e", 600L)
+      .select($"a_id", $"b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = iv.as("a").join(iv.as("b"),
+        $"a.k" === $"b.k" && $"a.id" < $"b.id" &&
+        $"a.s" <= $"b.e" && $"b.s" <= $"a.e")
+      .select($"a.id", $"b.id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded == naive, s"banded=$banded naive=$naive")
+    assert(banded.contains((1L, 2L)) && banded.contains((6L, 7L)))
+    assert(!banded.contains((2L, 4L)) && !banded.exists(p => p._1 == 5L || p._2 == 5L))
+  }
 }
