@@ -15,18 +15,39 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Word n-gram shingle sets (distinct) per row. */
+  /** Spread a narrow-partition input across the session's shuffle
+    * parallelism before per-row-heavy stages (shingling, hashing, the
+    * 64-column vote/min aggregates): a small corpus arrives as ONE
+    * parquet split, and everything before the first groupBy shuffle
+    * then runs single-threaded — measured 8.5 s vs ~1.5 s for cold
+    * simhash at sf0.1. No-op when the source already has enough splits
+    * (a 100 TB table would), so no redundant corpus shuffle at scale. */
+  private def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sessionState.conf.numShufflePartitions
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
+  /** Word n-gram shingle sets (distinct) per row.
+    *
+    * The token array is bound as a LAMBDA VARIABLE (single-element
+    * transform) rather than a projected column: CollapseProject inlines
+    * a projected column's defining expression into EVERY use site, and
+    * inside the interpreted shingle lambda that meant the full
+    * split(text) re-ran for each of the 3·shingles array accesses per
+    * row — O(tokens²) per doc, measured as ~95% of the whole dedup
+    * family's cold runtime. A lambda variable is evaluated once per row
+    * and merely looked up thereafter.
+    *
+    * Guard: sequence(1, 0) in Spark is the DESCENDING [1, 0], so a row
+    * shorter than n tokens must yield an empty shingle set explicitly. */
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
     require(n >= 1)
-    // guard: sequence(1, 0) in Spark is the DESCENDING [1, 0], so a row
-    // shorter than n tokens must yield an empty shingle set explicitly
-    df.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("t"))
-      .withColumn("shingles", expr(
-        s"CASE WHEN size(t) >= $n THEN " +
-          s"array_distinct(transform(sequence(1, size(t) - ${n - 1}), i -> " +
-          s"concat_ws(' ', ${(0 until n).map(j => s"t[i-1+$j]").mkString(", ")}))) " +
-          "ELSE array() END"))
-      .select(col("doc_id"), col("shingles"))
+    df.select(col(idCol).as("doc_id"), expr(
+      s"""transform(array(split($textCol, ' ')), t ->
+         |  CASE WHEN size(t) >= $n THEN
+         |    array_distinct(transform(sequence(1, size(t) - ${n - 1}), i ->
+         |      concat_ws(' ', ${(0 until n).map(j => s"t[i-1+$j]").mkString(", ")})))
+         |  ELSE array() END)[0]""".stripMargin).as("shingles"))
   }
 
   /** Exact dedup after normalization: groups rows whose normalized key
@@ -53,7 +74,7 @@ object Dedup {
     * lifetime — same contract and rationale as [[minhashLsh]]. */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.5, maxDf: Int = Int.MaxValue): DataFrame =
-    jaccardPairs(shingles(df, idCol, textCol, n), threshold, maxDf)
+    jaccardPairs(shingles(spread(df), idCol, textCol, n), threshold, maxDf)
 
   /** Per-pair shared-CAPPED-shingle counts: the inverted-index self-join
     * restricted to shingles with df ≤ maxDf, so each posting list is ≤
@@ -172,7 +193,7 @@ object Dedup {
     // the downstream joins to sort-merge — ~8× slower at sf0.1). Cost: a
     // few MB of evictable storage per call until the session ends or
     // spark.catalog.clearCache().
-    val shingled = shingles(df, idCol, textCol, n).cache()
+    val shingled = shingles(spread(df), idCol, textCol, n).cache()
     val post = shingled.select(col("doc_id"), explode(col("shingles")).as("sh"))
     val withH = post.select(col("doc_id") +:
       (0 until numSeeds).map(i => xxhash64(col("sh"), lit(i)).as(s"h$i")): _*)
@@ -308,7 +329,7 @@ object Dedup {
     require(64 % chunks == 0, s"chunks=$chunks must divide 64")
     val chunkBits = 64 / chunks
     val hex = md5(col("sh").cast("binary"))
-    val docTok = shingles(df, idCol, textCol, n)
+    val docTok = shingles(spread(df), idCol, textCol, n)
       .select(col("doc_id"), explode(col("shingles")).as("sh"))
       .withColumn("h1", conv(substring(hex, 1, 8), 16, 10).cast("long"))
       .withColumn("h2", conv(substring(hex, 9, 8), 16, 10).cast("long"))
