@@ -21,8 +21,10 @@ object Dedup {
     * parquet split, and everything before the first groupBy shuffle
     * then runs single-threaded — measured 8.5 s vs ~1.5 s for cold
     * simhash at sf0.1. No-op when the source already has enough splits
-    * (a 100 TB table would), so no redundant corpus shuffle at scale. */
-  private def spread(df: DataFrame): DataFrame = {
+    * (a 100 TB table would), so no redundant corpus shuffle at scale.
+    * Shared with the multimodal codec kernels (graft.ops.Multimodal),
+    * which are per-row-heavy in exactly the same way. */
+  private[graft] def spread(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sessionState.conf.numShufflePartitions
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
@@ -229,68 +231,87 @@ object Dedup {
     * real training-data dedup keeps ONE doc per transitive group
     * (A~B, B~C ⇒ {A,B,C} share one canonical), not one per pair.
     *
-    * Algorithm: iterative min-id label propagation with path halving —
-    * each round a node adopts min(own label, neighbors' labels, label
-    * OF its label), so label chains collapse doubly fast and rounds
-    * needed is O(log diameter), not diameter (a 10-hop chain converges
-    * in 3 rounds; measured: halving cut the sf0.1 bench cost of this
-    * query roughly in half, since each Spark round is a fixed-overhead
-    * job). Fixpoint is detected with a one-scalar-per-round driver
-    * count (like kmeansFit's bounded model traffic; maxIters caps
-    * pathological graphs). Per round: one edge⋈label join + groupBy +
-    * one label⋈label self-join — all shuffles on well-distributed node
-    * ids. Label lineage is truncated every round with localCheckpoint —
-    * without it the plan doubles per iteration.
+    * Algorithm: iterative min-id label propagation with pointer
+    * jumping — each round a node adopts min(own label, neighbors'
+    * labels, label OF its label), so label chains collapse doubly fast
+    * and rounds needed is O(log diameter), not diameter.
+    *
+    * Engineered for JOB COUNT, not just shuffle count: on an iterative
+    * driver loop each job is a fixed-latency round-trip that no
+    * executor count shrinks — at sf0.1 it is the entire cost of the
+    * query, and on a contended machine it multiplies (the r2 driver run
+    * billed the old 2-jobs-per-round formulation 26.9 s vs 4.7 s
+    * quiet). One job per round: the neighbor-min join AND the
+    * label-of-label jump both read the PREVIOUS round's cached labels
+    * (pointer jumping, not path halving — same O(log d) bound), and the
+    * convergence count IS the job that materializes the next cache
+    * (nothing is eagerly checkpointed first). Lineage is truncated by
+    * the per-round InMemoryRelation; the previous round's cache is
+    * dropped once its successor is materialized. Fixpoint is detected
+    * with a one-scalar-per-round driver count (like kmeansFit's bounded
+    * model traffic; maxIters caps pathological graphs). Per round: one
+    * edge⋈label join + groupBy + one label self-join — all shuffles on
+    * well-distributed node ids.
     *
     * The fixpoint (min id of each component) is iteration-order
     * independent, so the output is deterministic and oracle-checkable
     * via recursive SQL. Emits (doc_id, canonical_doc) for every doc
     * appearing in ≥1 pair, sorted. */
   def clusterPairs(pairs: DataFrame, aCol: String, bCol: String,
-      maxIters: Int = 20): DataFrame = {
+      maxIters: Int = 20): DataFrame =
+    clusterPairsRounds(pairs, aCol, bCol, maxIters)._1
+
+  /** [[clusterPairs]] plus the number of propagation rounds actually
+    * run — exposed so the convergence-bound property test can assert
+    * the O(log diameter) round count the job-count engineering relies
+    * on. */
+  private[graft] def clusterPairsRounds(pairs: DataFrame, aCol: String, bCol: String,
+      maxIters: Int = 20): (DataFrame, Int) = {
     val fwd = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
     val edges = fwd
       .unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .cache()
     // init already IS the first propagation round: comp = min(self, all
-    // neighbors) from one groupBy — same shuffle the old distinct-init
-    // paid, one fewer loop round (each round is a fixed-overhead job)
+    // neighbors) from one groupBy — same shuffle a distinct-node init
+    // would pay, one fewer loop round
     var labels = edges.groupBy(col("src")).agg(min(col("dst")).as("nbr_min"))
       .select(col("src").as("id"), least(col("src"), col("nbr_min")).as("comp"))
-      .localCheckpoint()
+      .cache()
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIters) {
       val nbrMin = edges.join(labels.select(col("id").as("dst"), col("comp")), "dst")
         .groupBy(col("src")).agg(min(col("comp")).as("nbr_min"))
-      val stepped = labels.as("l")
-        .join(nbrMin.as("n"), col("l.id") === col("n.src"), "left")
+      // pointer jump from the SAME generation (labels are node ids, so
+      // label-of-label is a self-join of the cached label table) — using
+      // labels_t rather than the half-built step keeps the whole round
+      // one declarative plan over one cached input
+      val jump = labels.select(col("id").as("jk"), col("comp").as("jcomp"))
+      val next = labels.as("l")
+        .join(nbrMin, col("l.id") === col("src"), "left")
+        .join(jump, col("l.comp") === col("jk"), "left")
         .select(col("l.id").as("id"),
-          least(col("l.comp"), coalesce(col("n.nbr_min"), col("l.comp"))).as("comp"),
+          least(col("l.comp"),
+            coalesce(col("nbr_min"), col("l.comp")),
+            coalesce(col("jcomp"), col("l.comp"))).as("comp"),
           col("l.comp").as("prev"))
-      // path halving: also adopt the label of the current label (labels
-      // are node ids, so this is a self-join of the label table)
-      val jump = stepped.select(col("id").as("jk"), col("comp").as("comp2"))
-      val next = stepped
-        .join(jump, col("comp") === col("jk"), "left")
-        .select(col("id"),
-          least(col("comp"), coalesce(col("comp2"), col("comp"))).as("comp"),
-          col("prev"))
-        .localCheckpoint()
+        .cache()
+      // the ONE job of the round: builds next's cache as it counts
       changed = next.filter(col("comp") =!= col("prev")).count()
-      labels = next.drop("prev")
+      labels.unpersist() // successor is materialized — safe to drop
+      labels = next.select(col("id"), col("comp"))
       iter += 1
     }
-    edges.unpersist() // labels is materialized (localCheckpoint) — safe
+    edges.unpersist()
     // fail LOUDLY rather than return non-canonical labels: a silent
     // partial result would keep/drop the wrong documents downstream and
     // be indistinguishable from a correct one
     require(changed == 0,
       s"clusterPairs did not converge in $maxIters rounds ($changed labels still moving); " +
-        "raise maxIters — with path halving, rounds needed is ~log2(component diameter)")
-    labels.select(col("id").as("doc_id"), col("comp").as("canonical_doc"))
-      .orderBy(col("doc_id"))
+        "raise maxIters — with pointer jumping, rounds needed is ~log2(component diameter)")
+    (labels.select(col("id").as("doc_id"), col("comp").as("canonical_doc"))
+      .orderBy(col("doc_id")), iter)
   }
 
   /** Deterministic odd 30-bit plane constants (a_j, b_j) for the simhash

@@ -96,8 +96,13 @@ object Multimodal {
     * (ASCII corpus ⇒ byte value = code point). */
   def multimodalDecode(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val blobs = Tables.documents(spark, dir)
-      .select($"doc_id", encode($"text", "UTF-8").as("blob"), $"lang".as("container"))
+    // spread BEFORE the codec kernels: documents arrives as ONE parquet
+    // split at test scale, and this pipeline's only shuffle is the final
+    // orderBy — without the repartition the entire encode→decode codec
+    // chain runs on one core (driver-run r2 measured 5.6 s vs 0.4 s
+    // quiet). No-op at real scale where the table has many splits.
+    val blobs = graft.api.Dedup.spread(Tables.documents(spark, dir)
+      .select($"doc_id", encode($"text", "UTF-8").as("blob"), $"lang".as("container")))
       .as[Blob]
     decodePng(encodePng(blobs)).toDF()
       .select($"doc_id", $"container", $"width", $"height",
@@ -142,8 +147,10 @@ object Multimodal {
     * ascending order, so even the double accumulation matches). */
   def multimodalFrames(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val blobs = Tables.documents(spark, dir)
-      .select($"doc_id", encode($"text", "UTF-8").as("blob"), $"lang".as("container"))
+    // spread before the codec kernels — same single-split trap as
+    // multimodalDecode (the groupBy shuffle only comes AFTER the codecs)
+    val blobs = graft.api.Dedup.spread(Tables.documents(spark, dir)
+      .select($"doc_id", encode($"text", "UTF-8").as("blob"), $"lang".as("container")))
       .as[Blob]
     sampleFrames(encodePng(blobs), stride = 2).toDF()
       .groupBy($"doc_id")
