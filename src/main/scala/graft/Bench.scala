@@ -1,5 +1,8 @@
 package graft
 
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main (driver contract): times every SparkEntry query at the
@@ -7,10 +10,17 @@ import org.apache.spark.sql.SparkSession
   *
   * A warmup pass covering each table family's reader path AND the
   * heavy dedup codegen units runs before timing, then caches are
-  * cleared, so the numbers measure steady-state plans from a cold-cache
-  * state — not first-query JIT/codegen, parquet-footer reads, or
-  * another query's leftover cached relations. Queries are timed in
-  * sorted-name order for run-to-run comparability.
+  * cleared, so the numbers measure steady-state plans — not first-query
+  * JIT/codegen, parquet-footer reads, or another query's leftover cached
+  * relations. Cache state within a query: each query runs twice with NO
+  * clearCache between its two runs, and the better time is kept — so for
+  * the ~10 self-caching dedup/ANN queries the reported number is the
+  * warm-cache (steady-state) run, by design; caches ARE cleared between
+  * different queries. The "queries" map is sorted by descending cost and
+  * each query also reports its Spark job count ("jobs") — on a contended
+  * machine, cost inflates roughly per-job (each job is a fixed-latency
+  * driver round-trip), so jobs × per-job latency explains a slow entry
+  * without needing a rerun.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -26,6 +36,22 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // job counter: listener events are delivered asynchronously, so reads
+    // go through drainedJobCount (polls until the count is stable) AFTER
+    // the timed window — the listener itself is one atomic increment per
+    // job and does not perturb timings
+    val jobCount = new AtomicInteger(0)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(jobStart: SparkListenerJobStart): Unit = {
+        jobCount.incrementAndGet(); ()
+      }
+    })
+    def drainedJobCount(): Int = {
+      var prev = -1
+      var cur = jobCount.get()
+      while (cur != prev) { Thread.sleep(20); prev = cur; cur = jobCount.get() }
+      cur
+    }
     // warmup: JIT, codegen cache, and each table family's reader path
     // (the events TIMESTAMP(NANOS) legacy path alone costs ~3s on first
     // touch — without warmup that lands on whichever query happens to
@@ -43,10 +69,11 @@ object Bench {
     // drop caches the warmup populated: timed queries must measure the
     // same cold-cache state the per-query baseline runs measured
     spark.catalog.clearCache()
-    // Two timed runs per query, keep the better: one-time costs (codegen
-    // compile, reader-path JIT — ~5-8s on cold paths, and the codegen
-    // cache evicts entries across ~60 intervening queries) otherwise land
-    // on arbitrary queries and dominate the signal at this data size.
+    // Two timed runs per query, keep the better (see header for the
+    // cache semantics of run 2): one-time costs (codegen compile,
+    // reader-path JIT — ~5-8s on cold paths, and the codegen cache
+    // evicts entries across ~60 intervening queries) otherwise land on
+    // arbitrary queries and dominate the signal at this data size.
     //
     // A FAILED query must be visible and must never flatter the total:
     // it is reported in the "failed" list and carries a 600s penalty in
@@ -55,10 +82,12 @@ object Bench {
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       var ok = true
-      val times = (1 to 2).map { _ =>
+      val runs = (1 to 2).map { _ =>
+        val jobsBefore = drainedJobCount()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => ok = false }
-        (System.nanoTime() - t0) / 1e9
+        val t = (System.nanoTime() - t0) / 1e9
+        (t, drainedJobCount() - jobsBefore)
       }
       if (!ok) failed += name
       // between queries (not between a query's two runs — run 2 may
@@ -66,13 +95,19 @@ object Bench {
       // ~10 caching dedup/ANN queries don't accumulate storage memory
       // and GC pressure onto whoever runs after them
       spark.catalog.clearCache()
-      name -> (times.min + (if (ok) 0.0 else 600.0))
+      val best = runs.minBy(_._1)
+      (name, best._1 + (if (ok) 0.0 else 600.0), best._2)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // descending cost: the expensive entries survive any artifact
+    // truncation and the JSON reads as a profile without reordering
+    val byCost = results.sortBy(-_._2)
+    val qs = byCost.map { case (k, v, _) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val js = byCost.map { case (k, _, j) => "\"" + k + "\":" + j }
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"jobs":$js,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

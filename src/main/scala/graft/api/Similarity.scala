@@ -93,6 +93,21 @@ object Similarity {
       .drop("__base", "__extra", "__cnt")
   }
 
+  /** The normalized, sketch-bucketed relation shared by [[allPairsSketch]]
+    * and [[nearDupCanonicalSketch]] — CACHED, and deliberately built from
+    * the identical plan in both, so Spark's CacheManager (which matches
+    * on the canonicalized plan) computes it once even across separate
+    * query invocations in the same session. The cache is also what keeps
+    * the job count flat: un-cached, the broadcast-count subplan inside
+    * [[signLshBuckets]] re-executes as a separate job for every use of
+    * the relation (3 uses in nearDupCanonical ⇒ 8 jobs measured at
+    * sf0.1); cached it runs once (5 jobs). On a contended machine each
+    * job is a fixed-latency driver round-trip, so jobs ≈ cost. */
+  private def sketchEmb(df: DataFrame, idCol: String, vecCol: String,
+      nBits: Int, extraBits: Int, maxOccupancy: Int): DataFrame =
+    normalized(signLshBuckets(df, idCol, vecCol, nBits, extraBits, maxOccupancy),
+      idCol, vecCol, keep = Seq("bucket")).cache()
+
   /** All near-pairs ≥ threshold under sign-LSH blocking: assign buckets
     * with [[signLshBuckets]], then exact cosine within each bucket. The
     * 100 TB shape: one bucket equi-join with bounded occupancy instead
@@ -100,24 +115,29 @@ object Similarity {
   def allPairsSketch(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nBits: Int = 6, extraBits: Int = 4,
       maxOccupancy: Int = 32): DataFrame =
-    allPairs(signLshBuckets(df, idCol, vecCol, nBits, extraBits, maxOccupancy),
-      idCol, vecCol, "bucket", threshold)
+    allPairsOn(sketchEmb(df, idCol, vecCol, nBits, extraBits, maxOccupancy),
+      "bucket", threshold)
 
   /** Near-dup canonicalization under sign-LSH blocking — [[nearDupCanonical]]
     * with the [[signLshBuckets]] key instead of an attribute block. */
   def nearDupCanonicalSketch(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nBits: Int = 6, extraBits: Int = 4,
       maxOccupancy: Int = 32): DataFrame =
-    nearDupCanonical(signLshBuckets(df, idCol, vecCol, nBits, extraBits, maxOccupancy),
-      idCol, vecCol, "bucket", threshold)
+    nearDupCanonicalOn(sketchEmb(df, idCol, vecCol, nBits, extraBits, maxOccupancy),
+      "bucket", threshold)
 
   /** All pairs ≥ threshold within blocks: equi join on the block key —
     * O(block²) work per block, never a global cross product. The block
     * key is the scale knob: an attribute (label) for small corpora, the
     * [[signLshBuckets]] sketch bucket or an IVF cell at scale. */
   def allPairs(df: DataFrame, idCol: String, vecCol: String,
-      blockCol: String, threshold: Double): DataFrame = {
-    val emb = normalized(df, idCol, vecCol, keep = Seq(blockCol))
+      blockCol: String, threshold: Double): DataFrame =
+    allPairsOn(normalized(df, idCol, vecCol, keep = Seq(blockCol)), blockCol, threshold)
+
+  /** [[allPairs]] over an already-normalized (vec_id, nemb, blockCol)
+    * relation — split out so the Sketch variants can pass the shared
+    * cached relation instead of re-normalizing. */
+  private def allPairsOn(emb: DataFrame, blockCol: String, threshold: Double): DataFrame = {
     emb.as("a")
       .join(emb.as("b"),
         col(s"a.$blockCol") === col(s"b.$blockCol") && col("a.vec_id") < col("b.vec_id"))
@@ -271,8 +291,14 @@ object Similarity {
     * id of its ≥-threshold neighborhood within a block (single-pass, no
     * transitive closure). */
   def nearDupCanonical(df: DataFrame, idCol: String, vecCol: String,
-      blockCol: String, threshold: Double): DataFrame = {
-    val emb = normalized(df, idCol, vecCol, keep = Seq(blockCol))
+      blockCol: String, threshold: Double): DataFrame =
+    nearDupCanonicalOn(normalized(df, idCol, vecCol, keep = Seq(blockCol)),
+      blockCol, threshold)
+
+  /** [[nearDupCanonical]] over an already-normalized relation — the
+    * shared-cache seam, like [[allPairsOn]]. */
+  private def nearDupCanonicalOn(emb: DataFrame, blockCol: String,
+      threshold: Double): DataFrame = {
     val pairs = emb.as("a")
       .join(emb.as("b"),
         col(s"a.$blockCol") === col(s"b.$blockCol") && col("a.vec_id") =!= col("b.vec_id"))

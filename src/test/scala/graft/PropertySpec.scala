@@ -129,6 +129,29 @@ class PropertySpec extends SparkSpec {
     assert(m.forall { case (doc, canon) => canon <= doc && m(canon) == canon })
   }
 
+  test("clusterPairs converges in ≤ ceil(log2(diameter)) + 2 rounds on chains and stars") {
+    import spark.implicits._
+    // The one-job-per-round engineering in clusterPairs is only a win if
+    // the round count really is logarithmic in component diameter — this
+    // guards that bound on the worst case (a path) and the best (a star).
+    // +2 slack: one round because the pointer jump reads the PREVIOUS
+    // generation's labels, one for the fixpoint-detection round itself.
+    def bound(diameter: Int): Int =
+      math.ceil(math.log(diameter.toDouble) / math.log(2.0)).toInt + 2
+    for (n <- Seq(9, 17, 33)) { // path 0-1-…-(n-1), diameter n-1
+      val chain = (0 until n - 1).map(i => (i.toLong, (i + 1).toLong))
+      val (res, rounds) = graft.api.Dedup.clusterPairsRounds(
+        chain.toDF("a_id", "b_id"), "a_id", "b_id", maxIters = 30)
+      assert(res.collect().forall(_.getLong(1) == 0L))
+      assert(rounds <= bound(n - 1), s"chain n=$n took $rounds rounds > ${bound(n - 1)}")
+    }
+    val star = (1L to 20L).map(i => (0L, i)) // diameter 2
+    val (sres, srounds) = graft.api.Dedup.clusterPairsRounds(
+      star.toDF("a_id", "b_id"), "a_id", "b_id", maxIters = 30)
+    assert(sres.collect().forall(_.getLong(1) == 0L))
+    assert(srounds <= bound(2), s"star took $srounds rounds > ${bound(2)}")
+  }
+
   test("clusterPairs property: random graphs match a driver-side union-find") {
     import spark.implicits._
     val edgesGen = Gen.chooseNum(0, 30).flatMap(n =>
