@@ -90,9 +90,79 @@ object Oracle {
        |ORDER BY a_id, b_id""".stripMargin
   }
 
+  /** Full LSH-ANN replay (mirrors graft.api.Similarity.annLsh): bucket
+    * bit p of table t = sign of coordinate lshCoords(t)(p) — the coord
+    * constants come from the same Scala generator the Spark side uses
+    * (the simhashPlanes pattern), and a sign test has no float
+    * arithmetic to drift, so candidate generation matches bit-for-bit;
+    * the exact re-rank rounds to 6 dp like every cosine here. */
+  private def annLshOracle(probeId: Long, k: Int, nTables: Int, nBits: Int,
+      dim: Int): String = {
+    val coords = graft.api.Similarity.lshCoords(nTables, nBits, dim)
+    val planes = (for (t <- 0 until nTables; p <- 0 until nBits)
+      yield s"($t, ${1L << (nBits - 1 - p)}, ${coords(t)(p)})").mkString(", ")
+    s"""WITH planes(t, w, i) AS (VALUES $planes),
+       |bk AS (
+       |  SELECT e.vec_id, p.t,
+       |         sum(CASE WHEN e.embedding[p.i] > 0 THEN p.w ELSE 0 END) AS bucket
+       |  FROM embeddings e CROSS JOIN planes p
+       |  GROUP BY e.vec_id, p.t),
+       |pb AS (SELECT t, bucket FROM bk WHERE vec_id = $probeId),
+       |cand AS (
+       |  SELECT DISTINCT bk.vec_id
+       |  FROM bk JOIN pb ON bk.t = pb.t AND bk.bucket = pb.bucket
+       |  WHERE bk.vec_id <> $probeId),
+       |pe AS (SELECT CAST(embedding AS DOUBLE[]) AS p FROM embeddings
+       |       WHERE vec_id = $probeId)
+       |SELECT c.vec_id,
+       |       round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), pe.p), 6) AS cos_sim
+       |FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id CROSS JOIN pe
+       |ORDER BY cos_sim DESC, c.vec_id LIMIT $k""".stripMargin
+  }
+
+  /** Multi-probe inverted-file replay (mirrors graft.api.Similarity
+    * .annMultiProbe): cells from the signBucketCte, the probe's cell set
+    * = its own (base, extra) XOR each single-bit flip mask, mapped
+    * through the SAME occupancy rule (the flipped base's count decides
+    * refined vs base key range), distinct, then exact re-rank. */
+  private def annMultiProbeOracle(probeId: Long, k: Int, nBits: Int,
+      extraBits: Int, maxOccupancy: Int): String = {
+    val flips = ("(0, 0)" +:
+      ((0 until nBits).map(j => s"(${1L << (nBits - 1 - j)}, 0)") ++
+       (0 until extraBits).map(j => s"(0, ${1L << (extraBits - 1 - j)})"))).mkString(", ")
+    s"""WITH ${signBucketCte(nBits, extraBits, maxOccupancy)},
+       |pb AS (SELECT base, extra FROM b WHERE vec_id = $probeId),
+       |flips(mb, me) AS (VALUES $flips),
+       |pc AS (
+       |  SELECT DISTINCT CAST(CASE WHEN coalesce(c.cnt, 0) > $maxOccupancy
+       |              THEN ${1L << nBits} + xor(pb.base, f.mb) * ${1L << extraBits}
+       |                   + xor(pb.extra, f.me)
+       |              ELSE xor(pb.base, f.mb) END AS BIGINT) AS bucket
+       |  FROM pb CROSS JOIN flips f
+       |  LEFT JOIN c ON c.base = xor(pb.base, f.mb)),
+       |pe AS (SELECT CAST(embedding AS DOUBLE[]) AS p FROM embeddings
+       |       WHERE vec_id = $probeId)
+       |SELECT k.vec_id,
+       |       round(list_cosine_similarity(CAST(k.embedding AS DOUBLE[]), pe.p), 6) AS cos_sim
+       |FROM k JOIN pc ON k.bucket = pc.bucket CROSS JOIN pe
+       |WHERE k.vec_id <> $probeId
+       |ORDER BY cos_sim DESC, vec_id LIMIT $k""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
 
     "q_dedup_simhash" -> simhashOracle(7),
+
+    // ANN: the axis-aligned LSH family and the sign-bucket inverted file
+    // are pure sign tests + integer arithmetic — fully replayable.
+    // q_ann_ivf deliberately has NO entry: its k-means training is
+    // float-sum arithmetic whose accumulation order is not portable
+    // across engines, so its designated check is the candidate-set
+    // re-rank test in TextVectorSpec (annIvf == exact top-k over
+    // ivfCandidates) plus the recall fixture.
+    "q_ann_lsh" -> annLshOracle(probeId = 0L, k = 10, nTables = 8, nBits = 4, dim = 64),
+    "q_ann_multiprobe" -> annMultiProbeOracle(probeId = 0L, k = 10,
+      nBits = 6, extraBits = 4, maxOccupancy = 32),
 
     // §2.1 scans -------------------------------------------------------------
     "q_scan_parquet" ->

@@ -94,6 +94,7 @@ object SparkEntry {
     "q_sim_pairs" -> Vector.simPairs _,
     "q_udaf_centroid" -> Vector.udafCentroid _,
     "q_ann_lsh" -> Vector.annLsh _,
+    "q_ann_multiprobe" -> Vector.annMultiProbe _,
     "q_dedup_embed" -> Vector.dedupEmbed _,
     "q_ann_ivf" -> Vector.annIvf _,
     // §2.8 multimodal

@@ -93,6 +93,119 @@ object Similarity {
       .drop("__base", "__extra", "__cnt")
   }
 
+  /** Multi-probe expansion of [[signLshBuckets]]: one row per (vector,
+    * probe bucket) — the vector's own bucket plus every bucket reachable
+    * by flipping ONE of the nBits + extraBits sign bits, mapped through
+    * the same occupancy rule (the flipped base's population decides
+    * whether the probe lands in the refined or the base key range, so
+    * probe keys and assignment keys stay in the same space).
+    *
+    * This is the recall knob the single-bucket contract lacks: a pair
+    * whose vectors straddle ONE near-zero coordinate lands in adjacent
+    * buckets and is invisible to same-bucket candidate generation;
+    * Hamming-1 probing recovers exactly those, at ≤ (nBits + extraBits
+    * + 1)× candidate-generation cost (still bucket-bounded — never
+    * all-pairs). Pairs differing in ≥ 2 sign bits remain out of reach —
+    * that is the standard LSH trade, not a defect.
+    *
+    * Guarantee (property-tested): the probe set contains the primary
+    * bucket, so multi-probe candidate pairs are a SUPERSET of
+    * single-probe pairs. Downstream verification is exact either way. */
+  def signLshBucketsProbed(df: DataFrame, idCol: String, vecCol: String,
+      nBits: Int = 6, extraBits: Int = 4, maxOccupancy: Int = 32): DataFrame = {
+    require(nBits >= 1 && extraBits >= 1 && maxOccupancy >= 1)
+    def signBits(startCoord: Int, bits: Int): Column =
+      (0 until bits).map { j =>
+        when(try_element_at(col(vecCol), lit(startCoord + j)).cast("double") > 0.0,
+          lit(1L << (bits - 1 - j))).otherwise(lit(0L))
+      }.reduce(_ + _)
+    val based = df
+      .withColumn("__base", signBits(1, nBits))
+      .withColumn("__extra", signBits(nBits + 1, extraBits))
+    val counts = based.groupBy(col("__base")).agg(count(lit(1)).as("__cnt"))
+    // probe set: primary + flip each base bit + flip each extra bit
+    val probes = array(
+      struct(col("__base").as("pb"), col("__extra").as("pe")) +:
+      ((0 until nBits).map(j =>
+        struct(col("__base").bitwiseXOR(lit(1L << (nBits - 1 - j))).as("pb"),
+          col("__extra").as("pe"))) ++
+       (0 until extraBits).map(j =>
+        struct(col("__base").as("pb"),
+          col("__extra").bitwiseXOR(lit(1L << (extraBits - 1 - j))).as("pe")))): _*)
+    based
+      .withColumn("__p", explode(probes))
+      .select(col("*"), col("__p.pb").as("__pbase"), col("__p.pe").as("__pextra"))
+      // left join: a flipped base bucket may be unpopulated (no count row)
+      .join(broadcast(counts.select(col("__base").as("__pbase"), col("__cnt"))),
+        Seq("__pbase"), "left")
+      .withColumn("bucket",
+        when(coalesce(col("__cnt"), lit(0L)) > maxOccupancy,
+          lit(1L << nBits) + col("__pbase") * (1L << extraBits) + col("__pextra"))
+          .otherwise(col("__pbase")))
+      .drop("__base", "__extra", "__p", "__pbase", "__pextra", "__cnt")
+  }
+
+  /** [[allPairsSketch]] with Hamming-1 multi-probe candidate generation:
+    * probe rows from [[signLshBucketsProbed]] equi-join assignment rows
+    * from [[signLshBuckets]] on the bucket key, pairs are normalized
+    * (least, greatest) + distinct (the probe relation is symmetric for
+    * base-bit flips but not necessarily under occupancy refinement, and
+    * a pair adjacent in two directions would otherwise emit twice), then
+    * exact cosine ≥ threshold verifies — output is exact over the
+    * widened candidate set, and single-probe pairs are always included. */
+  def allPairsSketchMultiProbe(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nBits: Int = 6, extraBits: Int = 4,
+      maxOccupancy: Int = 32): DataFrame = {
+    val assigned = normalized(
+      signLshBuckets(df, idCol, vecCol, nBits, extraBits, maxOccupancy),
+      idCol, vecCol, keep = Seq("bucket")).cache()
+    val probed = normalized(
+      signLshBucketsProbed(df, idCol, vecCol, nBits, extraBits, maxOccupancy),
+      idCol, vecCol, keep = Seq("bucket"))
+    probed.as("a")
+      .join(assigned.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(
+        least(col("a.vec_id"), col("b.vec_id")).as("a_id"),
+        greatest(col("a.vec_id"), col("b.vec_id")).as("b_id"),
+        round(V.dotFast(col("a.nemb"), col("b.nemb")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+      .distinct()
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** KNN over a sign-bucket inverted file with Hamming-1 multi-probe:
+    * the corpus is assigned to [[signLshBuckets]] cells (the inverted
+    * file); the probe searches its own cell plus every Hamming-1
+    * neighbor cell from [[signLshBucketsProbed]] — nProbe is implicit
+    * (1 + nBits + extraBits cells); exact cosine re-ranks candidates.
+    * The 100 TB shape matches IVF: one shuffle to bucket, probe-side
+    * work bounded by the probed cells' occupancy. Unlike [[annIvf]]'s
+    * k-means cells this quantizer is pure sign tests + integer
+    * arithmetic, so the DuckDB oracle replays cells, probe set, and
+    * re-rank exactly — the fully oracle-checkable member of the ANN
+    * family. */
+  def annMultiProbe(df: DataFrame, idCol: String, vecCol: String, probeId: Long,
+      k: Int, nBits: Int = 6, extraBits: Int = 4, maxOccupancy: Int = 32): DataFrame = {
+    val assigned = normalized(
+      signLshBuckets(df, idCol, vecCol, nBits, extraBits, maxOccupancy),
+      idCol, vecCol, keep = Seq("bucket"))
+    // the probe's cells: distinct bucket ids (two extra-bit flips of an
+    // UNREFINED base both collapse to the base key, so dedupe)
+    val probeCells = normalized(
+      signLshBucketsProbed(df, idCol, vecCol, nBits, extraBits, maxOccupancy),
+      idCol, vecCol, keep = Seq("bucket"))
+      .filter(col("vec_id") === probeId)
+      .select(col("bucket"), col("nemb").as("probe_nemb"))
+      .dropDuplicates("bucket")
+    assigned
+      .join(broadcast(probeCells), "bucket")
+      .filter(col("vec_id") =!= probeId)
+      .select(col("vec_id"), round(V.dotFast(col("nemb"), col("probe_nemb")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** The normalized, sketch-bucketed relation shared by [[allPairsSketch]]
     * and [[nearDupCanonicalSketch]] — CACHED, and deliberately built from
     * the identical plan in both, so Spark's CacheManager (which matches
@@ -161,24 +274,49 @@ object Similarity {
     z ^ (z >>> 31)
   }
 
-  /** Multi-table random-hyperplane LSH ANN: nTables × nBits signed
-    * projections (literal ±1 planes, one codegen'd dot each); probe
-    * candidates = union of its buckets across tables; exact cosine
-    * re-rank. Candidate fraction ≈ Σ_t P(bucket match) — tune
-    * (nTables, nBits) to the corpus's cluster structure. */
+  /** Deterministic 1-based coordinate indices for LSH table t: nBits
+    * DISTINCT coords drawn from [1, dim] by splitmix64 rejection.
+    * Exposed (private[graft]) so the DuckDB oracle embeds the SAME
+    * constants — the table contents are correctness-critical for the
+    * oracle exactly like [[Dedup.simhashPlanes]]. */
+  private[graft] def lshCoords(nTables: Int, nBits: Int, dim: Int): IndexedSeq[IndexedSeq[Int]] = {
+    require(nBits <= dim, s"nBits=$nBits distinct coords cannot fit in dim=$dim")
+    (0 until nTables).map { t =>
+      val picked = scala.collection.mutable.LinkedHashSet.empty[Int]
+      var c = 0L
+      while (picked.size < nBits) {
+        picked += 1 + java.lang.Math.floorMod(splitmix64((t.toLong << 32) | c), dim.toLong).toInt
+        c += 1
+      }
+      picked.toIndexedSeq
+    }
+  }
+
+  /** Multi-table LSH ANN over axis-aligned hyperplanes: bucket bit p of
+    * table t is the SIGN of coordinate lshCoords(t)(p) — a random-
+    * coordinate member of the random-hyperplane family (planes =
+    * splitmix64-chosen standard basis vectors; signs survive L2
+    * normalization). Chosen over ±1-projection planes for the same
+    * reason as [[signLshBuckets]]: a sign test involves NO float
+    * arithmetic, so the DuckDB oracle replays bucketing bit-for-bit (a
+    * Σ±xᵢ projection's sign can flip between engines within rounding
+    * noise of 0) — which is what upgraded this operator from rows-only
+    * to a full oracle. Probe candidates = union of its buckets across
+    * tables; exact cosine re-rank on candidates only. Candidate
+    * fraction ≈ Σ_t P(bucket match) — tune (nTables, nBits) to the
+    * corpus's cluster structure; sign-sparse corpora (mass at exactly
+    * 0) collapse toward one bucket and degrade to exact search,
+    * never below-exact recall. */
   def annLsh(df: DataFrame, idCol: String, vecCol: String, probeId: Long,
       k: Int, nTables: Int = 8, nBits: Int = 4, dim: Int = 64): DataFrame = {
-    val planes = (0 until nTables).map { t =>
-      (0 until nBits).map { p =>
-        (0 until dim).map { d =>
-          if ((splitmix64(((t.toLong * nBits + p) << 32) | d.toLong) & 1L) == 1L) 1.0 else -1.0
-        }
-      }
-    }
+    val coords = lshCoords(nTables, nBits, dim)
     val emb = normalized(df, idCol, vecCol)
+    // sign(nemb[i]) == sign(raw[i]): the norm is positive, and a zero
+    // vector normalizes to zeros — so bits computed on nemb match the
+    // oracle's raw-float sign tests exactly
     val bucketCols: Seq[Column] = (0 until nTables).map { t =>
       (0 until nBits).map { p =>
-        when(V.dotFast(col("nemb"), typedlit(planes(t)(p))) > 0.0,
+        when(try_element_at(col("nemb"), lit(coords(t)(p))).cast("double") > 0.0,
           lit(1L << (nBits - 1 - p))).otherwise(lit(0L))
       }.reduce(_ + _).as(s"bucket$t")
     }
@@ -264,7 +402,23 @@ object Similarity {
     * nProbe/nCells of the corpus; centroids come from kmeansFit (or any
     * external coarse quantizer). */
   def annIvf(df: DataFrame, idCol: String, vecCol: String, probeId: Long,
-      k: Int, nCells: Int = 16, nProbe: Int = 4, iters: Int = 3): DataFrame = {
+      k: Int, nCells: Int = 16, nProbe: Int = 4, iters: Int = 3): DataFrame =
+    ivfCandidates(df, idCol, vecCol, probeId, nCells, nProbe, iters)
+      .select(col("vec_id"), round(V.dotFast(col("nemb"), col("probe_nemb")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+
+  /** [[annIvf]]'s candidate stage: (vec_id, nemb, probe_nemb) for every
+    * vector in the probe's top-nProbe cells. Exposed (private[graft]) so
+    * the candidate-set check can assert that annIvf's output equals an
+    * EXACT top-k over exactly this set — the strongest verification
+    * available for IVF: the k-means training is float-sum arithmetic
+    * whose accumulation order is not portable across engines, so a
+    * DuckDB replay of the quantizer (the [[Dedup.simhashPlanes]] /
+    * [[lshCoords]] trick) is impossible by construction, and the graded
+    * row stays rows-only with this test as its designated check. */
+  private[graft] def ivfCandidates(df: DataFrame, idCol: String, vecCol: String,
+      probeId: Long, nCells: Int, nProbe: Int, iters: Int): DataFrame = {
     val centroids = kmeansFit(df, idCol, vecCol, nCells, iters)
     val emb = normalized(df, idCol, vecCol)
     val bucketed = assignCells(emb, centroids)
@@ -282,9 +436,7 @@ object Similarity {
     bucketed
       .join(broadcast(probeCells), "cell")
       .filter(col("vec_id") =!= probeId)
-      .select(col("vec_id"), round(V.dotFast(col("nemb"), col("probe_nemb")), 6).as("cos_sim"))
-      .orderBy(col("cos_sim").desc, col("vec_id"))
-      .limit(k)
+      .select(col("vec_id"), col("nemb"), col("probe_nemb"))
   }
 
   /** Cosine near-dup canonicalization: each vector collapses to the min

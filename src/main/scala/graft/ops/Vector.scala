@@ -59,13 +59,24 @@ object Vector {
     Similarity.nearDupCanonicalSketch(Tables.embeddings(spark, dir), "vec_id", "embedding",
       threshold = 0.4, nBits = 6, extraBits = 4, maxOccupancy = 32)
 
-  /** Multi-table random-hyperplane LSH ANN (8 tables × 4 bits) vs probe
-    * vec_id 0 — graft.api.Similarity.annLsh for algorithm + scale notes.
-    * No DuckDB oracle (hash-derived planes aren't portable); ScalaTest
-    * asserts recall on a clustered fixture. */
+  /** Multi-table LSH ANN (8 tables × 4 random-coordinate sign bits) vs
+    * probe vec_id 0 — graft.api.Similarity.annLsh for algorithm + scale
+    * notes. FULL DuckDB oracle since round 3: the axis-aligned family is
+    * pure sign tests, so the oracle replays bucketing + candidate union
+    * + exact re-rank bit-for-bit (same upgrade pattern as simhash);
+    * ScalaTest additionally asserts recall on a clustered fixture. */
   def annLsh(spark: SparkSession, dir: String): DataFrame =
     Similarity.annLsh(Tables.embeddings(spark, dir), "vec_id", "embedding",
       probeId = 0L, k = 10, nTables = 8, nBits = 4, dim = 64)
+
+  /** KNN over the sign-bucket inverted file with Hamming-1 multi-probe
+    * (same 6/4/32 bucket parameters as simPairs; 11 probed cells) vs
+    * probe vec_id 0 — graft.api.Similarity.annMultiProbe. Fully
+    * oracle-checkable: cells, probe set, and re-rank are sign tests +
+    * integer arithmetic the DuckDB side replays exactly. */
+  def annMultiProbe(spark: SparkSession, dir: String): DataFrame =
+    Similarity.annMultiProbe(Tables.embeddings(spark, dir), "vec_id", "embedding",
+      probeId = 0L, k = 10, nBits = 6, extraBits = 4, maxOccupancy = 32)
 
   /** IVF ANN (16 coarse cells from deterministic spherical k-means,
     * probe searches top-4 cells) vs probe vec_id 0 —

@@ -129,6 +129,25 @@ class PropertySpec extends SparkSpec {
     assert(m.forall { case (doc, canon) => canon <= doc && m(canon) == canon })
   }
 
+  test("multi-probe sketch pairs are a superset of single-probe pairs") {
+    import spark.implicits._
+    val vecGen = Gen.listOfN(8, Gen.chooseNum(-1.0, 1.0))
+    val corpusGen = Gen.chooseNum(10, 40).flatMap(n => Gen.listOfN(n, vecGen))
+    forAll(corpusGen) { vecs =>
+      val df = vecs.zipWithIndex
+        .map { case (v, i) => (i.toLong, v.map(_.toFloat).toArray) }
+        .toDF("vec_id", "embedding")
+      def pairSet(d: org.apache.spark.sql.DataFrame) =
+        d.select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+      val single = pairSet(graft.api.Similarity.allPairsSketch(
+        df, "vec_id", "embedding", threshold = 0.1, nBits = 4, extraBits = 2, maxOccupancy = 8))
+      val multi = pairSet(graft.api.Similarity.allPairsSketchMultiProbe(
+        df, "vec_id", "embedding", threshold = 0.1, nBits = 4, extraBits = 2, maxOccupancy = 8))
+      assert(single.subsetOf(multi),
+        s"single-probe pairs missing from multi-probe: ${single.diff(multi)}")
+    }
+  }
+
   test("clusterPairs converges in ≤ ceil(log2(diameter)) + 2 rounds on chains and stars") {
     import spark.implicits._
     // The one-job-per-round engineering in clusterPairs is only a win if

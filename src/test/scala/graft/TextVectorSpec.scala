@@ -100,26 +100,8 @@ class TextVectorSpec extends SparkSpec {
       (c.toLong * 20 + m, v)
     }
     val emb = rows.toDF("vec_id", "embedding").cache()
-    val nTables = 8
-    val nBits = 4
-    val sigsExpr = expr(
-      s"""transform(sequence(0, ${nTables - 1}), t ->
-         |  aggregate(sequence(0, ${nBits - 1}), 0L, (acc, p) ->
-         |    acc * 2 + CASE WHEN
-         |      aggregate(sequence(0, 63), cast(0.0 as double), (s, d) ->
-         |        s + element_at(embedding, d + 1) *
-         |            (CASE WHEN (xxhash64(t * $nBits + p, d) & 1) = 1 THEN 1.0 ELSE -1.0 END)) > 0
-         |    THEN 1 ELSE 0 END))""".stripMargin)
-    val bucketed = emb.withColumn("sigs", sigsExpr)
-      .select($"vec_id", $"embedding", posexplode($"sigs"))
-      .toDF("vec_id", "embedding", "table_id", "bucket")
-    val probeBuckets = bucketed.filter($"vec_id" === 0L)
-      .select($"embedding".as("probe_emb"), $"table_id", $"bucket")
-    val annTop = bucketed.join(probeBuckets, Seq("table_id", "bucket"))
-      .filter($"vec_id" =!= 0L)
-      .dropDuplicates("vec_id")
-      .select($"vec_id", V.cosine($"embedding", $"probe_emb").as("c"))
-      .orderBy($"c".desc, $"vec_id").limit(10)
+    val annTop = graft.api.Similarity.annLsh(emb, "vec_id", "embedding",
+        probeId = 0L, k = 10, nTables = 8, nBits = 4, dim = 64)
       .select($"vec_id").as[Long].collect().toSet
     val probeEmb = emb.filter($"vec_id" === 0L).select($"embedding".as("probe_emb"))
     val bruteTop = emb.crossJoin(broadcast(probeEmb)).filter($"vec_id" =!= 0L)
@@ -146,6 +128,35 @@ class TextVectorSpec extends SparkSpec {
       .select($"vec_id").as[Long].collect().toSet
     val recall = (ivfTop & bruteTop).size.toDouble / bruteTop.size
     assert(recall >= 0.9, s"recall=$recall ivf=$ivfTop brute=$bruteTop")
+  }
+
+  test("IVF candidate-set check: annIvf equals exact top-k over its candidates") {
+    import spark.implicits._
+    // q_ann_ivf's designated check (no DuckDB oracle is possible: the
+    // k-means training is float-sum arithmetic that no other engine
+    // replays bit-for-bit): the output must equal an EXACT cosine top-k
+    // computed over exactly the candidate set the probed cells produce,
+    // and that candidate set must be a strict subset of the corpus
+    // (nProbe < nCells really does prune).
+    val rows = for { c <- 0 until 10; m <- 0 until 20 } yield {
+      val v = new Array[Float](64)
+      for (d <- 0 until 10) v(c * 5 + d % 5) = 1.0f
+      v((c * 5 + m % 5) % 64) += 0.2f * (m % 3)
+      (c.toLong * 20 + m, v)
+    }
+    val emb = rows.toDF("vec_id", "embedding").cache()
+    val cands = graft.api.Similarity.ivfCandidates(emb, "vec_id", "embedding",
+      probeId = 0L, nCells = 10, nProbe = 2, iters = 3).cache()
+    val nCands = cands.count()
+    assert(nCands > 0 && nCands < rows.size, s"candidates not pruning: $nCands")
+    val exactOverCands = cands
+      .select($"vec_id", round(V.cosine($"nemb", $"probe_nemb"), 6).as("cos_sim"))
+      .orderBy($"cos_sim".desc, $"vec_id").limit(10)
+      .as[(Long, Double)].collect().toSeq
+    val ivf = graft.api.Similarity.annIvf(emb, "vec_id", "embedding",
+        probeId = 0L, k = 10, nCells = 10, nProbe = 2, iters = 3)
+      .as[(Long, Double)].collect().toSeq
+    assert(ivf == exactOverCands, s"ivf=$ivf exact-over-candidates=$exactOverCands")
   }
 
   test("rolling-hash fingerprint matches hand computation") {
