@@ -889,30 +889,47 @@ object Oracle {
 
     // PNG encode→decode roundtrip: gray8 PNG is lossless, so decoded
     // width/mean-luma must equal per-character arithmetic on the source
-    // text (ASCII corpus: byte value = code point)
+    // text. The per-character arithmetic equates characters with BYTES
+    // (the Spark side operates on UTF-8 bytes), which only holds for an
+    // ASCII corpus — so the assumption is ASSERTED per row: a future
+    // generator change emitting one non-ASCII character fails with an
+    // explicit error() instead of a mute hash mismatch.
     "q_multimodal_decode" ->
-      """SELECT doc_id, lang AS container,
+      """WITH src AS (
+        |  SELECT doc_id, lang,
+        |         CASE WHEN octet_length(encode(text)) <> length(text)
+        |              THEN error('non-ASCII document breaks the byte=char oracle assumption: doc_id=' || doc_id)
+        |              ELSE text END AS text
+        |  FROM documents)
+        |SELECT doc_id, lang AS container,
         |       CAST(CASE WHEN length(text) = 0 THEN 1 ELSE length(text) END AS INTEGER) AS width,
         |       CAST(1 AS INTEGER) AS height,
         |       round(CASE WHEN length(text) = 0 THEN 0.0
         |             ELSE CAST(list_sum(list_transform(string_split_regex(text, ''),
         |                    x -> CAST(ascii(x) AS BIGINT))) AS DOUBLE) / length(text)
         |             END, 6) AS mean_luma
-        |FROM documents ORDER BY doc_id""".stripMargin,
+        |FROM src ORDER BY doc_id""".stripMargin,
 
     // frame sampling over the decoded PNG row: frame f = pixels
     // [f*64, f*64+64) of a width-N image, sampled at stride 2; lossless
     // PNG ⇒ frame luma = mean of the matching 64-char window of text.
     // Both engines sum frames in ascending frame order, so the double
-    // accumulation inside avg() agrees exactly.
+    // accumulation inside avg() agrees exactly. Same per-row ASCII
+    // assertion as q_multimodal_decode (byte=char assumption).
     "q_multimodal_frames" ->
-      """WITH f AS (
+      """WITH src AS (
+        |  SELECT doc_id,
+        |         CASE WHEN octet_length(encode(text)) <> length(text)
+        |              THEN error('non-ASCII document breaks the byte=char oracle assumption: doc_id=' || doc_id)
+        |              ELSE text END AS text
+        |  FROM documents),
+        |f AS (
         |  SELECT doc_id, text,
         |         CASE WHEN length(text) = 0 THEN 1 ELSE length(text) END AS width,
         |         unnest(range(0,
         |           CASE WHEN length(text) < 64 THEN 1 ELSE length(text) // 64 END,
         |           2)) AS frame_idx
-        |  FROM documents),
+        |  FROM src),
         |w AS (
         |  SELECT doc_id, width, frame_idx,
         |         substring(text, frame_idx * 64 + 1, 64) AS win

@@ -41,13 +41,26 @@ object Temporal {
     * Banding uses second-truncated epochs; a truncated gap of
     * maxDur + 1 implies a true gap > maxDur, so truncation never drops
     * a qualifying pair. The residual compares full-precision
-    * timestamps. */
+    * timestamps.
+    *
+    * The precondition is ENFORCED, not assumed: a violating interval
+    * could reach qualifying pairs whose bands differ by > 1, which would
+    * silently drop them — indistinguishable from a correct result. The
+    * guard is folded into the band column itself (an unused assertion
+    * column would be pruned away), so any row with e − s > maxDurSeconds
+    * raises with its id instead of losing pairs; per-row cost is one
+    * codegen'd compare, no extra pass or job. */
   def intervalOverlapSelfJoin(df: DataFrame, idCol: String, keyCol: String,
       startCol: String, endCol: String, maxDurSeconds: Long): DataFrame = {
     require(maxDurSeconds > 0)
     val base = df.select(col(idCol).as("id"), col(keyCol).as("key"),
       col(startCol).as("s"), col(endCol).as("e"),
-      floor(unix_timestamp(col(startCol)) / maxDurSeconds).as("band"))
+      when(unix_timestamp(col(endCol)) - unix_timestamp(col(startCol)) > maxDurSeconds,
+        raise_error(concat(
+          lit(s"intervalOverlapSelfJoin: interval duration > maxDurSeconds=$maxDurSeconds for id "),
+          col(idCol).cast("string"))))
+        .otherwise(floor(unix_timestamp(col(startCol)) / maxDurSeconds))
+        .as("band"))
     val probes = base.withColumn("band",
       explode(array(col("band") - 1, col("band"), col("band") + 1)))
     base.as("a").join(probes.as("b"),

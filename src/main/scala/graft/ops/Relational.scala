@@ -91,18 +91,41 @@ object Relational {
     // regenerated source with the same row count would fool a bare
     // count. Validation runs ONCE per JVM per dest (memoized), so the
     // steady-state query is exactly the pruned one-directory read.
+    //
+    // Concurrency: the copy is PUBLISHED ATOMICALLY — written to a
+    // unique sibling temp dir, then renamed into place — so a second
+    // JVM racing this one can never read a half-written copy (it sees
+    // either nothing, the old copy, or the complete new one). If the
+    // rename loses the race to a concurrent publisher, that copy is
+    // re-validated and ours is discarded. Cache root is overridable
+    // (GRAFT_PART_CACHE_DIR) for environments whose tmpdir is cleaned
+    // aggressively or shared across untrusted users.
+    val cacheRoot = sys.env.getOrElse("GRAFT_PART_CACHE_DIR", sys.props("java.io.tmpdir"))
     val dest = new java.io.File(
-      sys.props("java.io.tmpdir"),
+      cacheRoot,
       "graft_part_orders_" + dir.replaceAll("[^A-Za-z0-9._-]", "_"))
     if (!validatedPartCopies.contains(dest.toString)) {
       val src = ordersFingerprint(Tables.orders(spark, dir))
-      val valid = new java.io.File(dest, "_SUCCESS").exists() &&
+      def destValid() = new java.io.File(dest, "_SUCCESS").exists() &&
         (try ordersFingerprint(spark.read.parquet(dest.toString)
            .select($"o_orderkey", $"o_custkey", $"o_totalprice", $"o_orderpriority")) == src
          catch { case _: Exception => false })
-      if (!valid) {
+      if (!destValid()) {
+        def deleteTree(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(deleteTree))
+          f.delete(); ()
+        }
+        deleteTree(dest) // known-invalid (or absent) stale copy
+        val tmp = new java.io.File(cacheRoot,
+          dest.getName + ".tmp." + java.util.UUID.randomUUID().toString.take(8))
         graft.sources.Formats.writeParquet(
-          Tables.orders(spark, dir), dest.toString, partitionBy = Seq("o_orderpriority"))
+          Tables.orders(spark, dir), tmp.toString, partitionBy = Seq("o_orderpriority"))
+        if (!tmp.renameTo(dest)) {
+          // lost the publish race — keep the winner's copy if it checks out
+          deleteTree(tmp)
+          require(destValid(),
+            s"scanPartition: concurrent writer left an invalid copy at $dest")
+        }
       }
       validatedPartCopies.add(dest.toString)
     }

@@ -172,11 +172,19 @@ class StreamingSpec extends SparkSpec {
       .writeStream.format("memory").queryName("rate_tumbling")
       .outputMode("complete").start()
     try {
-      Thread.sleep(1500) // let the source emit some rows
-      q.processAllAvailable()
-      val rows = spark.table("rate_tumbling")
-        .agg(coalesce(sum($"n_events"), lit(0L))).head().getLong(0)
-      assert(rows > 0, "rate source produced no aggregated rows")
+      // bounded poll, not one fixed sleep: on a loaded machine a single
+      // sleep may elapse before the source emits a complete batch's
+      // offsets, and a one-shot processAllAvailable would then observe
+      // zero rows — retry until rows appear or the deadline passes
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      var rows = 0L
+      while (rows == 0 && System.nanoTime() < deadline) {
+        Thread.sleep(250)
+        q.processAllAvailable()
+        rows = spark.table("rate_tumbling")
+          .agg(coalesce(sum($"n_events"), lit(0L))).head().getLong(0)
+      }
+      assert(rows > 0, "rate source produced no aggregated rows within 30s")
     } finally q.stop()
   }
 

@@ -77,4 +77,20 @@ class TemporalApiSpec extends SparkSpec {
     assert(banded.contains((1L, 2L)) && banded.contains((6L, 7L)))
     assert(!banded.contains((2L, 4L)) && !banded.exists(p => p._1 == 5L || p._2 == 5L))
   }
+
+  test("intervalOverlapSelfJoin raises loudly on a precondition-violating interval") {
+    import spark.implicits._
+    // one interval longer than maxDur: band diff can exceed 1 and pairs
+    // would silently vanish — the guard must fail the query instead
+    val iv = Seq(
+      (1L, 1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:05:00")),
+      (2L, 1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00")), // 3600s > 600s
+    ).toDF("id", "k", "s", "e")
+    val ex = intercept[Exception] {
+      Temporal.intervalOverlapSelfJoin(iv, "id", "k", "s", "e", 600L).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("maxDurSeconds")), ex.toString)
+  }
 }
