@@ -127,6 +127,45 @@ class ScaleJoinSpec extends SparkSpec {
     }
   }
 
+  test("join-order robustness: a mis-ordered 3-table join still broadcasts the dim") {
+    import spark.implicits._
+    // The contract under test (documented in docs/PLANS.md): Spark's
+    // broadcast decision is PER-JOIN and size-estimate driven, so it is
+    // independent of the order the user wrote the joins in — a dim
+    // joined dead last, after a fact⋈fact join, still broadcasts. (True
+    // cost-based join REORDERING needs catalog stats this engine's raw
+    // parquet reads don't have; hand-sane ordering + AQE runtime
+    // re-planning is the contract, and this test pins the half Spark
+    // gives us for free.)
+    val dir = "/root/testdata/sf0.001"
+    // threshold between the PRUNED estimates: Catalyst scales the file
+    // size by the read-column fraction, so orders (35 KB file, 2 of 9
+    // columns read ≈ 8 KB) must stay above it and customer (7 KB file,
+    // 2 of 8 columns ≈ 2 KB) below — the fact⋈fact join must NOT
+    // broadcast, the trailing dim must
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "4KB")
+    try {
+      val li = Tables.lineitem(spark, dir)
+      val ord = Tables.orders(spark, dir)
+      val cust = Tables.customer(spark, dir)
+      // user-hostile order: the two facts first, the dim last
+      val q = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(cust, ord("o_custkey") === cust("c_custkey"))
+        .groupBy(cust("c_mktsegment")).agg(sum(li("l_quantity")).as("sum_qty"))
+      assert(q.collect().nonEmpty)
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        "dim did not broadcast despite small size:\n" + plan.take(1200))
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+        plan.take(1200))
+      // and the fact⋈fact side really was too big to broadcast — the
+      // broadcast we saw is the dim, not everything
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        "fact join unexpectedly broadcast — threshold fixture broken:\n" + plan.take(1200))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("bucketed tables co-locate: join plan has no shuffle exchange") {
     import spark.implicits._
     // warehouse.dir is a static conf — managed tables land in the default
