@@ -718,6 +718,62 @@ object Oracle {
         |       CAST(sum(len(regexp_extract_all(text, '[a-z]{1,4}'))) AS DOUBLE) / count(*) AS avg_subtokens
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
+    // rank on the ROUNDED score + token tiebreak in BOTH engines, so a
+    // 1-ulp ln() difference cannot flip a rank (see Text.textTfidf)
+    "q_text_tfidf" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.token,
+        |         round(tf.tf * (ln((n.n_docs + 1.0) / (dfreq.df + 1.0)) + 1.0), 6) AS tfidf
+        |  FROM tf JOIN dfreq USING (token) CROSS JOIN n)
+        |SELECT doc_id, rank, token, tfidf FROM (
+        |  SELECT doc_id, token, tfidf,
+        |         CAST(row_number() OVER (PARTITION BY doc_id
+        |           ORDER BY tfidf DESC, token) AS INTEGER) AS rank
+        |  FROM scored) t
+        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    "q_text_decontaminate" -> {
+      val probes = graft.ops.Text.contaminationProbes
+        .map(p => s"('${p.replace("'", "''")}')").mkString(", ")
+      s"""WITH probes(phrase) AS (VALUES $probes)
+         |SELECT phrase,
+         |       CAST(sum(CASE WHEN position(phrase IN text) > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_contaminated,
+         |       coalesce(min(CASE WHEN position(phrase IN text) > 0 THEN doc_id END), -1)
+         |         AS first_doc
+         |FROM probes CROSS JOIN documents
+         |GROUP BY phrase ORDER BY phrase""".stripMargin
+    },
+
+    // md5 of the id rendered as a string: same digest, same lowercase
+    // hex, same string comparison in both engines (Sampling.stratifiedTopN)
+    "q_sample_stratified" ->
+      """SELECT lang, sample_rank, doc_id FROM (
+        |  SELECT lang, doc_id,
+        |         CAST(row_number() OVER (PARTITION BY lang
+        |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INTEGER) AS sample_rank
+        |  FROM documents) t
+        |WHERE sample_rank <= 20 ORDER BY lang, sample_rank""".stripMargin,
+
+    "q_pack_chunks" ->
+      """WITH d AS (
+        |  SELECT lang, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT lang, doc_id, n_tokens,
+        |         coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before_toks
+        |  FROM d)
+        |SELECT lang, CAST(floor(before_toks / 256) AS BIGINT) AS chunk_id,
+        |       count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+        |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM c GROUP BY 1, 2 ORDER BY lang, chunk_id""".stripMargin,
+
     "q_text_editdist" ->
       """SELECT bucket, count(*) AS n_docs, min(doc_id) AS min_doc FROM (
         |  SELECT doc_id,

@@ -84,6 +84,10 @@ object SparkEntry {
     "q_text_fingerprint" -> Text.textFingerprint _,
     "q_text_editdist" -> Text.textEditDist _,
     "q_text_tokens_bpe" -> Text.textTokensBpe _,
+    "q_text_tfidf" -> Text.textTfidf _,
+    "q_text_decontaminate" -> Text.textDecontaminate _,
+    "q_sample_stratified" -> Text.sampleStratified _,
+    "q_pack_chunks" -> Text.packChunks _,
     "q_dedup_exact" -> Text.dedupExact _,
     "q_dedup_ngram" -> Text.dedupNgram _,
     "q_dedup_minhash" -> Text.dedupMinhash _,

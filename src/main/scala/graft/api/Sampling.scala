@@ -1,0 +1,61 @@
+package graft.api
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators a training-data pipeline runs between
+  * dedup and tokenization: deterministic stratified sampling and
+  * concat-and-chunk sequence packing. Both are pure DataFrame plans
+  * keyed on the stratum column — each stratum's rows shuffle once into
+  * its window partition.
+  *
+  * Determinism contract (shared with the DuckDB oracle): "random" order
+  * inside a stratum is the md5 hex digest of the id rendered as a
+  * string — portable across engines (same digest, same lowercase hex,
+  * same string comparison), uniform-ish, and stable across runs, which
+  * is what a reproducible training mixture needs. No RNG state, no
+  * seed plumbing.
+  */
+object Sampling {
+
+  /** Exactly n rows per stratum, chosen by md5(id) order (ties broken
+    * by id). The rank-based form is exact-n; at extreme stratum skew
+    * (one stratum ≫ a reducer) switch to threshold sampling — filter on
+    * the digest prefix, binomial-not-exact counts, zero shuffles — the
+    * standard trade, documented here rather than silently made. */
+  def stratifiedTopN(df: DataFrame, strataCol: String, idCol: String,
+      n: Int): DataFrame = {
+    require(n >= 1)
+    val ord = md5(col(idCol).cast("string").cast("binary"))
+    val w = Window.partitionBy(col(strataCol)).orderBy(ord, col(idCol))
+    df.withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= n)
+  }
+
+  /** Concat-and-chunk sequence packing: within each key, documents are
+    * concatenated in id order and split into chunks of targetTokens —
+    * chunk = floor(tokens-before-this-doc / targetTokens), the standard
+    * LLM-pretraining packing layout (a doc whose tokens straddle a
+    * boundary belongs to the chunk it starts in). Emits one row per
+    * (key, chunk): doc count, token sum, first/last doc id.
+    *
+    * Scale: one window shuffle per key partition. Packing a 100 TB
+    * corpus runs this per shard/key (as here, per language) — a single
+    * global ordering would serialize into one reducer and is
+    * deliberately not offered. */
+  def packChunks(df: DataFrame, keyCol: String, idCol: String,
+      tokensCol: String, targetTokens: Int): DataFrame = {
+    require(targetTokens >= 1)
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("__before", coalesce(sum(col(tokensCol)).over(w), lit(0L)))
+      .withColumn("chunk_id", floor(col("__before") / targetTokens))
+      .groupBy(col(keyCol), col("chunk_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col(tokensCol)).cast("long").as("sum_tokens"),
+        min(col(idCol)).as("first_doc"),
+        max(col(idCol)).as("last_doc"))
+  }
+}

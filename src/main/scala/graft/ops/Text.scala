@@ -139,6 +139,73 @@ object Text {
       .orderBy($"bucket")
   }
 
+  /** TF-IDF top-3 terms per document: tf from one (doc, token) groupBy,
+    * df from a vocab-sized token groupBy (partial agg ⇒ the shuffle
+    * carries per-task vocab counts, not corpus rows), the doc count as a
+    * 1-row broadcast, smooth idf = ln((N+1)/(df+1)) + 1. Ranking uses
+    * the ROUNDED score (+ token tiebreak) in both engines so a 1-ulp
+    * libm difference in ln cannot flip a rank. */
+  def textTfidf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val tf = docs.select($"doc_id", explode(toks($"text")).as("token"))
+      .groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy($"token").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, "token")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        round($"tf" * (log(($"n_docs" + 1.0) / ($"df" + 1.0)) + 1.0), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"tfidf".desc, $"token")
+    scored.withColumn("rank", row_number().over(w)).filter($"rank" <= 3)
+      .select($"doc_id", $"rank", $"token", $"tfidf")
+      .orderBy($"doc_id", $"rank")
+  }
+
+  /** Benchmark decontamination scan: per probe phrase, how many
+    * documents contain it verbatim and the first contaminated doc. The
+    * probe set is a broadcast literal (in production: the eval-set
+    * n-grams); the scan itself is one codegen'd contains() pass over
+    * the corpus with no shuffle before the tiny per-phrase aggregate —
+    * the right 100 TB shape for "is our eval set in the training data". */
+  private[graft] val contaminationProbes = Seq(
+    "key agg row", "window merge spark", "data query small",
+    "this phrase is in no training document")
+  def textDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val probes = contaminationProbes.toDF("phrase")
+    Tables.documents(spark, dir)
+      .crossJoin(broadcast(probes))
+      .withColumn("hit", when(instr($"text", $"phrase") > 0, 1L).otherwise(0L))
+      .groupBy($"phrase")
+      .agg(
+        sum($"hit").as("n_contaminated"),
+        coalesce(min(when($"hit" === 1L, $"doc_id")), lit(-1L)).as("first_doc"))
+      .orderBy($"phrase")
+  }
+
+  /** Deterministic stratified sample: exactly 20 docs per language in
+    * md5(doc_id) order — graft.api.Sampling.stratifiedTopN (portable
+    * digest ordering, reproducible training mixtures). */
+  def sampleStratified(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    api.Sampling.stratifiedTopN(Tables.documents(spark, dir), "lang", "doc_id", n = 20)
+      .select($"lang", $"sample_rank", $"doc_id")
+      .orderBy($"lang", $"sample_rank")
+  }
+
+  /** Concat-and-chunk packing of each language's corpus into 256-token
+    * chunks — graft.api.Sampling.packChunks over whitespace token
+    * counts. */
+  def packChunks(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    api.Sampling.packChunks(
+      Tables.documents(spark, dir).withColumn("n_tokens", size(toks($"text")).cast("long")),
+      "lang", "doc_id", "n_tokens", targetTokens = 256)
+      .orderBy($"lang", $"chunk_id")
+  }
+
   // ===========================================================================
   // deduplication (delegating to the reusable graft.api.Dedup operators)
   // ===========================================================================

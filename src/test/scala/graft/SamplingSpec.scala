@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants for the corpus-curation operators (graft.api.Sampling):
+  * the sampler's determinism/exact-count contract and the packer's
+  * conservation laws. */
+class SamplingSpec extends SparkSpec {
+
+  test("stratifiedTopN: exact per-stratum counts, deterministic, rank-bounded") {
+    import spark.implicits._
+    val df = (0 until 100).map(i => (s"s${i % 3}", i.toLong)).toDF("stratum", "id")
+    val s1 = graft.api.Sampling.stratifiedTopN(df, "stratum", "id", n = 10)
+    val counts = s1.groupBy($"stratum").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("s0" -> 10L, "s1" -> 10L, "s2" -> 10L), counts.toString)
+    assert(s1.agg(max($"sample_rank")).head().getInt(0) == 10)
+    // a stratum smaller than n yields ALL its rows, not an error
+    val tiny = Seq(("t", 1L), ("t", 2L)).toDF("stratum", "id")
+    assert(graft.api.Sampling.stratifiedTopN(tiny, "stratum", "id", 10).count() == 2)
+    // determinism: the same input picks the same ids in the same order
+    val pick = (d: org.apache.spark.sql.DataFrame) =>
+      graft.api.Sampling.stratifiedTopN(d, "stratum", "id", 10)
+        .select($"stratum", $"sample_rank", $"id")
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    assert(pick(df) == pick(df.orderBy(rand()))) // input order is irrelevant
+  }
+
+  test("packChunks conserves docs and tokens; chunks start at 0 per key") {
+    import spark.implicits._
+    val df = (0 until 60).map(i => (s"k${i % 2}", i.toLong, (10 + i % 7).toLong))
+      .toDF("key", "id", "toks")
+    val packed = graft.api.Sampling.packChunks(df, "key", "id", "toks", targetTokens = 50)
+    val byKey = packed.groupBy($"key")
+      .agg(sum($"n_docs").as("docs"), sum($"sum_tokens").as("toks"), min($"chunk_id").as("c0"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val want = df.groupBy($"key").agg(count(lit(1)), sum($"toks"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    want.foreach { case (k, (docs, toks)) =>
+      assert(byKey(k) == ((docs, toks, 0L)), s"$k: ${byKey(k)} vs ($docs, $toks, 0)")
+    }
+    // no chunk except possibly the last of a key exceeds target by more
+    // than one straddling document's tokens (boundary docs stay in the
+    // chunk they START in — so a chunk's sum is < target + its max doc)
+    packed.collect().foreach { r =>
+      assert(r.getAs[Long]("sum_tokens") < 50 + 17, r.toString)
+    }
+  }
+}
