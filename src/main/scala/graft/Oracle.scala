@@ -760,6 +760,47 @@ object Oracle {
         |  FROM documents) t
         |WHERE sample_rank <= 20 ORDER BY lang, sample_rank""".stripMargin,
 
+    // the composed pipeline: quality >= 0.5 (rounded, same-order double
+    // arithmetic) -> min-doc_id per normalized key -> md5-ordered cap of
+    // 50 per lang -> 256-token chunk packing — each stage the same SQL
+    // its standalone query uses
+    "q_pipeline_curate" ->
+      """WITH q AS (
+        |  SELECT doc_id, lang, text,
+        |         round(least(n / 50.0, 1.0) * 0.4 + (nd / n) * 0.4
+        |           + (1.0 - ns / n) * 0.2, 6) AS quality
+        |  FROM (SELECT doc_id, lang, text,
+        |          CAST(len(string_split(text, ' ')) AS DOUBLE) AS n,
+        |          CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS nd,
+        |          CAST(len(list_filter(string_split(text, ' '),
+        |            t -> list_contains(['the','a','of','and','to','in','is','it'], t))) AS DOUBLE) AS ns
+        |        FROM documents) t
+        |  WHERE round(least(n / 50.0, 1.0) * 0.4 + (nd / n) * 0.4
+        |          + (1.0 - ns / n) * 0.2, 6) >= 0.5),
+        |ded AS (
+        |  SELECT doc_id, lang, text FROM (
+        |    SELECT doc_id, lang, text,
+        |           row_number() OVER (PARTITION BY
+        |             array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')
+        |             ORDER BY doc_id) AS rn
+        |    FROM q) t WHERE rn = 1),
+        |capped AS (
+        |  SELECT lang, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM (
+        |    SELECT lang, doc_id, text,
+        |           row_number() OVER (PARTITION BY lang
+        |             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |    FROM ded) t WHERE rk <= 50),
+        |c AS (
+        |  SELECT lang, doc_id, n_tokens,
+        |         coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before_toks
+        |  FROM capped)
+        |SELECT lang, CAST(floor(before_toks / 256) AS BIGINT) AS chunk_id,
+        |       count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+        |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM c GROUP BY 1, 2 ORDER BY lang, chunk_id""".stripMargin,
+
     "q_pack_chunks" ->
       """WITH d AS (
         |  SELECT lang, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens

@@ -88,6 +88,7 @@ object SparkEntry {
     "q_text_decontaminate" -> Text.textDecontaminate _,
     "q_sample_stratified" -> Text.sampleStratified _,
     "q_pack_chunks" -> Text.packChunks _,
+    "q_pipeline_curate" -> Text.pipelineCurate _,
     "q_dedup_exact" -> Text.dedupExact _,
     "q_dedup_ngram" -> Text.dedupNgram _,
     "q_dedup_minhash" -> Text.dedupMinhash _,

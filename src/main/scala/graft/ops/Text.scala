@@ -206,6 +206,38 @@ object Text {
       .orderBy($"lang", $"chunk_id")
   }
 
+  /** The end-to-end curation pipeline, composed from the library's own
+    * stages the way a user would chain them: quality-filter (score ≥
+    * 0.5, the q_text_quality formula) → exact dedup (min doc_id per
+    * normalized token-set key) → stratified cap (≤ 50 docs per language
+    * in md5 order) → concat-and-chunk packing (256-token chunks).
+    * One declarative plan end to end — Catalyst fuses the quality
+    * filter into the scan, the dedup and cap are each one well-keyed
+    * window/groupBy shuffle, and nothing materializes in between.
+    * Every arithmetic step is integer-derived or same-order double
+    * (no transcendentals), so the DuckDB oracle replays the whole
+    * pipeline exactly. */
+  def pipelineCurate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val n = size(toks($"text")).cast("double")
+    val nDistinct = size(array_distinct(toks($"text"))).cast("double")
+    val nStop = size(filter(toks($"text"), t => t.isin(stopwords.map(lit): _*))).cast("double")
+    val kept = Tables.documents(spark, dir)
+      .withColumn("quality", round(least(n / lit(50.0), lit(1.0)) * 0.4
+        + (nDistinct / n) * 0.4 + (lit(1.0) - nStop / n) * 0.2, 6))
+      .filter($"quality" >= 0.5)
+    val dedupW = org.apache.spark.sql.expressions.Window
+      .partitionBy($"norm_key").orderBy($"doc_id")
+    val deduped = kept
+      .withColumn("norm_key", array_join(array_sort(array_distinct(toks($"text"))), " "))
+      .withColumn("__rn", row_number().over(dedupW))
+      .filter($"__rn" === 1)
+    val capped = api.Sampling.stratifiedTopN(deduped, "lang", "doc_id", n = 50)
+      .withColumn("n_tokens", size(toks($"text")).cast("long"))
+    api.Sampling.packChunks(capped, "lang", "doc_id", "n_tokens", targetTokens = 256)
+      .orderBy($"lang", $"chunk_id")
+  }
+
   // ===========================================================================
   // deduplication (delegating to the reusable graft.api.Dedup operators)
   // ===========================================================================
