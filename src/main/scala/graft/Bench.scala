@@ -46,7 +46,21 @@ object Bench {
         jobCount.incrementAndGet(); ()
       }
     })
+    // primary drain: the listener bus's own waitUntilEmpty (private[spark]
+    // in Scala but public in bytecode, hence reflection) — a fixed
+    // stability window alone can return early on a contended machine
+    // whose bus delivers a backlog in >20ms gaps, misattributing jobs to
+    // the wrong run. The stability poll stays as a backstop for the
+    // (version-drift) case where reflection fails.
+    val busWait: () => Unit =
+      try {
+        val bus = spark.sparkContext.getClass.getMethod("listenerBus")
+          .invoke(spark.sparkContext)
+        val m = bus.getClass.getMethod("waitUntilEmpty")
+        () => { m.invoke(bus); () }
+      } catch { case _: Throwable => () => () }
     def drainedJobCount(): Int = {
+      busWait()
       var prev = -1
       var cur = jobCount.get()
       while (cur != prev) { Thread.sleep(20); prev = cur; cur = jobCount.get() }

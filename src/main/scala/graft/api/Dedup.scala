@@ -275,9 +275,15 @@ object Dedup {
     // init already IS the first propagation round: comp = min(self, all
     // neighbors) from one groupBy — same shuffle a distinct-node init
     // would pay, one fewer loop round
-    var labels = edges.groupBy(col("src")).agg(min(col("dst")).as("nbr_min"))
+    // cachedGen is the HANDLE the cache entry was registered under —
+    // unpersist must be called on that object (a projection of it has a
+    // different canonicalized plan and unpersisting it is a silent
+    // no-op), so the loop threads the cached Dataset and the projected
+    // view separately
+    var cachedGen = edges.groupBy(col("src")).agg(min(col("dst")).as("nbr_min"))
       .select(col("src").as("id"), least(col("src"), col("nbr_min")).as("comp"))
       .cache()
+    var labels = cachedGen
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIters) {
@@ -299,7 +305,8 @@ object Dedup {
         .cache()
       // the ONE job of the round: builds next's cache as it counts
       changed = next.filter(col("comp") =!= col("prev")).count()
-      labels.unpersist() // successor is materialized — safe to drop
+      cachedGen.unpersist() // successor is materialized — safe to drop
+      cachedGen = next
       labels = next.select(col("id"), col("comp"))
       iter += 1
     }

@@ -70,11 +70,31 @@ object Similarity {
     * the bucket definition, so correctness checks stay exact. */
   def signLshBuckets(df: DataFrame, idCol: String, vecCol: String,
       nBits: Int = 6, extraBits: Int = 4, maxOccupancy: Int = 32): DataFrame = {
+    val (based, counts) = signBased(df, vecCol, nBits, extraBits, maxOccupancy)
+    based
+      .join(broadcast(counts), "__base")
+      .withColumn("bucket",
+        when(col("__cnt") > maxOccupancy,
+          lit(1L << nBits) + col("__base") * (1L << extraBits) + col("__extra"))
+          .otherwise(col("__base")))
+      .drop("__base", "__extra", "__cnt")
+  }
+
+  /** The (__base, __extra) sign-bit columns + base-bucket occupancy
+    * counts shared by [[signLshBuckets]] and [[signLshBucketsProbed]] —
+    * ONE definition, because the bucket-bit arithmetic is
+    * correctness-critical for the DuckDB oracle and probing is
+    * recall-only: if the two entry points ever drifted, probe keys
+    * would silently stop matching assignment keys with no oracle to
+    * catch it.
+    *
+    * try_element_at: vectors shorter than nBits+extraBits coords get 0
+    * for the missing sign bits instead of an ANSI array-index error —
+    * deterministic, and identical to the oracle's semantics (DuckDB
+    * list indexing out of range yields NULL, and NULL > 0 is not true). */
+  private def signBased(df: DataFrame, vecCol: String, nBits: Int,
+      extraBits: Int, maxOccupancy: Int): (DataFrame, DataFrame) = {
     require(nBits >= 1 && extraBits >= 1 && maxOccupancy >= 1)
-    // try_element_at: vectors shorter than nBits+extraBits coords get 0
-    // for the missing sign bits instead of an ANSI array-index error —
-    // deterministic, and identical to the oracle's semantics (DuckDB
-    // list indexing out of range yields NULL, and NULL > 0 is not true)
     def signBits(startCoord: Int, bits: Int): Column =
       (0 until bits).map { j =>
         when(try_element_at(col(vecCol), lit(startCoord + j)).cast("double") > 0.0,
@@ -83,14 +103,7 @@ object Similarity {
     val based = df
       .withColumn("__base", signBits(1, nBits))
       .withColumn("__extra", signBits(nBits + 1, extraBits))
-    val counts = based.groupBy(col("__base")).agg(count(lit(1)).as("__cnt"))
-    based
-      .join(broadcast(counts), "__base")
-      .withColumn("bucket",
-        when(col("__cnt") > maxOccupancy,
-          lit(1L << nBits) + col("__base") * (1L << extraBits) + col("__extra"))
-          .otherwise(col("__base")))
-      .drop("__base", "__extra", "__cnt")
+    (based, based.groupBy(col("__base")).agg(count(lit(1)).as("__cnt")))
   }
 
   /** Multi-probe expansion of [[signLshBuckets]]: one row per (vector,
@@ -113,16 +126,7 @@ object Similarity {
     * single-probe pairs. Downstream verification is exact either way. */
   def signLshBucketsProbed(df: DataFrame, idCol: String, vecCol: String,
       nBits: Int = 6, extraBits: Int = 4, maxOccupancy: Int = 32): DataFrame = {
-    require(nBits >= 1 && extraBits >= 1 && maxOccupancy >= 1)
-    def signBits(startCoord: Int, bits: Int): Column =
-      (0 until bits).map { j =>
-        when(try_element_at(col(vecCol), lit(startCoord + j)).cast("double") > 0.0,
-          lit(1L << (bits - 1 - j))).otherwise(lit(0L))
-      }.reduce(_ + _)
-    val based = df
-      .withColumn("__base", signBits(1, nBits))
-      .withColumn("__extra", signBits(nBits + 1, extraBits))
-    val counts = based.groupBy(col("__base")).agg(count(lit(1)).as("__cnt"))
+    val (based, counts) = signBased(df, vecCol, nBits, extraBits, maxOccupancy)
     // probe set: primary + flip each base bit + flip each extra bit
     val probes = array(
       struct(col("__base").as("pb"), col("__extra").as("pe")) +:
@@ -187,9 +191,10 @@ object Similarity {
     * family. */
   def annMultiProbe(df: DataFrame, idCol: String, vecCol: String, probeId: Long,
       k: Int, nBits: Int = 6, extraBits: Int = 4, maxOccupancy: Int = 32): DataFrame = {
-    val assigned = normalized(
-      signLshBuckets(df, idCol, vecCol, nBits, extraBits, maxOccupancy),
-      idCol, vecCol, keep = Seq("bucket"))
+    // the shared cached seam: identical canonicalized plan to
+    // allPairsSketch/nearDupCanonicalSketch, so the assignment relation
+    // computes once per session across the whole sketch family
+    val assigned = sketchEmb(df, idCol, vecCol, nBits, extraBits, maxOccupancy)
     // the probe's cells: distinct bucket ids (two extra-bit flips of an
     // UNREFINED base both collapse to the base key, so dedupe)
     val probeCells = normalized(

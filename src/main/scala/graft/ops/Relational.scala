@@ -115,16 +115,31 @@ object Relational {
           Option(f.listFiles()).foreach(_.foreach(deleteTree))
           f.delete(); ()
         }
-        deleteTree(dest) // known-invalid (or absent) stale copy
+        // build the replacement FIRST (dest stays readable throughout),
+        // then swap: re-check validity after the slow write (a
+        // concurrent JVM may have published a fresh valid copy while we
+        // wrote — keep theirs, discard ours), and retire a stale dest by
+        // RENAMING it away rather than recursive delete (a delete is
+        // file-by-file; a rename is atomic, so no reader ever sees a
+        // half-removed directory).
         val tmp = new java.io.File(cacheRoot,
           dest.getName + ".tmp." + java.util.UUID.randomUUID().toString.take(8))
         graft.sources.Formats.writeParquet(
           Tables.orders(spark, dir), tmp.toString, partitionBy = Seq("o_orderpriority"))
-        if (!tmp.renameTo(dest)) {
-          // lost the publish race — keep the winner's copy if it checks out
-          deleteTree(tmp)
-          require(destValid(),
-            s"scanPartition: concurrent writer left an invalid copy at $dest")
+        if (destValid()) {
+          deleteTree(tmp) // a concurrent publisher beat us with a valid copy
+        } else {
+          if (dest.exists()) {
+            val trash = new java.io.File(cacheRoot,
+              dest.getName + ".trash." + java.util.UUID.randomUUID().toString.take(8))
+            if (dest.renameTo(trash)) deleteTree(trash)
+          }
+          if (!tmp.renameTo(dest)) {
+            // lost the publish race — keep the winner's copy if it checks out
+            deleteTree(tmp)
+            require(destValid(),
+              s"scanPartition: concurrent writer left an invalid copy at $dest")
+          }
         }
       }
       validatedPartCopies.add(dest.toString)
