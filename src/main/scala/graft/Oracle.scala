@@ -801,6 +801,20 @@ object Oracle {
         |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
         |FROM c GROUP BY 1, 2 ORDER BY lang, chunk_id""".stripMargin,
 
+    "q_sample_mixture" -> {
+      val quotas = graft.ops.Text.mixtureQuotas.toSeq.sorted
+        .map { case (l, q) => s"('$l', $q)" }.mkString(", ")
+      s"""WITH alloc(lang, quota) AS (VALUES $quotas),
+         |ranked AS (
+         |  SELECT d.lang, d.doc_id, a.quota,
+         |         row_number() OVER (PARTITION BY d.lang
+         |           ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id) AS rk
+         |  FROM documents d JOIN alloc a ON d.lang = a.lang)
+         |SELECT lang, count(*) AS n_sampled, min(doc_id) AS min_doc, max(doc_id) AS max_doc
+         |FROM ranked WHERE rk <= quota
+         |GROUP BY lang ORDER BY lang""".stripMargin
+    },
+
     "q_pack_chunks" ->
       """WITH d AS (
         |  SELECT lang, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens

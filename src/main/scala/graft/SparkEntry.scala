@@ -87,6 +87,7 @@ object SparkEntry {
     "q_text_tfidf" -> Text.textTfidf _,
     "q_text_decontaminate" -> Text.textDecontaminate _,
     "q_sample_stratified" -> Text.sampleStratified _,
+    "q_sample_mixture" -> Text.sampleMixture _,
     "q_pack_chunks" -> Text.packChunks _,
     "q_pipeline_curate" -> Text.pipelineCurate _,
     "q_dedup_exact" -> Text.dedupExact _,

@@ -33,6 +33,28 @@ object Sampling {
       .filter(col("sample_rank") <= n)
   }
 
+  /** Mixture sampling: exactly allocation(stratum) rows per stratum, in
+    * the same portable md5 order as [[stratifiedTopN]]. The allocation
+    * is a PARAMETER (weights × budget resolved to integer counts by the
+    * caller — pure constant arithmetic, no data dependence), joined in
+    * as a broadcast literal table; strata absent from the allocation
+    * contribute nothing. This is the data-mixing step of a training
+    * pipeline: "40% en, 15% each of de/es/fr/zh" becomes per-stratum
+    * ranks ≤ n_i. Same scale shape and skew caveat as stratifiedTopN. */
+  def mixtureSample(df: DataFrame, strataCol: String, idCol: String,
+      allocation: Map[String, Int]): DataFrame = {
+    require(allocation.nonEmpty && allocation.values.forall(_ >= 0))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val alloc = allocation.toSeq.sortBy(_._1).toDF("__stratum", "__quota")
+    val ord = md5(col(idCol).cast("string").cast("binary"))
+    val w = Window.partitionBy(col(strataCol)).orderBy(ord, col(idCol))
+    df.join(broadcast(alloc), col(strataCol) === col("__stratum"))
+      .withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= col("__quota"))
+      .drop("__stratum", "__quota")
+  }
+
   /** Concat-and-chunk sequence packing: within each key, documents are
     * concatenated in id order and split into chunks of targetTokens —
     * chunk = floor(tokens-before-this-doc / targetTokens), the standard

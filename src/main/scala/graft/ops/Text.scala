@@ -195,6 +195,23 @@ object Text {
       .orderBy($"lang", $"sample_rank")
   }
 
+  /** Mixture sampling — the data-mixing step: a 200-doc budget split
+    * 40% en / 15% each de·es·fr·zh, resolved to integer quotas by
+    * constant arithmetic and drawn deterministically per stratum
+    * (graft.api.Sampling.mixtureSample). Output: one row per stratum
+    * with its realized quota and the sampled id range (the corpus has
+    * ≥ quota docs per lang at every SF, so realized = requested). */
+  private[graft] val mixtureQuotas: Map[String, Int] =
+    Map("en" -> 80, "de" -> 30, "es" -> 30, "fr" -> 30, "zh" -> 30)
+  def sampleMixture(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    api.Sampling.mixtureSample(Tables.documents(spark, dir), "lang", "doc_id", mixtureQuotas)
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_sampled"), min($"doc_id").as("min_doc"),
+        max($"doc_id").as("max_doc"))
+      .orderBy($"lang")
+  }
+
   /** Concat-and-chunk packing of each language's corpus into 256-token
     * chunks — graft.api.Sampling.packChunks over whitespace token
     * counts. */

@@ -26,6 +26,23 @@ class SamplingSpec extends SparkSpec {
     assert(pick(df) == pick(df.orderBy(rand()))) // input order is irrelevant
   }
 
+  test("mixtureSample: exact quotas, unallocated strata dropped, subset of stratifiedTopN order") {
+    import spark.implicits._
+    val df = (0 until 90).map(i => (s"s${i % 3}", i.toLong)).toDF("stratum", "id")
+    val got = graft.api.Sampling.mixtureSample(df, "stratum", "id",
+        Map("s0" -> 5, "s1" -> 12))
+      .groupBy($"stratum").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("s0" -> 5L, "s1" -> 12L), got.toString) // s2: no quota, no rows
+    // the mixture draw is the same ordered prefix stratifiedTopN uses —
+    // one deterministic order serves every quota
+    val mixIds = graft.api.Sampling.mixtureSample(df, "stratum", "id", Map("s0" -> 5))
+      .select($"id").as[Long].collect().toSet
+    val topIds = graft.api.Sampling.stratifiedTopN(df, "stratum", "id", 5)
+      .filter($"stratum" === "s0").select($"id").as[Long].collect().toSet
+    assert(mixIds == topIds, s"$mixIds vs $topIds")
+  }
+
   test("packChunks conserves docs and tokens; chunks start at 0 per key") {
     import spark.implicits._
     val df = (0 until 60).map(i => (s"k${i % 2}", i.toLong, (10 + i % 7).toLong))
