@@ -148,8 +148,12 @@ object Text {
   def textTfidf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
+    // cached: tf feeds BOTH the df aggregate and the score join — without
+    // the cache the explode+groupBy subplan executes twice, and the
+    // cached relation's exact statistics keep the token join broadcast
     val tf = docs.select($"doc_id", explode(toks($"text")).as("token"))
       .groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
+      .cache()
     val dfreq = tf.groupBy($"token").agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val scored = tf.join(dfreq, "token")
