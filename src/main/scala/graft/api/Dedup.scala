@@ -123,11 +123,14 @@ object Dedup {
     * 1e-6 slack so the oracle's round(j, 6) ≥ thr comparison can never
     * disagree at the boundary.
     *
-    * CACHING CONTRACT: caches TWO relations for the session lifetime —
-    * the shingle relation (feeds ~7 plan branches; its exact statistics
-    * keep the df/size/verify joins broadcast-shaped, measured 5x slower
-    * without) and the vocab-sized shingle-df table (aggregated once,
-    * filtered both ways). Same clearCache guidance as [[minhashLsh]]. */
+    * CACHING CONTRACT: caches up to THREE relations for the session
+    * lifetime — the shingle relation (feeds ~7 plan branches; its exact
+    * statistics keep the df/size/verify joins broadcast-shaped,
+    * measured 5x slower without), the vocab-sized shingle-df table
+    * (aggregated once, filtered both ways; capped path only), and the
+    * per-doc stats relation (size + over-cap count, joined per pair
+    * side; capped path only — uncapped it is derived from the shingle
+    * cache uncached). Same clearCache guidance as [[minhashLsh]]. */
   private[graft] def jaccardPairs(shingled0: DataFrame, thr: Double, maxDf: Int): DataFrame = {
     val shingled = shingled0.cache()
     val post = shingled.select(col("doc_id"), explode(col("shingles")).as("sh"))
@@ -148,12 +151,18 @@ object Dedup {
     // ONE per-doc stats relation (size + over-cap count) joined per pair
     // side, not four separate joins: each broadcast build is its own
     // Spark job, and on a contended driver jobs ≈ cost (this halves the
-    // pair-stat join count, 13 → 11 jobs measured at sf0.1)
-    // cached: without it each pair side re-executes the sizes⋈oc build
-    // as its own broadcast job (measured 15 jobs vs 11 cached)
-    val docStats = sizes.join(oc, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("sz"), coalesce(col("oc"), lit(0L)).as("oc"))
-      .cache()
+    // pair-stat join count, 13 → 11 jobs measured at sf0.1). Cached in
+    // the capped path: without the cache each pair side re-executes the
+    // sizes⋈oc build as its own broadcast job (measured 15 jobs vs 11).
+    // Uncapped (oc is empty by construction) it is a constant-0 column
+    // over the already-cached shingle relation — no join, no extra cache.
+    val docStats = dfAll match {
+      case None => sizes.withColumn("oc", lit(0L))
+      case Some(_) =>
+        sizes.join(oc, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("sz"), coalesce(col("oc"), lit(0L)).as("oc"))
+          .cache()
+    }
     val bounded = cappedIntersections(shingled, maxDf, dfAll)
       .join(docStats.select(col("doc_id").as("a_id"), col("sz").as("sz_a"),
         col("oc").as("oc_a")), "a_id")
