@@ -429,6 +429,19 @@ object Oracle {
       """SELECT o_orderkey, o_custkey, o_totalprice
         |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
 
+    // the custom TopKPerKey operator's result equals the rank-filter
+    // window formulation because (orderkey, linenumber) makes the order
+    // total — this is the operator's documented determinism contract
+    "q_topk_per_key" ->
+      """SELECT l_returnflag, l_linestatus, l_orderkey, l_linenumber, l_extendedprice
+        |FROM (
+        |  SELECT l_returnflag, l_linestatus, l_orderkey, l_linenumber, l_extendedprice,
+        |         row_number() OVER (PARTITION BY l_returnflag, l_linestatus
+        |           ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+        |  FROM lineitem) t
+        |WHERE rn <= 3
+        |ORDER BY l_returnflag, l_linestatus, l_extendedprice DESC, l_orderkey, l_linenumber""".stripMargin,
+
     "q_set_union" ->
       """WITH u AS (
         |  SELECT c_nationkey AS nationkey FROM customer

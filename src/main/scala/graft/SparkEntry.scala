@@ -60,6 +60,7 @@ object SparkEntry {
     "q_win_analytic" -> Relational.winAnalytic _,
     // §2.6 sort / set ops
     "q_sort_limit" -> Relational.sortLimit _,
+    "q_topk_per_key" -> Relational.topKPerKey _,
     "q_set_union" -> Relational.setUnion _,
     "q_set_intersect" -> Relational.setIntersect _,
     "q_set_except" -> Relational.setExcept _,

@@ -601,6 +601,27 @@ object Relational {
       .limit(10)
   }
 
+  /** Top-3 lineitems by extended price per (returnflag, linestatus) via
+    * the custom TopKPerKey physical operator (graft.plans.TopKPerKeyNode
+    * + Strategy + Exec — the full custom-plan tier). Same semantics as
+    * the q_win_rank formulation, different physics: bounded k-row heaps
+    * map-side, the one exchange carries at most k·keys rows per task, and
+    * no Sort node appears anywhere before the final presentation orderBy —
+    * plan shape asserted in TopKSpec. Oracle is the row_number window
+    * formulation in DuckDB (identical result under the total tiebreak
+    * order orderkey, linenumber). */
+  def topKPerKey(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir).select(
+      $"l_returnflag", $"l_linestatus", $"l_orderkey", $"l_linenumber", $"l_extendedprice")
+    graft.api.TopK.topKPerKey(li,
+        keys = Seq($"l_returnflag", $"l_linestatus"),
+        order = Seq($"l_extendedprice".desc, $"l_orderkey", $"l_linenumber"),
+        k = 3)
+      .orderBy($"l_returnflag", $"l_linestatus",
+        $"l_extendedprice".desc, $"l_orderkey", $"l_linenumber")
+  }
+
   /** UNION ALL vs UNION DISTINCT over customer/supplier nation keys. */
   def setUnion(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

@@ -13,6 +13,17 @@ object GraftExpressionBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Eagerly convert a Column to a plain catalyst Expression tree.
+    * `ExpressionUtils.expression` wraps the column's node in a LAZY
+    * `ColumnNodeExpression` placeholder that only built-in Dataset
+    * operators unwrap during their own analysis — inside a custom
+    * LogicalPlan it survives to execution unresolved (and
+    * unserializable). This converter produces the real tree up front
+    * (UnresolvedAttributes inside it resolve generically); `$"x".desc`
+    * style nodes come back as catalyst SortOrder. */
+  def eagerExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
+
   /** Register a SQL-callable function on an existing (classic) session. */
   def registerFunction(
       spark: SparkSession,
