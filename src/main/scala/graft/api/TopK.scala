@@ -29,8 +29,14 @@ object TopK {
   /** First k rows per distinct key under `order` (ascending unless the
     * Column carries .desc), rows passed through unchanged. Callers
     * wanting deterministic output must make `order` a total order (add a
-    * unique tiebreak) — same contract as rank-based SQL. */
-  def topKPerKey(df: DataFrame, keys: Seq[Column], order: Seq[Column], k: Int): DataFrame = {
+    * unique tiebreak) — same contract as rank-based SQL.
+    *
+    * `maxPartialKeys` caps the map-side heap table: past it the eldest
+    * key's heap is flushed to the shuffle early (correct — the final
+    * stage merges; costs only combine effectiveness). The default holds
+    * ≤ 256k·k rows per task; lower it for very wide rows or large k. */
+  def topKPerKey(df: DataFrame, keys: Seq[Column], order: Seq[Column], k: Int,
+      maxPartialKeys: Int = 1 << 18): DataFrame = {
     val spark = df.sparkSession
     register(spark)
     val keyExprs = keys.map(GraftExpressionBridge.eagerExpression)
@@ -41,6 +47,6 @@ object TopK {
       }
     }
     GraftExpressionBridge.ofRows(spark,
-      TopKPerKeyNode(keyExprs, sortExprs, k, df.queryExecution.analyzed))
+      TopKPerKeyNode(keyExprs, sortExprs, k, maxPartialKeys, df.queryExecution.analyzed))
   }
 }

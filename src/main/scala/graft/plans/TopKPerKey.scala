@@ -20,8 +20,9 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * each input partition, so the exchange carries at most
   * k · keys-per-task rows (the map-side-combine property joins and
   * windows lack), and the FINAL stage merges heaps after the shuffle —
-  * O(n log k) CPU, memory bounded by k rows per live key exactly like a
-  * partial hash aggregate's map. At 100 TB top-k-per-key over a
+  * O(n log k) CPU, partial-stage memory hard-capped at `maxPartialKeys`
+  * live heaps via evict-and-emit overflow (see [[TopKPerKeyExec]]'s
+  * memory contract). At 100 TB top-k-per-key over a
   * billion-row corpus with thousands of keys shuffles k·keys rows
   * instead of the corpus.
   *
@@ -39,8 +40,12 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * ordering comparison.
   */
 case class TopKPerKeyNode(keys: Seq[Expression], order: Seq[SortOrder],
-    k: Int, child: LogicalPlan) extends UnaryNode {
+    k: Int, maxPartialKeys: Int, child: LogicalPlan) extends UnaryNode {
   require(k >= 1, s"TopKPerKey requires k >= 1, got $k")
+  require(keys.nonEmpty,
+    "TopKPerKey requires at least one key; for a global top-k use orderBy(...).limit(k) " +
+      "(TakeOrderedAndProject), which already has the bounded-shuffle property")
+  require(maxPartialKeys >= 1, s"TopKPerKey requires maxPartialKeys >= 1, got $maxPartialKeys")
   override def output: Seq[Attribute] = child.output
   override def maxRows: Option[Long] = child.maxRows
   override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKeyNode =
@@ -52,9 +57,10 @@ case class TopKPerKeyNode(keys: Seq[Expression], order: Seq[SortOrder],
   * (public API — see graft.api.TopK). */
 object TopKPerKeyStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerKeyNode(keys, order, k, child) =>
-      TopKPerKeyExec(keys, order, k, partial = false,
-        TopKPerKeyExec(keys, order, k, partial = true, planLater(child))) :: Nil
+    case TopKPerKeyNode(keys, order, k, maxPartialKeys, child) =>
+      TopKPerKeyExec(keys, order, k, maxPartialKeys, partial = false,
+        TopKPerKeyExec(keys, order, k, maxPartialKeys, partial = true,
+          planLater(child))) :: Nil
     case _ => Nil
   }
 }
@@ -62,9 +68,21 @@ object TopKPerKeyStrategy extends SparkStrategy {
 /** Bounded per-key heap top-k. `partial = true` runs on whatever
   * distribution the child has (map side); `partial = false` requires
   * the keys clustered, which EnsureRequirements satisfies with one hash
-  * exchange (or zero if already clustered). */
+  * exchange (or zero if already clustered).
+  *
+  * Memory contract: the partial stage holds at most `maxPartialKeys`
+  * live heaps — when a new key would exceed the cap, the eldest key's
+  * heap is EVICTED AND EMITTED early. That is correct because partial
+  * top-k is a combiner: the final stage merges however many partial
+  * heaps a key produced (top-k of a union = top-k of the per-part
+  * top-ks), so eviction only costs combine effectiveness (a few extra
+  * shuffled rows for keys that recur after eviction), never rows. This
+  * mirrors Spark's own partial-aggregation fallback-to-passthrough. The
+  * final stage ignores the cap: its footprint is k rows per distinct
+  * key of its partition — the size of its OUTPUT, the floor any
+  * operator producing that result pays. */
 case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
-    k: Int, partial: Boolean, child: SparkPlan) extends UnaryExecNode {
+    k: Int, maxPartialKeys: Int, partial: Boolean, child: SparkPlan) extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output
   override def outputPartitioning: Partitioning = child.outputPartitioning
   override def requiredChildDistribution: Seq[Distribution] =
@@ -78,6 +96,7 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
     val sortOrder = order
     val childOutput = child.output
     val kk = k
+    val cap = if (partial) maxPartialKeys else Int.MaxValue
     child.execute().mapPartitions({ iter =>
       // all three are codegen'd (with interpreted fallback) and created
       // once per task, not per row
@@ -90,30 +109,40 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
       val heapOrd = ord.reverse.asInstanceOf[java.util.Comparator[UnsafeRow]]
       val heaps = scala.collection.mutable.LinkedHashMap
         .empty[UnsafeRow, java.util.PriorityQueue[UnsafeRow]]
-      while (iter.hasNext) {
-        val row = toUnsafe(iter.next()) // reused buffer — copy on retain
-        val key = keyProj(row)          // reused buffer — copy on store
-        heaps.get(key) match {
-          case Some(heap) =>
-            if (heap.size < kk) { heap.add(row.copy()); () }
-            else if (ord.compare(row, heap.peek()) < 0) {
-              heap.poll(); heap.add(row.copy()); ()
-            }
-          case None =>
-            val heap = new java.util.PriorityQueue[UnsafeRow](kk, heapOrd)
-            heap.add(row.copy())
-            heaps.put(key.copy(), heap)
-            ()
-        }
-      }
-      // emit each key's rows in sort order (poll order is reverse of it):
-      // deterministic output, and the final stage's heaps rebuild cheaply
-      heaps.valuesIterator.flatMap { heap =>
+      // emit a heap's rows in sort order (poll order is reverse of it):
+      // deterministic output, and downstream heaps rebuild cheaply
+      def drain(heap: java.util.PriorityQueue[UnsafeRow]): Iterator[InternalRow] = {
         val arr = new Array[InternalRow](heap.size)
         var i = arr.length - 1
         while (i >= 0) { arr(i) = heap.poll(); i -= 1 }
-        arr
+        arr.iterator
       }
+      // streaming pass: admission returns nothing; a capacity eviction
+      // (partial stage only) flushes the eldest key's heap downstream
+      // immediately, keeping live heaps <= cap without buffering
+      val evictions = iter.flatMap { r =>
+        val row = toUnsafe(r) // reused buffer — copy on retain
+        val key = keyProj(row) // reused buffer — copy on store
+        heaps.get(key) match {
+          case Some(heap) =>
+            if (heap.size < kk) heap.add(row.copy())
+            else if (ord.compare(row, heap.peek()) < 0) {
+              heap.poll(); heap.add(row.copy())
+            }
+            Iterator.empty
+          case None =>
+            // PriorityQueue grows as needed — size the initial array for
+            // the common small-group case, not for a large-k cap
+            val heap = new java.util.PriorityQueue[UnsafeRow](math.min(kk, 16), heapOrd)
+            heap.add(row.copy())
+            heaps.put(key.copy(), heap)
+            if (heaps.size > cap) {
+              val eldest = heaps.head._1
+              drain(heaps.remove(eldest).get)
+            } else Iterator.empty
+        }
+      }
+      evictions ++ heaps.valuesIterator.flatMap(drain)
     }, preservesPartitioning = true)
   }
 }

@@ -91,6 +91,25 @@ class TopKSpec extends SparkSpec {
     assert(n >= 4 * 2L) // at least k rows per key overall
   }
 
+  test("partial-stage eviction (tiny maxPartialKeys) loses no rows") {
+    import spark.implicits._
+    // cap of 2 live heaps over 4 interleaved keys forces constant
+    // evict-and-emit; the final stage must still merge to the exact result
+    for (k <- Seq(1, 3)) {
+      val q = api.TopK.topKPerKey(df, Seq($"key"), Seq($"v".desc, $"id"), k,
+        maxPartialKeys = 2)
+      assert(rows(q) == rows(windowed(k)), s"k=$k under eviction")
+    }
+  }
+
+  test("empty keys rejected with a clear message at construction") {
+    import spark.implicits._
+    val e = intercept[IllegalArgumentException] {
+      api.TopK.topKPerKey(df, Seq.empty, Seq($"v".desc), 3)
+    }
+    assert(e.getMessage.contains("orderBy(...).limit(k)"), e.getMessage)
+  }
+
   test("exchange elided when the child is already clustered on the keys") {
     import spark.implicits._
     val pre = df.repartition($"key")
