@@ -160,9 +160,18 @@ object Text {
       .crossJoin(broadcast(nDocs))
       .withColumn("tfidf",
         round($"tf" * (log(($"n_docs" + 1.0) / ($"df" + 1.0)) + 1.0), 6))
+    // top-3 via the custom TopKPerKey operator: the shuffle carries at
+    // most 3 rows per doc per task instead of every (doc, token) pair —
+    // at corpus scale the difference between shuffling the tokenized
+    // corpus and shuffling the answer. The rank window then runs over
+    // the ≤ 3·docs surviving rows, and its exchange is ELIDED: TopK's
+    // final stage already hash-clusters doc_id (plan note in PLANS.md).
+    val top3 = api.TopK.topKPerKey(
+      scored.select($"doc_id", $"token", $"tfidf"),
+      keys = Seq($"doc_id"), order = Seq($"tfidf".desc, $"token"), k = 3)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"doc_id").orderBy($"tfidf".desc, $"token")
-    scored.withColumn("rank", row_number().over(w)).filter($"rank" <= 3)
+    top3.withColumn("rank", row_number().over(w))
       .select($"doc_id", $"rank", $"token", $"tfidf")
       .orderBy($"doc_id", $"rank")
   }
