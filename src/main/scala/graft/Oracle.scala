@@ -509,6 +509,16 @@ object Oracle {
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
 
+    // DuckDB runs the identical LATERAL text — the check is that both
+    // engines' decorrelations agree with each other
+    "q_sql_lateral" ->
+      """SELECT c_custkey, t.o_orderkey, t.o_totalprice
+        |FROM customer,
+        |LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+        |         WHERE o_custkey = c_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin,
+
     "q_fn_date2" ->
       """SELECT o_orderkey,
         |       CAST(dayofyear(o_orderdate) AS INTEGER) AS doy,
@@ -618,6 +628,21 @@ object Oracle {
         |       CAST(sum(CASE WHEN c_mktsegment = 'MACHINERY'  THEN 1 ELSE 0 END) AS BIGINT) AS "MACHINERY"
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    // unpivot replayed as a wide aggregate + UNION ALL (the relational
+    // definition of melt); DECIMAL money sum like every other oracle
+    "q_agg_unpivot" ->
+      """WITH w AS (
+        |  SELECT o_orderstatus,
+        |         CAST(count(*) AS DOUBLE) AS n_orders,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |         CAST(count(DISTINCT o_custkey) AS DOUBLE) AS n_custs
+        |  FROM orders GROUP BY 1)
+        |SELECT o_orderstatus, metric, value FROM (
+        |  SELECT o_orderstatus, 'n_orders' AS metric, n_orders AS value FROM w
+        |  UNION ALL SELECT o_orderstatus, 'sum_price', sum_price FROM w
+        |  UNION ALL SELECT o_orderstatus, 'n_custs', n_custs FROM w) t
+        |ORDER BY o_orderstatus, metric""".stripMargin,
 
     "q_win_percent" ->
       """SELECT o_custkey, o_orderkey,
@@ -730,6 +755,26 @@ object Oracle {
         |       CAST(sum(len(regexp_extract_all(text, '[a-z]{1,4}'))) AS BIGINT) AS sum_subtokens,
         |       CAST(sum(len(regexp_extract_all(text, '[a-z]{1,4}'))) AS DOUBLE) / count(*) AS avg_subtokens
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // repetition stats replayed with list lambdas (DuckDB lists are
+    // 1-indexed: range(1, len) stops one short — exactly the bigram
+    // positions); keep/reject compares the ROUNDED fractions like the
+    // Spark side so a sub-ulp difference cannot flip a verdict
+    "q_text_gopher" ->
+      """SELECT doc_id, n_tokens, top_token_frac, dup_bigram_frac,
+        |       CASE WHEN top_token_frac <= 0.12 AND dup_bigram_frac <= 0.05
+        |            THEN 1 ELSE 0 END AS keep
+        |FROM (
+        |  SELECT doc_id, CAST(len(t) AS INTEGER) AS n_tokens,
+        |         round(CAST(list_max(list_transform(list_distinct(t),
+        |             w -> len(list_filter(t, x -> x = w)))) AS DOUBLE) / len(t), 6)
+        |           AS top_token_frac,
+        |         round(CASE WHEN len(t) <= 2 THEN 0.0
+        |           ELSE CAST(len(t) - 1 - len(list_distinct(list_transform(
+        |                  range(1, len(t)), i -> t[i] || ' ' || t[i + 1]))) AS DOUBLE)
+        |                / (len(t) - 1) END, 6) AS dup_bigram_frac
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents) raw) s
+        |ORDER BY doc_id""".stripMargin,
 
     // rank on the ROUNDED score + token tiebreak in BOTH engines, so a
     // 1-ulp ln() difference cannot flip a rank (see Text.textTfidf)

@@ -86,6 +86,7 @@ object SparkEntry {
     "q_text_editdist" -> Text.textEditDist _,
     "q_text_tokens_bpe" -> Text.textTokensBpe _,
     "q_text_tfidf" -> Text.textTfidf _,
+    "q_text_gopher" -> Text.textGopher _,
     "q_text_decontaminate" -> Text.textDecontaminate _,
     "q_sample_stratified" -> Text.sampleStratified _,
     "q_sample_mixture" -> Text.sampleMixture _,
@@ -115,8 +116,10 @@ object SparkEntry {
     "q_sql_tpch_q3" -> Sql.tpchQ3 _,
     "q_sql_grouping_sets" -> Sql.groupingSets _,
     "q_sql_tpch_q4" -> Sql.tpchQ4 _,
+    "q_sql_lateral" -> Sql.lateralTopN _,
     // pivot / extra windows / bitwise / skew-salted join
     "q_agg_pivot" -> Relational.aggPivot _,
+    "q_agg_unpivot" -> Relational.aggUnpivot _,
     "q_win_percent" -> Relational.winPercent _,
     "q_fn_bitwise" -> Relational.fnBitwise _,
     "q_join_skew_salted" -> Relational.joinSkewSalted _,

@@ -834,6 +834,29 @@ object Relational {
       .orderBy($"n_name")
   }
 
+  /** Unpivot (melt) — the inverse of pivot: a wide per-status aggregate
+    * reshaped to (status, metric, value) long form via Dataset.unpivot.
+    * Unpivot is a per-row expansion (Expand in the plan), so at scale it
+    * adds NO shuffle beyond the feeding aggregate; value columns are
+    * cast to one type up front (unpivot requires it) and the money sum
+    * goes through DECIMAL (order-independent) before the reshape. */
+  def aggUnpivot(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .groupBy($"o_orderstatus")
+      .agg(
+        count(lit(1)).cast("double").as("n_orders"),
+        sum(dec2($"o_totalprice")).cast("double").as("sum_price"),
+        countDistinct($"o_custkey").cast("double").as("n_custs"),
+      )
+      .unpivot(
+        ids = Array($"o_orderstatus"),
+        values = Array($"n_orders", $"sum_price", $"n_custs"),
+        variableColumnName = "metric",
+        valueColumnName = "value")
+      .orderBy($"o_orderstatus", $"metric")
+  }
+
   /** percent_rank / cume_dist — rank-derived ratios are exact integer
     * divisions, so they hash-match the oracle without rounding. */
   def winPercent(spark: SparkSession, dir: String): DataFrame = {

@@ -67,6 +67,24 @@ object Sql {
         |ORDER BY o_orderpriority""".stripMargin)
   }
 
+  /** Correlated LATERAL subquery: top-2 orders by price per customer —
+    * SQL's "for each row, run this parameterized subquery" surface.
+    * Catalyst decorrelates the ORDER BY + LIMIT lateral into a
+    * rank-filtered join (one shuffle on the correlation key), NOT a
+    * per-row nested loop — exactly what survives a 100 TB outer side.
+    * Raw price values flow through unaggregated, so no rounding is
+    * needed for the oracle hash. */
+  def lateralTopN(spark: SparkSession, dir: String): DataFrame = {
+    withViews(spark, dir)
+    spark.sql(
+      """SELECT c_custkey, t.o_orderkey, t.o_totalprice
+        |FROM customer,
+        |LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+        |         WHERE o_custkey = c_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin)
+  }
+
   /** Explicit GROUPING SETS (the general form rollup/cube specialize):
     * per-(priority,status), per-priority, and grand-total rows in one
     * pass — Catalyst expands then aggregates, still partial+final. */

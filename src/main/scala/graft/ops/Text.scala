@@ -123,6 +123,45 @@ object Text {
       .orderBy($"lang")
   }
 
+  /** Gopher-style repetition filter: per-document top-token fraction
+    * (occurrences of the most frequent token / token count) and
+    * duplicate-bigram fraction (repeated bigram occurrences / bigram
+    * count), with a keep/reject verdict at (0.12, 0.05). The scale
+    * shape is the whole point: repetition filtering is a pure per-row
+    * map — tokenize once (the `transform(array(...))` binding keeps
+    * the split from being re-inlined per use, the round-2
+    * CollapseProject lesson), score, no shuffle anywhere before the
+    * output sort — so at 100 TB it rides the scan with zero exchanges.
+    * Comparisons use the ROUNDED fractions so both engines classify
+    * identically. */
+  private[graft] def repetitionScore(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val stats = expr(
+      """transform(array(split(text, ' ')), t -> struct(
+        |  size(t) AS n_tokens,
+        |  array_max(transform(array_distinct(t), w -> size(filter(t, x -> x = w)))) AS top_tok,
+        |  size(array_distinct(transform(sequence(1, greatest(size(t) - 1, 1)),
+        |    i -> concat_ws(' ', t[i-1], t[i])))) AS n_bi_distinct
+        |))[0]""".stripMargin)
+    val topFrac = round($"s.top_tok".cast("double") / $"s.n_tokens", 6)
+    val dupFrac = round(
+      when($"s.n_tokens" <= 2, 0.0d).otherwise(
+        ($"s.n_tokens" - 1 - $"s.n_bi_distinct").cast("double") / ($"s.n_tokens" - 1)), 6)
+    docs
+      .withColumn("s", stats)
+      .select(
+        $"doc_id",
+        $"s.n_tokens".as("n_tokens"),
+        topFrac.as("top_token_frac"),
+        dupFrac.as("dup_bigram_frac"),
+        when(topFrac <= 0.12 && dupFrac <= 0.05, 1).otherwise(0).as("keep"),
+      )
+      .orderBy($"doc_id")
+  }
+
+  def textGopher(spark: SparkSession, dir: String): DataFrame =
+    repetitionScore(Tables.documents(spark, dir))
+
   /** Edit-distance text similarity: levenshtein of each document's
     * 40-char prefix against a reference phrase, bucketed. At scale this
     * is the per-row scoring stage of fuzzy matching — O(len²) per row

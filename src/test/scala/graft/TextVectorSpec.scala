@@ -159,6 +159,26 @@ class TextVectorSpec extends SparkSpec {
     assert(ivf == exactOverCands, s"ivf=$ivf exact-over-candidates=$exactOverCands")
   }
 
+  test("gopher repetition score matches hand computation and flags repetition") {
+    import spark.implicits._
+    val docs = Seq(
+      // 4 tokens, top token 'a'×3 → 0.75; bigrams (a a, a a, a b):
+      // 3 occurrences, 2 distinct → dup frac 1/3
+      (0L, "a a a b"),
+      // all-distinct tokens: top frac 1/9 ≈ 0.111 ≤ 0.12, dup bigram
+      // frac 0 → keep
+      (1L, "one two three four five six seven eight nine"),
+      // 2 tokens: bigram count 1 ⇒ dup frac defined as 0
+      (2L, "x y"),
+    ).toDF("doc_id", "text")
+    val out = graft.ops.Text.repetitionScore(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2), r.getDouble(3), r.getInt(4))))
+      .toMap
+    assert(out(0L) == ((4, 0.75, 0.333333, 0)))
+    assert(out(1L) == ((9, 0.111111, 0.0, 1)))
+    assert(out(2L) == ((2, 0.5, 0.0, 0)))
+  }
+
   test("rolling-hash fingerprint matches hand computation") {
     import spark.implicits._
     val df = Seq((1L, "ab")).toDF("doc_id", "text")
