@@ -1035,6 +1035,28 @@ object Oracle {
         |WHERE n_nbrs > 1
         |ORDER BY vec_id""".stripMargin,
 
+    // semantic dedup: the q_sim_pairs pair set at threshold 0.4, closed
+    // transitively (recursive reachability) and collapsed to min-id
+    // components — the embedding twin of q_dedup_cluster's oracle
+    "q_dedup_semantic" ->
+      s"""WITH RECURSIVE ${signBucketCte(6, 4, 32)},
+        |p AS (
+        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+        |  FROM k a JOIN k b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        |  WHERE round(list_cosine_similarity(
+        |          CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= 0.4),
+        |edges AS (
+        |  SELECT a_id AS src, b_id AS dst FROM p
+        |  UNION SELECT b_id, a_id FROM p),
+        |reach AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+        |SELECT vec_id, canonical_vec FROM (
+        |  SELECT src AS vec_id, least(src, min(dst)) AS canonical_vec
+        |  FROM reach GROUP BY src) t
+        |ORDER BY vec_id""".stripMargin,
+
     "q_udaf_centroid" ->
       """WITH flat AS (
         |  SELECT label, generate_subscripts(embedding, 1) AS pos,

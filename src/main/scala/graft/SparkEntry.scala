@@ -104,6 +104,7 @@ object SparkEntry {
     "q_ann_lsh" -> Vector.annLsh _,
     "q_ann_multiprobe" -> Vector.annMultiProbe _,
     "q_dedup_embed" -> Vector.dedupEmbed _,
+    "q_dedup_semantic" -> Vector.dedupSemantic _,
     "q_ann_ivf" -> Vector.annIvf _,
     // §2.8 multimodal
     "q_multimodal_join" -> Multimodal.multimodalJoin _,

@@ -59,6 +59,27 @@ object Vector {
     Similarity.nearDupCanonicalSketch(Tables.embeddings(spark, dir), "vec_id", "embedding",
       threshold = 0.4, nBits = 6, extraBits = 4, maxOccupancy = 32)
 
+  /** Semantic dedup: the transitive closure of the embedding near-dup
+    * graph — [[simPairs]]' sign-LSH-blocked exact-cosine pairs at the
+    * 0.4 threshold, collapsed to connected components by
+    * graft.api.Dedup.clusterPairs (pointer-jumping min-label
+    * propagation, the same operator q_dedup_cluster uses on the MinHash
+    * graph). Where q_dedup_embed keeps each vector's ONE-HOP
+    * neighborhood min, this resolves chains A~B~C where cos(A,C) <
+    * threshold to a single canonical id — the semantics a training
+    * pipeline needs when near-dup groups overlap. The pair generation
+    * reuses the session-cached sketchEmb relation, so the marginal cost
+    * over q_sim_pairs is the O(log diameter) label rounds. Oracle:
+    * DuckDB replays bucketing + exact cosine, then closes the pair set
+    * with recursive SQL. */
+  def dedupSemantic(spark: SparkSession, dir: String): DataFrame =
+    graft.api.Dedup.clusterPairs(
+      Similarity.allPairsSketch(Tables.embeddings(spark, dir), "vec_id", "embedding",
+        threshold = 0.4, nBits = 6, extraBits = 4, maxOccupancy = 32),
+      "a_id", "b_id")
+      .select(col("doc_id").as("vec_id"), col("canonical_doc").as("canonical_vec"))
+      .orderBy(col("vec_id"))
+
   /** Multi-table LSH ANN (8 tables × 4 random-coordinate sign bits) vs
     * probe vec_id 0 — graft.api.Similarity.annLsh for algorithm + scale
     * notes. FULL DuckDB oracle since round 3: the axis-aligned family is
