@@ -671,6 +671,17 @@ object Oracle {
         |GROUP BY c_mktsegment
         |ORDER BY c_mktsegment""".stripMargin,
 
+    // the bucketed layout must not change the ANSWER: the oracle is the
+    // plain join over the un-bucketed tables (the plan property — no
+    // exchange — is pinned by ScaleJoinSpec)
+    "q_join_bucketed" ->
+      """SELECT o_orderpriority, count(*) AS n_lines,
+        |       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+        |         AS revenue
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
     // data-quality audit ------------------------------------------------------
     "q_quality_audit" ->
       """SELECT check_name, n_violations FROM (

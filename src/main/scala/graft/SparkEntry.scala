@@ -124,6 +124,7 @@ object SparkEntry {
     "q_win_percent" -> Relational.winPercent _,
     "q_fn_bitwise" -> Relational.fnBitwise _,
     "q_join_skew_salted" -> Relational.joinSkewSalted _,
+    "q_join_bucketed" -> Relational.joinBucketed _,
     // warehouse operations
     "q_quality_audit" -> Quality.qualityAudit _,
   )

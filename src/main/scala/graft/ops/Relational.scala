@@ -886,6 +886,28 @@ object Relational {
       .orderBy($"o_orderkey")
   }
 
+  /** Co-located join over bucketed tables: orders and lineitem are
+    * written once with `bucketBy(8, orderkey)` (graft.sources.Bucketed
+    * — the one-time amortized shuffle), then the fact⋈fact join reads
+    * co-located buckets. With the scans already HashPartitioned on the
+    * join key, the join and the per-order-side of the aggregate need
+    * no exchange — the plan property ScaleJoinSpec pins with broadcast
+    * disabled; the oracle checks the ANSWER equals the plain join's.
+    * At 100 TB bucketing is how a fact⋈fact join becomes a map-side
+    * merge instead of the query's dominant shuffle. */
+  def joinBucketed(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (o, l) = graft.sources.Bucketed.ordersLineitem(spark, dir)
+    o.join(l, $"o_orderkey" === $"l_orderkey")
+      .groupBy($"o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(dec4($"l_extendedprice" * (lit(1.0) - $"l_discount"))).cast("double")
+          .as("revenue"),
+      )
+      .orderBy($"o_orderpriority")
+  }
+
   /** Skew-mitigated (salted) join: replicate the build side S ways and
     * split the probe side's hot keys across S salt values, so one
     * pathological key spreads over S tasks instead of stalling one

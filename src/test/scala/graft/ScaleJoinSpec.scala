@@ -166,6 +166,30 @@ class ScaleJoinSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("Bucketed.ordersLineitem: real fact⋈fact join runs with no exchange") {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    def collectExec(plan: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.SparkPlan] =
+      plan.collect {
+        case a: AdaptiveSparkPlanExec => collectExec(a.executedPlan)
+        case qs: QueryStageExec => qs +: collectExec(qs.plan)
+        case p => Seq(p)
+      }.flatten
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val (o, l) = graft.sources.Bucketed.ordersLineitem(spark, "/root/testdata/sf0.001")
+      val j = o.join(l, o("o_orderkey") === l("l_orderkey"))
+        .select(o("o_orderpriority"), l("l_extendedprice"))
+      val n = j.count()
+      assert(n > 0)
+      val nodes = collectExec(j.queryExecution.executedPlan)
+      assert(!nodes.exists(_.isInstanceOf[ShuffleExchangeLike]),
+        "bucketed fact join still shuffles:\n" + nodes.mkString("\n").take(1500))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("bucketed tables co-locate: join plan has no shuffle exchange") {
     import spark.implicits._
     // warehouse.dir is a static conf — managed tables land in the default
