@@ -1153,6 +1153,30 @@ object Oracle {
         |       event_type, count(*) AS n_events
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    // resample + LOCF replayed with generate_series for the grid and
+    // last_value IGNORE NULLS for the fill; the filled measure is a MAX
+    // (order-independent double) so it cross-checks exactly
+    "q_ts_resample" ->
+      """WITH hourly AS (
+        |  SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
+        |         count(*) AS n, max(value) AS hmax
+        |  FROM events GROUP BY 1, 2),
+        |spans AS (
+        |  SELECT event_type, min(hour_start) AS lo, max(hour_start) AS hi
+        |  FROM hourly GROUP BY 1),
+        |grid AS (
+        |  SELECT event_type,
+        |         CAST(unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS TIMESTAMP) AS hour_start
+        |  FROM spans)
+        |SELECT g.event_type, g.hour_start,
+        |       coalesce(h.n, 0) AS n_events,
+        |       round(last_value(h.hmax IGNORE NULLS) OVER (
+        |         PARTITION BY g.event_type ORDER BY g.hour_start), 6) AS filled_max,
+        |       CASE WHEN h.n IS NULL THEN 1 ELSE 0 END AS is_gap
+        |FROM grid g LEFT JOIN hourly h
+        |  ON g.event_type = h.event_type AND g.hour_start = h.hour_start
+        |ORDER BY g.event_type, g.hour_start""".stripMargin,
+
     // sliding windows expanded by explicit bucket arithmetic: an event in
     // 15-min bucket B belongs to the 1h windows starting at B-45m..B
     "q_stream_sliding_batch" ->

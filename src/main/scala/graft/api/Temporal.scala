@@ -70,6 +70,37 @@ object Temporal {
       .select(col("a.key").as("key"), col("a.id").as("a_id"), col("b.id").as("b_id"))
   }
 
+  /** Regular-grid resample with forward fill (LOCF): aggregate rows to
+    * per-(key, bucket) observations, generate each key's complete
+    * bucket grid between its first and last observation, and carry the
+    * last observed value across gap buckets. The 100 TB shape: the
+    * grid comes from a per-key min/max aggregate (tiny) exploded by
+    * `sequence` — never a driver-side loop or a global calendar cross
+    * join — the gap-fill join is equi on (key, bucket), and the fill
+    * itself is one ordered window pass per key; every stage shuffles
+    * on the key. Output: (key, bucket_start, n_events, filled_max,
+    * is_gap) where filled_max LOCFs the per-bucket max (max is
+    * order-independent, so it cross-checks exactly — a summed measure
+    * would need the DECIMAL treatment). */
+  def resampleLocf(df: DataFrame, keyCol: String, tsCol: String, valCol: String,
+      truncUnit: String = "hour"): DataFrame = {
+    val hourly = df
+      .groupBy(col(keyCol).as("key"), date_trunc(truncUnit, col(tsCol)).as("bucket_start"))
+      .agg(count(lit(1)).as("n_obs"), max(col(valCol)).as("bmax"))
+    val grid = hourly
+      .groupBy(col("key")).agg(min(col("bucket_start")).as("lo"), max(col("bucket_start")).as("hi"))
+      .select(col("key"),
+        explode(sequence(col("lo"), col("hi"), expr(s"INTERVAL 1 $truncUnit"))).as("bucket_start"))
+    val w = Window.partitionBy(col("key")).orderBy(col("bucket_start"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(hourly, Seq("key", "bucket_start"), "left")
+      .withColumn("filled_max", last(col("bmax"), ignoreNulls = true).over(w))
+      .select(col("key"), col("bucket_start"),
+        coalesce(col("n_obs"), lit(0L)).as("n_events"),
+        round(col("filled_max"), 6).as("filled_max"),
+        when(col("n_obs").isNull, 1).otherwise(0).as("is_gap"))
+  }
+
   /** As-of join: for each left row, the id of the latest right row with
     * the same key and rightTs ≤ leftTs (an equal-timestamp right row
     * matches). Among right rows tied on (key, ts) the winner is the one

@@ -947,6 +947,20 @@ object Relational {
       .orderBy($"hour_start", $"event_type")
   }
 
+  /** Time-series resample to a 1-hour grid with forward fill — the
+    * gap-filling/LOCF operator every metrics pipeline needs (see
+    * graft.api.Temporal.resampleLocf for the scale shape). Each event
+    * type's 720-hour span has 30–50 empty hours in this data, so the
+    * fill path is genuinely exercised and oracle-checked. */
+  def tsResample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.api.Temporal.resampleLocf(
+      Tables.events(spark, dir), "event_type", "ts", "value")
+      .select($"key".as("event_type"), $"bucket_start".as("hour_start"),
+        $"n_events", $"filled_max", $"is_gap")
+      .orderBy($"event_type", $"hour_start")
+  }
+
   /** Sliding 1-hour windows every 15 minutes on batch data — each event
     * lands in 4 windows (Spark's window() generator). The oracle
     * reproduces the expansion with explicit bucket arithmetic

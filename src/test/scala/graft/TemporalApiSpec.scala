@@ -78,6 +78,28 @@ class TemporalApiSpec extends SparkSpec {
     assert(!banded.contains((2L, 4L)) && !banded.exists(p => p._1 == 5L || p._2 == 5L))
   }
 
+  test("resampleLocf fills gap buckets and carries the last observed max") {
+    import spark.implicits._
+    // key A observed at hours 0, 1, 4 (gap at 2, 3); key B at hour 0 only
+    val df = Seq(
+      ("A", "2024-01-01 00:10:00", 1.0), ("A", "2024-01-01 00:50:00", 3.0),
+      ("A", "2024-01-01 01:30:00", 2.0),
+      ("A", "2024-01-01 04:15:00", 5.0),
+      ("B", "2024-01-01 00:00:00", 7.0),
+    ).toDF("k", "t", "v").select($"k", $"t".cast("timestamp").as("t"), $"v")
+    val out = graft.api.Temporal.resampleLocf(df, "k", "t", "v").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).toString.take(13),
+        r.getLong(2), r.getDouble(3), r.getInt(4))).toSet
+    assert(out == Set(
+      ("A", "2024-01-01 00", 2L, 3.0, 0),
+      ("A", "2024-01-01 01", 1L, 2.0, 0),
+      ("A", "2024-01-01 02", 0L, 2.0, 1), // gap: carries hour-1 max
+      ("A", "2024-01-01 03", 0L, 2.0, 1),
+      ("A", "2024-01-01 04", 1L, 5.0, 0),
+      ("B", "2024-01-01 00", 1L, 7.0, 0),
+    ), out.toString)
+  }
+
   test("intervalOverlapSelfJoin raises loudly on a precondition-violating interval") {
     import spark.implicits._
     // one interval longer than maxDur: band diff can exceed 1 and pairs
