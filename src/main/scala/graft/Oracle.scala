@@ -629,6 +629,16 @@ object Oracle {
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
 
+    // predicate aggregates: DuckDB spells count_if as count(*) FILTER;
+    // booleans cast to int on both sides
+    "q_agg_bool" ->
+      """SELECT o_orderpriority,
+        |       count(*) FILTER (WHERE o_totalprice > 200000.0) AS n_big,
+        |       CAST(bool_and(o_totalprice > 1000.0) AS INTEGER) AS all_over_1k,
+        |       CAST(bool_or(o_orderstatus = 'F') AS INTEGER) AS any_final
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
     // unpivot replayed as a wide aggregate + UNION ALL (the relational
     // definition of melt); DECIMAL money sum like every other oracle
     "q_agg_unpivot" ->
@@ -766,6 +776,16 @@ object Oracle {
         |       CAST(sum(len(regexp_extract_all(text, '[a-z]{1,4}'))) AS BIGINT) AS sum_subtokens,
         |       CAST(sum(len(regexp_extract_all(text, '[a-z]{1,4}'))) AS DOUBLE) / count(*) AS avg_subtokens
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // digit-run masking: DuckDB regexp_replace needs the 'g' flag to
+    // match Spark's replace-all default
+    "q_text_redact" ->
+      """SELECT event_type, count(*) AS n_events,
+        |       CAST(sum(len(regexp_extract_all(props, '[0-9]+'))) AS BIGINT) AS n_masked_runs,
+        |       count(DISTINCT regexp_replace(props, '[0-9]+', '#', 'g')) AS n_distinct_masked,
+        |       min(regexp_replace(props, '[0-9]+', '#', 'g')) AS sample_masked
+        |FROM events GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
 
     // repetition stats replayed with list lambdas (DuckDB lists are
     // 1-indexed: range(1, len) stops one short — exactly the bigram

@@ -834,6 +834,23 @@ object Relational {
       .orderBy($"n_name")
   }
 
+  /** Conditional/boolean aggregate family: count_if, bool_and, bool_or
+    * — all fold into the same partial+final hash aggregate as any
+    * other agg (a predicate aggregate is a sum/min/max of 0/1 under
+    * the hood). Booleans are cast to int at the output boundary so the
+    * cross-engine hash compare never depends on boolean rendering. */
+  def aggBool(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .groupBy($"o_orderpriority")
+      .agg(
+        count_if($"o_totalprice" > 200000.0).as("n_big"),
+        bool_and($"o_totalprice" > 1000.0).cast("int").as("all_over_1k"),
+        bool_or($"o_orderstatus" === "F").cast("int").as("any_final"),
+      )
+      .orderBy($"o_orderpriority")
+  }
+
   /** Unpivot (melt) — the inverse of pivot: a wide per-status aggregate
     * reshaped to (status, metric, value) long form via Dataset.unpivot.
     * Unpivot is a per-row expansion (Expand in the plan), so at scale it

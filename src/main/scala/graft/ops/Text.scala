@@ -162,6 +162,31 @@ object Text {
   def textGopher(spark: SparkSession, dir: String): DataFrame =
     repetitionScore(Tables.documents(spark, dir))
 
+  /** PII-style pattern redaction over the events payload: every digit
+    * run in the JSON props string is masked to '#', with a per-row
+    * count of masked runs and an aggregate audit per event type. The
+    * shape is the production scrubber's: one codegen'd regexp pass per
+    * row (regexp_replace + regexp_extract_all), no shuffle before the
+    * tiny per-type audit aggregate — at 100 TB the scrub rides the
+    * scan. (This corpus's only digit runs are the synthetic `{"k": N}`
+    * payloads; the operator contract — mask, count, audit — is what
+    * transfers to real identifiers.) */
+  def textRedact(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .select($"event_type",
+        regexp_replace($"props", "[0-9]+", "#").as("masked"),
+        size(regexp_extract_all($"props", lit("[0-9]+"), lit(0))).as("n_runs"))
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum($"n_runs".cast("long")).as("n_masked_runs"),
+        countDistinct($"masked").as("n_distinct_masked"),
+        min($"masked").as("sample_masked"),
+      )
+      .orderBy($"event_type")
+  }
+
   /** Edit-distance text similarity: levenshtein of each document's
     * 40-char prefix against a reference phrase, bucketed. At scale this
     * is the per-row scoring stage of fuzzy matching — O(len²) per row
