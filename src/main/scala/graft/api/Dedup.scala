@@ -285,7 +285,13 @@ object Dedup {
     * on. */
   private[graft] def clusterPairsRounds(pairs: DataFrame, aCol: String, bCol: String,
       maxIters: Int = 20): (DataFrame, Int) = {
+    // fwd is CACHED before the symmetrize union: both union branches
+    // reference the full upstream pair-generation plan, and un-cached
+    // each branch re-executes that plan's AQE stages as separate jobs
+    // (measured on q_dedup_semantic: 34 jobs/run un-cached vs 21
+    // cached — job count is the contention-sensitivity metric)
     val fwd = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+      .cache()
     val edges = fwd
       .unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
@@ -304,7 +310,7 @@ object Dedup {
     var labels = cachedGen
     var changed = 1L
     var iter = 0
-    while (changed > 0 && iter < maxIters) {
+    def runLoop(): Unit = while (changed > 0 && iter < maxIters) {
       val nbrMin = edges.join(labels.select(col("id").as("dst"), col("comp")), "dst")
         .groupBy(col("src")).agg(min(col("comp")).as("nbr_min"))
       // pointer jump from the SAME generation (labels are node ids, so
@@ -328,7 +334,32 @@ object Dedup {
       labels = next.select(col("id"), col("comp"))
       iter += 1
     }
+    // AQE is DISABLED for the loop rounds: every input is a cached
+    // relation with exact size statistics, so static planning already
+    // picks the right (broadcast) joins — while AQE materializes each
+    // round's exchanges as separate stage jobs (~5 driver round-trips
+    // per round, measured on q_dedup_semantic's warm run: 22 jobs with
+    // AQE on). Each job is a fixed-latency round-trip on a contended
+    // driver, so the loop is exactly where job count matters. The conf
+    // is restored in the finally; single-threaded session use is the
+    // assumption the bench/verify harnesses already make.
+    val spark = pairs.sparkSession
+    // NOTE the AQE-off window also covers the lazy materialization of
+    // fwd/edges (round 1's count pulls the caller's pair-generation
+    // plan): measured, materializing edges under AQE first costs ~13
+    // extra stage jobs per invocation. This library's own pair
+    // generators are skew-bounded by construction (bucket occupancy
+    // caps, shingle df caps), so static planning of that stage is safe;
+    // a caller with an unbounded pair plan that needs AQE's skew
+    // handling should materialize (cache + count) its pairs before
+    // calling.
+    val aqePrev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      runLoop()
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqePrev)
     edges.unpersist()
+    fwd.unpersist()
     // fail LOUDLY rather than return non-canonical labels: a silent
     // partial result would keep/drop the wrong documents downstream and
     // be indistinguishable from a correct one
