@@ -357,15 +357,23 @@ object Dedup {
     try {
       spark.conf.set("spark.sql.adaptive.enabled", "false")
       runLoop()
-    } finally spark.conf.set("spark.sql.adaptive.enabled", aqePrev)
-    edges.unpersist()
-    fwd.unpersist()
-    // fail LOUDLY rather than return non-canonical labels: a silent
-    // partial result would keep/drop the wrong documents downstream and
-    // be indistinguishable from a correct one
-    require(changed == 0,
-      s"clusterPairs did not converge in $maxIters rounds ($changed labels still moving); " +
-        "raise maxIters — with pointer jumping, rounds needed is ~log2(component diameter)")
+      // fail LOUDLY rather than return non-canonical labels: a silent
+      // partial result would keep/drop the wrong documents downstream
+      // and be indistinguishable from a correct one
+      require(changed == 0,
+        s"clusterPairs did not converge in $maxIters rounds ($changed labels still moving); " +
+          "raise maxIters — with pointer jumping, rounds needed is ~log2(component diameter)")
+    } catch {
+      // the result never materializes on this path, so its cache entry
+      // must not outlive the failure (a long-lived session would
+      // otherwise accumulate one leaked InMemoryRelation per failed
+      // call; unpersist on a never-materialized handle is a no-op)
+      case e: Throwable => cachedGen.unpersist(); throw e
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqePrev)
+      edges.unpersist()
+      fwd.unpersist()
+    }
     (labels.select(col("id").as("doc_id"), col("comp").as("canonical_doc"))
       .orderBy(col("doc_id")), iter)
   }

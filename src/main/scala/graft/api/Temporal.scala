@@ -84,6 +84,13 @@ object Temporal {
     * would need the DECIMAL treatment). */
   def resampleLocf(df: DataFrame, keyCol: String, tsCol: String, valCol: String,
       truncUnit: String = "hour"): DataFrame = {
+    // the unit must be valid for BOTH date_trunc and an interval
+    // literal ("quarter" truncates but is not an interval unit — it
+    // would otherwise fail with a parse error deep inside the plan;
+    // and truncUnit reaches expr() so it must never be free text)
+    require(Set("year", "month", "week", "day", "hour", "minute", "second")
+      .contains(truncUnit.toLowerCase),
+      s"resampleLocf: unsupported bucket unit '$truncUnit'")
     val hourly = df
       .groupBy(col(keyCol).as("key"), date_trunc(truncUnit, col(tsCol)).as("bucket_start"))
       .agg(count(lit(1)).as("n_obs"), max(col(valCol)).as("bmax"))

@@ -136,12 +136,26 @@ object Text {
     * identically. */
   private[graft] def repetitionScore(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
+    // top_tok = longest equal run of the SORTED token array — one
+    // O(n log n) codegen'd sort + one O(n) fold, instead of the
+    // O(n·distinct) per-distinct-token rescan (interpreted lambdas on
+    // a single-split pre-shuffle stage run single-threaded; review
+    // finding). The bigram transform is guarded: sequence(1, size-1)
+    // under ANSI mode throws INVALID_ARRAY_INDEX on a 1-token doc
+    // (sequence(1, 0) counts DOWN, and t[1] is out of bounds).
     val stats = expr(
       """transform(array(split(text, ' ')), t -> struct(
         |  size(t) AS n_tokens,
-        |  array_max(transform(array_distinct(t), w -> size(filter(t, x -> x = w)))) AS top_tok,
-        |  size(array_distinct(transform(sequence(1, greatest(size(t) - 1, 1)),
-        |    i -> concat_ws(' ', t[i-1], t[i])))) AS n_bi_distinct
+        |  aggregate(array_sort(t),
+        |    struct(0 AS best, 0 AS cur, CAST(NULL AS STRING) AS prev),
+        |    (a, x) -> struct(
+        |      greatest(a.best, IF(a.prev IS NOT NULL AND x = a.prev, a.cur + 1, 1)) AS best,
+        |      IF(a.prev IS NOT NULL AND x = a.prev, a.cur + 1, 1) AS cur,
+        |      x AS prev),
+        |    a -> a.best) AS top_tok,
+        |  IF(size(t) < 2, 0,
+        |    size(array_distinct(transform(sequence(1, size(t) - 1),
+        |      i -> concat_ws(' ', t[i-1], t[i]))))) AS n_bi_distinct
         |))[0]""".stripMargin)
     val topFrac = round($"s.top_tok".cast("double") / $"s.n_tokens", 6)
     val dupFrac = round(

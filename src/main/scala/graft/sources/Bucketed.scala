@@ -24,8 +24,17 @@ object Bucketed {
 
   private val created = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
-  private def tableName(base: String, dir: String): String =
-    base + "_" + dir.replaceAll("[^A-Za-z0-9]", "_").toLowerCase
+  /** Table name encodes the bucket count AND an md5 of the RAW dir
+    * string: the readable sanitized dir is non-injective ("/sf0.1" and
+    * "/sf0_1" collide) and a memo hit on a colliding name — or on the
+    * same dir with a different bucket count — would silently serve a
+    * table with the wrong data or layout. */
+  private def tableName(base: String, dir: String, buckets: Int): String = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    base + "_b" + buckets + "_" + dir.replaceAll("[^A-Za-z0-9]", "_").toLowerCase +
+      "_" + digest
+  }
 
   /** Best-effort removal of a leftover MANAGED-table location from a
     * previous JVM (the in-memory catalog forgets the table at exit but
@@ -60,8 +69,8 @@ object Bucketed {
     * catalog tables whose scans carry the bucket partitioning. */
   def ordersLineitem(spark: SparkSession, dir: String,
       buckets: Int = 8): (DataFrame, DataFrame) = {
-    val to = tableName("graft_b_orders", dir)
-    val tl = tableName("graft_b_lineitem", dir)
+    val to = tableName("graft_orders", dir, buckets)
+    val tl = tableName("graft_lineitem", dir, buckets)
     ensure(spark, to,
       Tables.orders(spark, dir).select(col("o_orderkey"), col("o_orderpriority")),
       buckets, "o_orderkey")

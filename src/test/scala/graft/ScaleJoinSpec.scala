@@ -167,15 +167,7 @@ class ScaleJoinSpec extends SparkSpec {
   }
 
   test("Bucketed.ordersLineitem: real fact⋈fact join runs with no exchange") {
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
-    def collectExec(plan: org.apache.spark.sql.execution.SparkPlan):
-        Seq[org.apache.spark.sql.execution.SparkPlan] =
-      plan.collect {
-        case a: AdaptiveSparkPlanExec => collectExec(a.executedPlan)
-        case qs: QueryStageExec => qs +: collectExec(qs.plan)
-        case p => Seq(p)
-      }.flatten
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {

@@ -19,4 +19,19 @@ trait SparkSpec extends AnyFunSuite {
   spark.sparkContext.setLogLevel("WARN")
 
   def ts(s: String): java.sql.Timestamp = java.sql.Timestamp.valueOf(s)
+
+  /** AQE-aware physical-plan walk: AdaptiveSparkPlanExec and the
+    * QueryStageExec wrappers are LEAVES whose real plan hangs off a
+    * field, not children — a naive collect misses every node below
+    * them. Shared here because the recursion is correctness-critical
+    * for plan-shape assertions (TopKSpec, ScaleJoinSpec). */
+  def collectExec(plan: org.apache.spark.sql.execution.SparkPlan):
+      Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    plan.collect {
+      case a: AdaptiveSparkPlanExec => collectExec(a.executedPlan)
+      case qs: QueryStageExec => qs +: collectExec(qs.plan)
+      case p => Seq(p)
+    }.flatten
+  }
 }

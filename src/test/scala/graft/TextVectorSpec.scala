@@ -170,6 +170,8 @@ class TextVectorSpec extends SparkSpec {
       (1L, "one two three four five six seven eight nine"),
       // 2 tokens: bigram count 1 ⇒ dup frac defined as 0
       (2L, "x y"),
+      // 1 token: the ANSI INVALID_ARRAY_INDEX edge — must not throw
+      (3L, "solo"),
     ).toDF("doc_id", "text")
     val out = graft.ops.Text.repetitionScore(docs).collect()
       .map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2), r.getDouble(3), r.getInt(4))))
@@ -177,6 +179,7 @@ class TextVectorSpec extends SparkSpec {
     assert(out(0L) == ((4, 0.75, 0.333333, 0)))
     assert(out(1L) == ((9, 0.111111, 0.0, 1)))
     assert(out(2L) == ((2, 0.5, 0.0, 0)))
+    assert(out(3L) == ((1, 1.0, 0.0, 0)))
   }
 
   test("rolling-hash fingerprint matches hand computation") {

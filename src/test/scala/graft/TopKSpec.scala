@@ -1,7 +1,6 @@
 package graft
 
 import org.apache.spark.sql.execution.SortExec
-import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 import org.apache.spark.sql.execution.exchange.{ENSURE_REQUIREMENTS, ShuffleExchangeExec, ShuffleExchangeLike}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -48,17 +47,6 @@ class TopKSpec extends SparkSpec {
 
   test("k >= group size emits every row exactly once") {
     assert(rows(topk(1000)) == rows(df) && topk(1000).count() == 200)
-  }
-
-  private def collectExec(plan: org.apache.spark.sql.execution.SparkPlan):
-      Seq[org.apache.spark.sql.execution.SparkPlan] = {
-    // AQE hides subtrees: AdaptiveSparkPlanExec and the QueryStageExec
-    // wrappers are leaves whose real plan hangs off a field, not children
-    plan.collect {
-      case a: AdaptiveSparkPlanExec => collectExec(a.executedPlan)
-      case qs: QueryStageExec => qs +: collectExec(qs.plan)
-      case p => Seq(p)
-    }.flatten
   }
 
   private def ensureReqExchanges(nodes: Seq[org.apache.spark.sql.execution.SparkPlan]) =
