@@ -509,6 +509,37 @@ object Oracle {
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
 
+    // identical recursive-CTE text in both engines: two independent
+    // WITH RECURSIVE implementations must agree (Spark 4 UnionLoop vs
+    // DuckDB's recursive executor)
+    "q_sql_recursive" ->
+      """WITH RECURSIVE bounds AS (
+        |  SELECT CAST(date_trunc('month', min(o_orderdate)) AS TIMESTAMP) AS lo,
+        |         CAST(date_trunc('month', max(o_orderdate)) AS TIMESTAMP) AS hi
+        |  FROM orders),
+        |months(m, hi) AS (
+        |  SELECT lo, hi FROM bounds
+        |  UNION ALL
+        |  SELECT m + INTERVAL 1 MONTH, hi FROM months WHERE m < hi)
+        |SELECT m AS month_start, count(o_orderkey) AS n_orders
+        |FROM months LEFT JOIN orders
+        |  ON CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) = m
+        |GROUP BY m ORDER BY m""".stripMargin,
+
+    // the try_ family's NULL cases spelled out with CASE: DuckDB's
+    // operators don't raise on these inputs, so each NULL is asserted
+    // (add_or_null: keys <= 7 land exactly at/below Long.Max, larger
+    // overflow -> NULL on the Spark side)
+    "q_fn_try" ->
+      """SELECT o_orderkey,
+        |       round(CASE WHEN o_custkey % 7 = 0 THEN NULL
+        |                  ELSE o_totalprice / (o_custkey % 7) END, 6) AS div_or_null,
+        |       TRY_CAST(o_orderpriority AS INTEGER) AS cast_or_null,
+        |       TRY_CAST(substring(o_orderpriority, 1, 1) AS INTEGER) AS prio_digit,
+        |       CASE WHEN o_orderkey <= 7 THEN 9223372036854775800 + o_orderkey
+        |            ELSE NULL END AS add_or_null
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
     // DuckDB runs the identical LATERAL text — the check is that both
     // engines' decorrelations agree with each other
     "q_sql_lateral" ->

@@ -120,6 +120,8 @@ object SparkEntry {
     "q_sql_grouping_sets" -> Sql.groupingSets _,
     "q_sql_tpch_q4" -> Sql.tpchQ4 _,
     "q_sql_lateral" -> Sql.lateralTopN _,
+    "q_sql_recursive" -> Sql.recursiveCte _,
+    "q_fn_try" -> Relational.fnTry _,
     // pivot / extra windows / bitwise / skew-salted join
     "q_agg_pivot" -> Relational.aggPivot _,
     "q_agg_unpivot" -> Relational.aggUnpivot _,

@@ -834,6 +834,27 @@ object Relational {
       .orderBy($"n_name")
   }
 
+  /** ANSI-safe try_ function family: Spark 4 runs ANSI mode by default
+    * (division by zero, overflow, and bad casts THROW), and try_divide /
+    * try_cast / try_add are the per-expression opt-outs that return
+    * NULL instead — the surface a pipeline needs to quarantine bad rows
+    * without turning ANSI off globally. The oracle spells each NULL
+    * case out with CASE (DuckDB's plain operators don't raise on these
+    * inputs, so the try_ semantics are asserted, not assumed). */
+  def fnTry(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .select(
+        $"o_orderkey",
+        round(try_divide($"o_totalprice", ($"o_custkey" % 7).cast("double")), 6)
+          .as("div_or_null"),
+        expr("try_cast(o_orderpriority AS INT)").as("cast_or_null"),
+        expr("try_cast(substring(o_orderpriority, 1, 1) AS INT)").as("prio_digit"),
+        expr("try_add(o_orderkey, 9223372036854775800L)").as("add_or_null"),
+      )
+      .orderBy($"o_orderkey")
+  }
+
   /** Conditional/boolean aggregate family: count_if, bool_and, bool_or
     * — all fold into the same partial+final hash aggregate as any
     * other agg (a predicate aggregate is a sum/min/max of 0/1 under
