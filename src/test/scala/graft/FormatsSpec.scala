@@ -51,6 +51,28 @@ class FormatsSpec extends SparkSpec {
       plan.contains("o_orderstatus"), plan.take(500))
   }
 
+  test("schema evolution: mergeSchema unions columns across parquet generations") {
+    import spark.implicits._
+    // generation 1 writes (id, a); generation 2 adds column b — the
+    // standard additive-evolution path a long-lived 100 TB table takes.
+    // mergeSchema reconciles footers at read time: old files surface
+    // the new column as NULL, and per-file schemas stay untouched.
+    val dir = tmp()
+    Seq((1L, "x"), (2L, "y")).toDF("id", "a")
+      .write.mode("append").parquet(dir)
+    Seq((3L, "z", 30L)).toDF("id", "a", "b")
+      .write.mode("append").parquet(dir)
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.schema.fieldNames.toSet == Set("id", "a", "b"))
+    val rows = merged.orderBy($"id")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSeq
+    assert(rows == Seq((1L, "x", None), (2L, "y", None), (3L, "z", Some(30L))))
+    // and WITHOUT mergeSchema the read still works on one footer's view
+    val plain = spark.read.parquet(dir)
+    assert(plain.count() == 3)
+  }
+
   test("CSV read with schema ignores header row and keeps types") {
     val dir = tmp()
     Formats.writeCsv(ordersSlice, dir)

@@ -182,6 +182,76 @@ class ScaleJoinSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("dynamic partition pruning: a runtime dim filter prunes fact partitions") {
+    import spark.implicits._
+    // DPP needs (a) a partitioned FILE scan joined on the partition
+    // column, (b) a FILE-source dim with a selective filter on a
+    // DIFFERENT column — a filter on the join column itself is
+    // constant-propagated and pruned STATICALLY (no DPP needed), and a
+    // LocalRelation dim never triggers the rule. Size heuristics are
+    // relaxed for the fixture (defaults target real table sizes).
+    val dest = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+    Tables.orders(spark, "/root/testdata/sf0.001")
+      .write.partitionBy("o_orderpriority").mode("overwrite").parquet(dest)
+    val part = spark.read.parquet(dest)
+    val dimPath = java.nio.file.Files.createTempDirectory("graft_dpp_dim").toString
+    Seq(("1-URGENT", "keep"), ("2-HIGH", "drop"), ("3-MEDIUM", "drop"),
+      ("4-NOT SPECIFIED", "drop"), ("5-LOW", "drop")).toDF("prio", "tag")
+      .write.mode("overwrite").parquet(dimPath)
+    val dim = spark.read.parquet(dimPath)
+    val tuned = Seq(
+      "spark.sql.optimizer.dynamicPartitionPruning.useStats" -> "false",
+      "spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio" -> "10")
+    val prev = tuned.map { case (k, _) => k -> spark.conf.getOption(k) }
+    tuned.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val q = part.join(dim.filter($"tag" === "keep"),
+          part("o_orderpriority") === dim("prio"))
+        .agg(count(lit(1)).as("n"))
+      val n = q.head().getLong(0)
+      // only the 1-URGENT partition's rows survive
+      val urgent = Tables.orders(spark, "/root/testdata/sf0.001")
+        .filter($"o_orderpriority" === "1-URGENT").count()
+      assert(n == urgent, s"DPP changed the answer: $n vs $urgent")
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.toLowerCase.contains("dynamicpruning"),
+        "no dynamicpruning expression in PartitionFilters:\n" + plan.take(1200))
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("runtime bloom filter: selective dim filter injects might_contain on the fact") {
+    import spark.implicits._
+    // InjectRuntimeFilter pre-filters the fact side of a shuffle join
+    // with a bloom built from the filtered dim — semi-join reduction
+    // before the shuffle, the pattern that matters when the fact is
+    // 100 TB and the surviving dim keys are few. Size thresholds are
+    // relaxed (defaults: application side > 10 GB).
+    val tuned = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "50MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtimeFilter.number.threshold" -> "10")
+    val prev = tuned.map { case (k, _) => k -> spark.conf.getOption(k) }
+    tuned.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val dir = "/root/testdata/sf0.01"
+      val li = Tables.lineitem(spark, dir)
+      val ord = Tables.orders(spark, dir).filter($"o_orderpriority" === "1-URGENT")
+      val q = li.join(ord, $"l_orderkey" === $"o_orderkey")
+        .agg(sum($"l_quantity").as("s"))
+      assert(q.head().getDouble(0) > 0)
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("might_contain"),
+        "no bloom runtime filter on the fact scan:\n" + plan.take(1200))
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("bucketed tables co-locate: join plan has no shuffle exchange") {
     import spark.implicits._
     // warehouse.dir is a static conf — managed tables land in the default
