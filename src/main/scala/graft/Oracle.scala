@@ -660,6 +660,29 @@ object Oracle {
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
 
+    "q_agg_multi_distinct" ->
+      """SELECT o_orderstatus,
+        |       count(DISTINCT o_custkey) AS n_custs,
+        |       count(DISTINCT o_orderpriority) AS n_prios,
+        |       count(DISTINCT year(o_orderdate)) AS n_years,
+        |       count(*) AS n_orders
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+
+    // the map stays Spark-internal: the oracle computes the same keyed
+    // lookups relationally (max-of-CASE over the per-status counts)
+    "q_fn_map" ->
+      """WITH s AS (
+        |  SELECT o_custkey, o_orderstatus, count(*) AS n
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT o_custkey,
+        |       CAST(count(*) AS INTEGER) AS n_statuses,
+        |       coalesce(max(CASE WHEN o_orderstatus = 'O' THEN n END), 0) AS n_open,
+        |       coalesce(max(CASE WHEN o_orderstatus = 'F' THEN n END), 0) AS n_final,
+        |       string_agg(o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses
+        |FROM s GROUP BY o_custkey
+        |ORDER BY o_custkey""".stripMargin,
+
     // predicate aggregates: DuckDB spells count_if as count(*) FILTER;
     // booleans cast to int on both sides
     "q_agg_bool" ->
@@ -807,6 +830,23 @@ object Oracle {
         |       CAST(sum(len(regexp_extract_all(text, '[a-z]{1,4}'))) AS BIGINT) AS sum_subtokens,
         |       CAST(sum(len(regexp_extract_all(text, '[a-z]{1,4}'))) AS DOUBLE) / count(*) AS avg_subtokens
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // outer-generator semantics replayed as explode UNION empty-array
+    // rows (pos is 0-based in both: generate_subscripts - 1)
+    "q_gen_outer" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), w -> len(w) >= 6) AS arr
+        |  FROM documents),
+        |ex AS (
+        |  SELECT doc_id, CAST(generate_subscripts(arr, 1) - 1 AS INTEGER) AS pos,
+        |         unnest(arr) AS tok
+        |  FROM t),
+        |empty AS (
+        |  SELECT doc_id, CAST(NULL AS INTEGER) AS pos, CAST(NULL AS VARCHAR) AS tok
+        |  FROM t WHERE len(arr) = 0)
+        |SELECT doc_id, pos, tok FROM ex
+        |UNION ALL SELECT doc_id, pos, tok FROM empty
+        |ORDER BY doc_id, pos NULLS FIRST""".stripMargin,
 
     // digit-run masking: DuckDB regexp_replace needs the 'g' flag to
     // match Spark's replace-all default

@@ -89,6 +89,7 @@ object SparkEntry {
     "q_text_tfidf" -> Text.textTfidf _,
     "q_text_gopher" -> Text.textGopher _,
     "q_text_redact" -> Text.textRedact _,
+    "q_gen_outer" -> Text.genOuter _,
     "q_text_decontaminate" -> Text.textDecontaminate _,
     "q_sample_stratified" -> Text.sampleStratified _,
     "q_sample_mixture" -> Text.sampleMixture _,
@@ -126,6 +127,8 @@ object SparkEntry {
     "q_agg_pivot" -> Relational.aggPivot _,
     "q_agg_unpivot" -> Relational.aggUnpivot _,
     "q_agg_bool" -> Relational.aggBool _,
+    "q_agg_multi_distinct" -> Relational.aggMultiDistinct _,
+    "q_fn_map" -> Relational.fnMap _,
     "q_win_percent" -> Relational.winPercent _,
     "q_fn_bitwise" -> Relational.fnBitwise _,
     "q_join_skew_salted" -> Relational.joinSkewSalted _,

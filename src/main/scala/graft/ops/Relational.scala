@@ -834,6 +834,49 @@ object Relational {
       .orderBy($"n_name")
   }
 
+  /** Multiple DISTINCT aggregates over different columns in one pass —
+    * Catalyst's RewriteDistinctAggregates expands each row once per
+    * distinct group (Expand), aggregates per group, then stitches: one
+    * plan, no self-joins. At 100 TB the alternative (N separate
+    * distinct queries + join) scans the fact N times; this scans once. */
+  def aggMultiDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .groupBy($"o_orderstatus")
+      .agg(
+        countDistinct($"o_custkey").as("n_custs"),
+        countDistinct($"o_orderpriority").as("n_prios"),
+        countDistinct(year($"o_orderdate")).as("n_years"),
+        count(lit(1)).as("n_orders"),
+      )
+      .orderBy($"o_orderstatus")
+  }
+
+  /** Map-typed column functions: per-customer map of order status →
+    * count built with map_from_entries over a SORTED entry list
+    * (collect_list order is nondeterministic; the sort makes the map
+    * construction reproducible), then keyed lookups + cardinality. The
+    * map stays internal — outputs are scalars, so the oracle computes
+    * the same lookups relationally without needing cross-engine map
+    * encoding to agree. */
+  def fnMap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .groupBy($"o_custkey", $"o_orderstatus")
+      .agg(count(lit(1)).as("n"))
+      .groupBy($"o_custkey")
+      .agg(map_from_entries(array_sort(collect_list(struct($"o_orderstatus", $"n"))))
+        .as("m"))
+      .select(
+        $"o_custkey",
+        size($"m").as("n_statuses"),
+        coalesce(element_at($"m", "O"), lit(0L)).as("n_open"),
+        coalesce(element_at($"m", "F"), lit(0L)).as("n_final"),
+        array_join(map_keys($"m"), ",").as("statuses"),
+      )
+      .orderBy($"o_custkey")
+  }
+
   /** ANSI-safe try_ function family: Spark 4 runs ANSI mode by default
     * (division by zero, overflow, and bad casts THROW), and try_divide /
     * try_cast / try_add are the per-expression opt-outs that return

@@ -201,6 +201,22 @@ object Text {
       .orderBy($"event_type")
   }
 
+  /** Outer generator semantics: posexplode_outer keeps a (NULL, NULL)
+    * row for documents whose filtered token array is EMPTY (5 of 500
+    * docs have no 6+-char token), where plain explode would silently
+    * drop the document — the inner/outer distinction that decides
+    * whether downstream per-doc joins lose rows. Generators are
+    * per-row expansions (Generate node): no shuffle before the output
+    * sort at any scale. */
+  def genOuter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", filter(toks($"text"), w => length(w) >= 6).as("arr"))
+      .select($"doc_id", posexplode_outer($"arr"))
+      .toDF("doc_id", "pos", "tok")
+      .orderBy($"doc_id", $"pos")
+  }
+
   /** Edit-distance text similarity: levenshtein of each document's
     * 40-char prefix against a reference phrase, bucketed. At scale this
     * is the per-row scoring stage of fuzzy matching — O(len²) per row
