@@ -660,6 +660,25 @@ object Oracle {
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
 
+    // the nested array-of-struct stays Spark-internal; its consumers
+    // (first element, fold-sum, max) replay relationally. The rank
+    // orders by (linenumber, quantity) — this generator emits DUPLICATE
+    // line numbers within an order, and the struct sort breaks the tie
+    // on the next field
+    "q_fn_struct" ->
+      """WITH l AS (
+        |  SELECT l_orderkey, l_quantity,
+        |         row_number() OVER (PARTITION BY l_orderkey
+        |           ORDER BY l_linenumber, l_quantity) AS rn
+        |  FROM lineitem)
+        |SELECT l_orderkey,
+        |       CAST(count(*) AS INTEGER) AS n_lines,
+        |       max(CASE WHEN rn = 1 THEN l_quantity END) AS first_qty,
+        |       CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+        |       max(l_quantity) AS max_qty
+        |FROM l GROUP BY l_orderkey
+        |ORDER BY l_orderkey""".stripMargin,
+
     "q_agg_multi_distinct" ->
       """SELECT o_orderstatus,
         |       count(DISTINCT o_custkey) AS n_custs,

@@ -129,6 +129,7 @@ object SparkEntry {
     "q_agg_bool" -> Relational.aggBool _,
     "q_agg_multi_distinct" -> Relational.aggMultiDistinct _,
     "q_fn_map" -> Relational.fnMap _,
+    "q_fn_struct" -> Relational.fnStruct _,
     "q_win_percent" -> Relational.winPercent _,
     "q_fn_bitwise" -> Relational.fnBitwise _,
     "q_join_skew_salted" -> Relational.joinSkewSalted _,

@@ -834,6 +834,34 @@ object Relational {
       .orderBy($"n_name")
   }
 
+  /** Array-of-struct (nested) columns: per order, the lineitems are
+    * collected into a SORTED array of structs (collect_list order is
+    * nondeterministic; sorting by the unique line number makes the
+    * nested value reproducible), then consumed with HOFs — positional
+    * access, transform + aggregate fold, array_max. The nested column
+    * stays internal and outputs are scalars, so the oracle replays the
+    * semantics relationally (first-by-(linenumber, quantity), sum, max)
+    * without cross-engine nested encodings having to agree. The
+    * quantity tiebreak is LOAD-BEARING: this generator emits duplicate
+    * line numbers within an order, and the struct sort's next field is
+    * what makes "first" well-defined. Quantities are integral doubles —
+    * sums are exact in any order. */
+  def fnStruct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_orderkey")
+      .agg(array_sort(collect_list(struct($"l_linenumber", $"l_quantity"))).as("lines"))
+      .select(
+        $"l_orderkey",
+        size($"lines").as("n_lines"),
+        element_at($"lines", 1).getField("l_quantity").as("first_qty"),
+        aggregate(transform($"lines", x => x.getField("l_quantity")),
+          lit(0.0d), (a, x) => a + x).as("sum_qty"),
+        array_max(transform($"lines", x => x.getField("l_quantity"))).as("max_qty"),
+      )
+      .orderBy($"l_orderkey")
+  }
+
   /** Multiple DISTINCT aggregates over different columns in one pass —
     * Catalyst's RewriteDistinctAggregates expands each row once per
     * distinct group (Expand), aggregates per group, then stitches: one
