@@ -1295,6 +1295,42 @@ object Oracle {
         |FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) ks
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    // the incremental-maintenance contract: merging the base+delta
+    // partial states must equal the full recompute — so the oracle IS
+    // the full recompute
+    "q_agg_incremental" ->
+      """SELECT o_custkey, count(*) AS n_orders,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+        |FROM orders GROUP BY o_custkey
+        |ORDER BY o_custkey""".stripMargin,
+
+    // session_window semantics: NEW session at gap >= 30 min, compared
+    // in exact MICROSECONDS (the events have sub-second parts; a
+    // second-truncated diff would misclassify boundary-adjacent pairs);
+    // session_end = last event + gap (the merged window's end)
+    "q_session_window" ->
+      """WITH g AS (
+        |  SELECT user_id, ts,
+        |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts,
+        |         CASE WHEN prev_ts IS NULL
+        |                OR epoch_us(ts) - epoch_us(prev_ts) >= 1800000000
+        |              THEN 1 ELSE 0 END AS ns
+        |  FROM g),
+        |sid AS (
+        |  SELECT user_id, ts,
+        |         sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+        |           ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM s)
+        |SELECT user_id,
+        |       CAST(min(ts) AS TIMESTAMP) AS session_start,
+        |       CAST(max(ts) + INTERVAL 30 MINUTE AS TIMESTAMP) AS session_end,
+        |       count(*) AS n_events
+        |FROM sid GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
+
     "q_sessionize_batch" ->
       """WITH g AS (
         |  SELECT user_id, ts, event_id,

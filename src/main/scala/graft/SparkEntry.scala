@@ -77,6 +77,8 @@ object SparkEntry {
     "q_stream_tumbling_batch" -> Relational.streamTumblingBatch _,
     "q_stream_sliding_batch" -> Relational.streamSlidingBatch _,
     "q_sessionize_batch" -> Relational.sessionizeBatch _,
+    "q_session_window" -> Relational.sessionWindow _,
+    "q_agg_incremental" -> Relational.aggIncremental _,
     "q_ts_resample" -> Relational.tsResample _,
     // §2.8 text analysis / dedup
     "q_text_stats" -> Text.textStats _,

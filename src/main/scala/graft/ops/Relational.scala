@@ -1084,6 +1084,48 @@ object Relational {
   /** Batch sessionization (graft.api.Temporal.sessionize: lag +
     * gap-threshold cumulative sum, one shuffle per user) — the batch
     * twin of session_window() streaming. Emits per-user session counts. */
+  /** Incremental aggregate maintenance (materialized-view refresh):
+    * the per-customer order count/spend is maintained as mergeable
+    * PARTIAL states — a base state (orders before the cutoff) and a
+    * delta state (orders after) — combined by re-aggregation, the way
+    * an incremental pipeline folds a new day's partition into a
+    * standing aggregate without rescanning history. Counts merge by
+    * sum; money partials stay DECIMAL until the final cast so the
+    * merge is exactly associative. The oracle is the FULL recompute
+    * over all orders — the check IS the incremental-view-maintenance
+    * contract (merge(partials) ≡ recompute). */
+  def aggIncremental(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val orders = Tables.orders(spark, dir)
+    val cutoff = lit("1998-01-01").cast("timestamp")
+    def partial(df: DataFrame): DataFrame = df.groupBy($"o_custkey")
+      .agg(count(lit(1)).as("pn"), sum(dec2($"o_totalprice")).as("pspend"))
+    val base = partial(orders.filter($"o_orderdate" < cutoff))
+    val delta = partial(orders.filter($"o_orderdate" >= cutoff))
+    base.unionByName(delta)
+      .groupBy($"o_custkey")
+      .agg(sum($"pn").as("n_orders"), sum($"pspend").cast("double").as("spend"))
+      .orderBy($"o_custkey")
+  }
+
+  /** Built-in session windows (session_window — the same operator
+    * Structured Streaming uses for stateful sessionization, here in
+    * batch): per (user, session) window with merge-on-overlap
+    * semantics. Boundary contract differs from Temporal.sessionize
+    * deliberately and is encoded in the oracle: session_window opens a
+    * NEW session when the gap is ≥ 30 min (windows merge only while
+    * they OVERLAP), compared at full microsecond precision — the
+    * manual sessionize's `> gap` compares second-truncated epochs. */
+  def sessionWindow(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy(session_window($"ts", "30 minutes").as("w"), $"user_id")
+      .agg(count(lit(1)).as("n_events"))
+      .select($"user_id", $"w.start".as("session_start"),
+        $"w.end".as("session_end"), $"n_events")
+      .orderBy($"user_id", $"session_start")
+  }
+
   def sessionizeBatch(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     graft.api.Temporal.sessionize(
