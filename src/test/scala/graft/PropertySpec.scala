@@ -171,6 +171,39 @@ class PropertySpec extends SparkSpec {
     assert(srounds <= bound(2), s"star took $srounds rounds > ${bound(2)}")
   }
 
+  test("resampleLocf property: complete grid, exact gap count, LOCF matches driver replay") {
+    import spark.implicits._
+    // random per-key sparse hour offsets → the operator must emit
+    // exactly (max-min+1) buckets per key, flag exactly the missing
+    // hours, and carry the last observed max forward — all checked
+    // against a driver-side replay of the same contract
+    val obsGen = Gen.chooseNum(1, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.zip(Gen.chooseNum(0, 23), Gen.chooseNum(1.0, 9.0))))
+    forAll(obsGen) { obs =>
+      val rows = obs.map { case (h, v) =>
+        ("k", java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:30:00"), v)
+      }
+      val out = graft.api.Temporal.resampleLocf(
+          rows.toDF("k", "t", "v"), "k", "t", "v")
+        .collect()
+        .map(r => (r.getTimestamp(1).getHours, r.getLong(2), r.getDouble(3), r.getInt(4)))
+        .sortBy(_._1)
+      val byHour = obs.groupBy(_._1)
+      val (lo, hi) = (obs.map(_._1).min, obs.map(_._1).max)
+      assert(out.map(_._1).toSeq == (lo to hi).toSeq, s"grid holes: ${out.toSeq}")
+      var last = 0.0
+      (lo to hi).zip(out).foreach { case (h, (_, n, filled, gap)) =>
+        byHour.get(h) match {
+          case Some(vs) =>
+            last = math.round(vs.map(_._2).max * 1e6) / 1e6
+            assert(n == vs.size && gap == 0 && filled == last, s"hour $h: ${out.toSeq}")
+          case None =>
+            assert(n == 0 && gap == 1 && filled == last, s"gap hour $h: ${out.toSeq}")
+        }
+      }
+    }
+  }
+
   test("clusterPairs property: random graphs match a driver-side union-find") {
     import spark.implicits._
     val edgesGen = Gen.chooseNum(0, 30).flatMap(n =>
