@@ -14,6 +14,16 @@ package graft
   */
 object Oracle {
 
+  /** 8-hex-char window of an md5 hex column folded to BIGINT via a
+    * 16-ary digit fold — DuckDB has no direct hex-string cast. Shared
+    * by the simhash oracle (local variant over md5(sh)) and the DSv2
+    * generator replay. 'a'..'f' sit 87 below their digit value,
+    * '0'..'9' 48 below. */
+  private def hexFoldExpr(hexCol: String, start: Int): String =
+    s"list_reduce(list_transform(string_split_regex(substring($hexCol, $start, 8), ''), " +
+      "x -> CAST(CASE WHEN ascii(x) >= 97 THEN ascii(x) - 87 ELSE ascii(x) - 48 END AS BIGINT)), " +
+      "(a, b) -> a * 16 + b)"
+
   /** Sign-LSH bucket CTE mirroring graft.api.Similarity.signLshBuckets
     * (nBits=6, extraBits=4, maxOccupancy=32) bit-for-bit: bucket bits are
     * raw-float sign tests (no arithmetic → no cross-engine rounding), the
@@ -1346,5 +1356,104 @@ object Oracle {
         |       CAST(sum(new_session) AS BIGINT) AS n_sessions,
         |       count(*) AS n_events
         |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // the custom DSv2 connector's deterministic generator, replayed from
+    // first principles: range() ids, md5 of the decimal id string, hex
+    // windows folded to BIGINT (same 16-ary digit fold as the simhash
+    // oracle — DuckDB has no hex cast), then the identical filter +
+    // aggregate. Spark reads this through graft.sources.DocsSource with
+    // the id range pushed into the scan; DuckDB recomputes every row.
+    "q_source_dsv2" ->
+      s"""WITH g AS (
+         |  SELECT range AS id, md5(CAST(range AS VARCHAR)) AS h FROM range(20000)),
+         |d AS (
+         |  SELECT id,
+         |         'c' || CAST(${hexFoldExpr("h", 1)} % 8 AS VARCHAR) AS cat,
+         |         ${hexFoldExpr("h", 9)} % 1000 AS val,
+         |         substring(h, 17, 8) AS payload
+         |  FROM g)
+         |SELECT cat, count(*) AS n, CAST(sum(val) AS BIGINT) AS sum_val,
+         |       min(payload) AS min_payload
+         |FROM d
+         |WHERE id >= 2500 AND id < 17500 AND cat IN ('c1', 'c3', 'c5')
+         |GROUP BY cat ORDER BY cat""".stripMargin,
+
+    // TPC-H Q5: identical text modulo the view mechanism — the check is
+    // that a 6-table join tree with a non-key residual produces the
+    // same exact-decimal revenue in both engines
+    "q_sql_tpch_q5" ->
+      """SELECT n_name,
+        |       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders   ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation   ON s_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate <  TIMESTAMP '1998-01-01'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+
+    // width_bucket is re-derived from first principles (explicit
+    // floor(x/w)+1 with under/overflow buckets) rather than trusting a
+    // twin builtin; width = 600000/12 = 50000 exactly in doubles, so
+    // the two formulations are the same IEEE arithmetic
+    "q_agg_hist" ->
+      """SELECT CASE WHEN o_totalprice < 0.0 THEN 0
+        |            WHEN o_totalprice >= 600000.0 THEN 13
+        |            ELSE CAST(floor(o_totalprice / 50000.0) AS BIGINT) + 1 END AS bucket,
+        |       count(*) AS n,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+        |       min(o_totalprice) AS min_price,
+        |       max(o_totalprice) AS max_price
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // duplicated-span replay: same 8-token spans (DuckDB list slices ↔
+    // Spark's shingle lambda), distinct per doc so count = document
+    // frequency; docs shorter than 8 tokens drop out of BOTH engines
+    // (empty shingle set ↔ WHERE len >= 8)
+    "q_dedup_spans" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sp AS (
+        |  SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS sh
+        |  FROM tok, LATERAL (SELECT unnest(range(1, len(t) - 6)) AS i) u
+        |  WHERE len(t) >= 8),
+        |df AS (SELECT sh, count(*) AS df FROM sp GROUP BY sh),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS n_spans,
+        |         sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS n_dup
+        |  FROM sp JOIN df USING (sh) GROUP BY doc_id)
+        |SELECT doc_id, n_spans, CAST(n_dup AS BIGINT) AS n_dup,
+        |       CASE WHEN n_spans = 0 THEN 0.0
+        |            ELSE round(CAST(n_dup AS DOUBLE) / n_spans, 6) END AS dup_frac,
+        |       CASE WHEN CAST(n_dup AS DOUBLE) < n_spans * 0.5 THEN 1 ELSE 0 END AS keep
+        |FROM agg ORDER BY doc_id""".stripMargin,
+
+    // int8 quantization replay: same affine q/dequant arithmetic in
+    // double, per-vector error folded SEQUENTIALLY in list order
+    // (list_reduce ↔ Spark's aggregate HOF — addition order matters for
+    // bit-equality), label avg rounded at 6 dp, max exact
+    "q_vec_quantize" ->
+      """WITH d AS (
+        |  SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+        |  FROM embeddings),
+        |s AS (
+        |  SELECT label, dv, list_min(dv) AS mn,
+        |         greatest((list_max(dv) - list_min(dv)) / 255.0, 1e-30) AS scale
+        |  FROM d),
+        |m AS (
+        |  SELECT label,
+        |         list_reduce(
+        |           list_prepend(CAST(0.0 AS DOUBLE),
+        |             list_transform(dv, x ->
+        |               abs(mn + floor((x - mn) / scale + 0.5) * scale - x))),
+        |           (a, b) -> a + b) / CAST(len(dv) AS DOUBLE) AS mean_err
+        |  FROM s)
+        |SELECT label, count(*) AS n_vecs,
+        |       round(avg(mean_err), 6) AS avg_err,
+        |       round(max(mean_err), 9) AS max_err
+        |FROM m GROUP BY label ORDER BY label""".stripMargin,
   )
 }

@@ -25,6 +25,7 @@ object SparkEntry {
     "q_scan_parquet" -> Relational.scanParquet _,
     "q_scan_pruned" -> Relational.scanPruned _,
     "q_scan_partition" -> Relational.scanPartition _,
+    "q_source_dsv2" -> graft.sources.DocsSource.dsv2Query _,
     // §2.2 projection / filter
     "q_project_expr" -> Relational.projectExpr _,
     "q_filter_pred" -> Relational.filterPred _,
@@ -52,6 +53,7 @@ object SparkEntry {
     "q_agg_percentile" -> Relational.aggPercentile _,
     "q_agg_collect" -> Relational.aggCollect _,
     "q_agg_argmax" -> Relational.aggArgmax _,
+    "q_agg_hist" -> Relational.aggHist _,
     // §2.5 windows
     "q_win_rank" -> Relational.winRank _,
     "q_win_running" -> Relational.winRunning _,
@@ -100,6 +102,7 @@ object SparkEntry {
     "q_dedup_exact" -> Text.dedupExact _,
     "q_dedup_ngram" -> Text.dedupNgram _,
     "q_dedup_minhash" -> Text.dedupMinhash _,
+    "q_dedup_spans" -> Text.dedupSpans _,
     "q_dedup_cluster" -> Text.dedupCluster _,
     "q_dedup_simhash" -> Text.dedupSimhash _,
     // §2.8 similarity search / vectors
@@ -110,6 +113,7 @@ object SparkEntry {
     "q_ann_multiprobe" -> Vector.annMultiProbe _,
     "q_dedup_embed" -> Vector.dedupEmbed _,
     "q_dedup_semantic" -> Vector.dedupSemantic _,
+    "q_vec_quantize" -> Vector.vecQuantize _,
     "q_ann_ivf" -> Vector.annIvf _,
     // §2.8 multimodal
     "q_multimodal_join" -> Multimodal.multimodalJoin _,
@@ -122,6 +126,7 @@ object SparkEntry {
     "q_sql_tpch_q3" -> Sql.tpchQ3 _,
     "q_sql_grouping_sets" -> Sql.groupingSets _,
     "q_sql_tpch_q4" -> Sql.tpchQ4 _,
+    "q_sql_tpch_q5" -> Sql.tpchQ5 _,
     "q_sql_lateral" -> Sql.lateralTopN _,
     "q_sql_recursive" -> Sql.recursiveCte _,
     "q_fn_try" -> Relational.fnTry _,

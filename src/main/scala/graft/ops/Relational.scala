@@ -1126,6 +1126,24 @@ object Relational {
       .orderBy($"user_id", $"session_start")
   }
 
+  /** Fixed-width histogram via the built-in width_bucket — the one-pass
+    * profiling aggregate a 100 TB column scan wants (bounds are
+    * parameters, not a data-dependent second pass). The oracle
+    * re-derives the bucket with INDEPENDENT floor arithmetic
+    * (floor(x/w) + 1 with explicit under/overflow cases), so Spark's
+    * builtin is checked against first principles, not itself. */
+  def aggHist(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .withColumn("bucket", expr("width_bucket(o_totalprice, 0.0d, 600000.0d, 12)"))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n"),
+        sum(dec4($"o_totalprice")).cast("double").as("sum_price"),
+        min($"o_totalprice").as("min_price"),
+        max($"o_totalprice").as("max_price"))
+      .orderBy($"bucket")
+  }
+
   def sessionizeBatch(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     graft.api.Temporal.sessionize(

@@ -17,6 +17,35 @@ object Sql {
     Tables.customer(spark, dir).createOrReplaceTempView("customer")
     Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem")
     Tables.nation(spark, dir).createOrReplaceTempView("nation")
+    Tables.region(spark, dir).createOrReplaceTempView("region")
+    Tables.supplier(spark, dir).createOrReplaceTempView("supplier")
+  }
+
+  /** TPC-H Q5 (local-supplier revenue): the DEEP join — six tables,
+    * two independent dimension chains (region→nation fanning into both
+    * customer and supplier) meeting at the fact, plus the non-key
+    * residual c_nationkey = s_nationkey. The scale shape Catalyst
+    * should (and does) pick: region/nation/supplier/customer broadcast
+    * against the orders⋈lineitem fact backbone, date range pushed into
+    * the orders scan — one shuffle pair for the fact join, everything
+    * else map-side. Revenue sums in DECIMAL (exact, order-free), cast
+    * to double at the boundary. */
+  def tpchQ5(spark: SparkSession, dir: String): DataFrame = {
+    withViews(spark, dir)
+    spark.sql(
+      """SELECT n_name,
+        |       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders   ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation   ON s_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate <  TIMESTAMP '1998-01-01'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin)
   }
 
   /** Scalar subquery: parts priced above the mean part price. */

@@ -80,6 +80,29 @@ object Streaming {
   def streamSessions(events: DataFrame): DataFrame =
     sessionCounts(events.withWatermark("ts", watermarkDelay))
 
+  /** Stream-stream inner join (click → view attribution within 1 hour):
+    * the canonical two-feed correlation. Both sides carry a watermark
+    * AND the join condition bounds view_ts to a finite interval after
+    * click_ts, so Spark can expire join state — without the time bound
+    * the state store grows forever (the 100 TB-stream failure mode).
+    * Works identically on batch inputs (the spec's equivalence check). */
+  def streamClickView(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermarkDelay)
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", watermarkDelay)
+    clicks.join(views,
+      expr("""c_user = v_user
+             |AND view_ts >= click_ts
+             |AND view_ts <= click_ts + INTERVAL 1 HOUR""".stripMargin))
+      .select(col("c_user").as("user_id"), col("click_id"), col("view_id"),
+        col("click_ts"), col("view_ts"))
+  }
+
   /** Stateful exact dedup by event_id with watermark-bounded state. */
   def streamDedup(events: DataFrame): DataFrame =
     events.withWatermark("ts", watermarkDelay)

@@ -381,6 +381,34 @@ object Text {
     api.Dedup.ngramJaccard(Tables.documents(spark, dir), "doc_id", "text",
       n = 3, threshold = 0.5, maxDf = 100)
 
+  /** Duplicated-SPAN profile (the paragraph-level dedup between exact
+    * and fuzzy in a real LLM pipeline — Dolma/C4-style): for each doc,
+    * the fraction of its distinct 8-token spans that also occur in at
+    * least one OTHER document. A doc scoring high is stitched from
+    * corpus boilerplate even when no single whole-doc pair clears a
+    * Jaccard threshold. Plan: per-doc distinct spans (reusing
+    * Dedup.shingles' lambda-bound tokenization), one groupBy on the
+    * span for corpus df, join back, per-doc aggregate — two shuffles,
+    * both on well-distributed keys (span text, doc_id), nothing
+    * O(pairs). Spans are distinct per doc, so df = document frequency
+    * directly and "duplicated" = df ≥ 2. */
+  def dedupSpans(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val spans = api.Dedup.shingles(
+        graft.api.Dedup.spread(Tables.documents(spark, dir)), "doc_id", "text", n = 8)
+      .select($"doc_id", explode($"shingles").as("sh"))
+    val df = spans.groupBy($"sh").agg(count(lit(1)).as("df"))
+    spans.join(df, "sh")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when($"df" >= 2, 1L).otherwise(0L)).as("n_dup"))
+      .select($"doc_id", $"n_spans", $"n_dup",
+        when($"n_spans" === 0, 0.0d)
+          .otherwise(round($"n_dup".cast("double") / $"n_spans", 6)).as("dup_frac"),
+        when($"n_dup".cast("double") < $"n_spans" * 0.5, 1).otherwise(0).as("keep"))
+      .orderBy($"doc_id")
+  }
+
   /** MinHash(64) + 16×4 banded LSH with exact-Jaccard verification —
     * output is exact (shares the inverted-index oracle); see
     * graft.api.Dedup.minhashLsh for the algorithm + scale notes. */

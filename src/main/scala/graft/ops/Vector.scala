@@ -106,4 +106,31 @@ object Vector {
   def annIvf(spark: SparkSession, dir: String): DataFrame =
     Similarity.annIvf(Tables.embeddings(spark, dir), "vec_id", "embedding",
       probeId = 0L, k = 10, nCells = 16, nProbe = 4, iters = 3)
+
+  /** Int8 scalar quantization of the embedding column — the 4×
+    * compression step a 100 TB vector store applies before indexing —
+    * with its reconstruction-error profile per label. Per-vector
+    * affine quantization q = round((x−mn)/scale), scale = (mx−mn)/255:
+    * pure per-row array arithmetic, no shuffle before the label
+    * aggregate. Oracle-portable by construction: the per-vector mean
+    * error is a SEQUENTIAL fold in array order in both engines (Spark
+    * `aggregate` HOF ↔ DuckDB list_reduce), every op is deterministic
+    * IEEE double arithmetic from the same float32 inputs, and only the
+    * per-label avg (≤ corpus/10 values) relies on the 6 dp round. */
+  def vecQuantize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.embeddings(spark, dir)
+      .withColumn("dv", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .withColumn("mn", expr("array_min(dv)"))
+      .withColumn("scale", expr("greatest((array_max(dv) - mn) / 255.0d, 1e-30d)"))
+      .withColumn("mean_err", expr(
+        """aggregate(dv, CAST(0.0 AS DOUBLE),
+          |  (a, x) -> a + abs(mn + floor((x - mn) / scale + 0.5d) * scale - x)
+          |) / CAST(size(dv) AS DOUBLE)""".stripMargin))
+      .groupBy($"label")
+      .agg(count(lit(1)).as("n_vecs"),
+        round(avg($"mean_err"), 6).as("avg_err"),
+        round(max($"mean_err"), 9).as("max_err"))
+      .orderBy($"label")
+  }
 }

@@ -63,6 +63,35 @@ class StreamingSpec extends SparkSpec {
     assert(!rows.exists(r => r._1 == ts("2024-01-01 10:00:00") && r._2 == "click" && r._3 == 3L))
   }
 
+  test("stream-stream interval join equals its batch twin") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val data = Seq(
+      ev(1, "2024-01-01 10:00:00", 1, "click"),
+      ev(2, "2024-01-01 10:40:00", 1, "view"),  // within 1h of click 1 → joins
+      ev(3, "2024-01-01 11:30:00", 1, "view"),  // 90min after click 1 → dropped
+      ev(4, "2024-01-01 10:20:00", 2, "view"),  // user 2 has no click → dropped
+      ev(5, "2024-01-01 12:00:00", 3, "click"), // click with no view
+      ev(6, "2024-01-01 09:50:00", 1, "view"),  // BEFORE the click → dropped
+    )
+    val ms = MemoryStream[Event]
+    val q = Streaming.streamClickView(ms.toDF)
+      .writeStream.format("memory").queryName("ss_join").outputMode("append").start()
+    try {
+      ms.addData(data); q.processAllAvailable()
+      // advance both watermarks so all joinable pairs are emitted
+      ms.addData(Seq(ev(7, "2024-01-01 18:00:00", 9, "click"))); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("ss_join")
+      .select($"user_id", $"click_id", $"view_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = Streaming.streamClickView(data.toDF)
+      .select($"user_id", $"click_id", $"view_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == Set((1L, 1L, 2L)), streamed.toString)
+    assert(batch == streamed)
+  }
+
   test("dropDuplicatesWithinWatermark dedupes by event_id") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
