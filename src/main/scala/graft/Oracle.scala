@@ -1378,6 +1378,46 @@ object Oracle {
          |WHERE id >= 2500 AND id < 17500 AND cat IN ('c1', 'c3', 'c5')
          |GROUP BY cat ORDER BY cat""".stripMargin,
 
+    // the typed-Dataset pipeline reduces to a plain grouped aggregate;
+    // all three measures are order-exact (integral-double sum, count,
+    // max) so no DECIMAL detour is needed on either side
+    "q_typed_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       sum(l_quantity) AS sum_qty,
+        |       count(*) AS n_items,
+        |       max(l_extendedprice) AS max_price
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    // SCD2 replay: identical lead() window; the as-of filter picks the
+    // single interval covering the snapshot (zero-length intervals from
+    // tied timestamps exclude themselves: valid_to = ts is never > T
+    // when ts <= T)
+    "q_scd2_asof" ->
+      """WITH v AS (
+        |  SELECT user_id, ts, event_id, value,
+        |         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+        |  FROM events),
+        |cnt AS (SELECT user_id, count(*) AS n_versions FROM v GROUP BY user_id),
+        |cur AS (SELECT user_id, value AS current_value FROM v WHERE valid_to IS NULL),
+        |ao AS (
+        |  SELECT user_id, event_id AS asof_event, value AS asof_value
+        |  FROM v
+        |  WHERE ts <= TIMESTAMP '2024-01-15 00:00:00'
+        |    AND (valid_to IS NULL OR valid_to > TIMESTAMP '2024-01-15 00:00:00'))
+        |SELECT cnt.user_id, cnt.n_versions, cur.current_value,
+        |       ao.asof_event, ao.asof_value
+        |FROM cnt JOIN cur USING (user_id) LEFT JOIN ao USING (user_id)
+        |ORDER BY cnt.user_id""".stripMargin,
+
+    // the completely-pushed aggregate: DuckDB computes the same three
+    // values by actually scanning range(); Spark's scan answers from
+    // its pushed bounds without generating a row (DsV2SourceSpec pins
+    // the zero-rows claim; this oracle pins the VALUES)
+    "q_source_dsv2_agg" ->
+      """SELECT count(*) AS n, min(range) AS min_id, max(range) AS max_id
+        |FROM range(20000) WHERE range >= 2500 AND range < 17500""".stripMargin,
+
     // TPC-H Q5: identical text modulo the view mechanism — the check is
     // that a 6-table join tree with a non-key residual produces the
     // same exact-decimal revenue in both engines
@@ -1409,6 +1449,18 @@ object Oracle {
         |       min(o_totalprice) AS min_price,
         |       max(o_totalprice) AS max_price
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // unigram model replay: identical tokenization, tf/total in double,
+    // -ln rounded at 6 dp after the per-doc avg (libm drift convention)
+    "q_text_unigram_ll" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |tf AS (SELECT w, count(*) AS tf FROM tok GROUP BY w),
+        |tot AS (SELECT CAST(sum(tf) AS DOUBLE) AS total FROM tf)
+        |SELECT t.doc_id, count(*) AS n_tokens,
+        |       round(avg(-ln(CAST(f.tf AS DOUBLE) / tot.total)), 6) AS avg_nll
+        |FROM tok t JOIN tf f ON t.w = f.w CROSS JOIN tot
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
 
     // duplicated-span replay: same 8-token spans (DuckDB list slices ↔
     // Spark's shingle lambda), distinct per doc so count = document

@@ -26,6 +26,7 @@ object SparkEntry {
     "q_scan_pruned" -> Relational.scanPruned _,
     "q_scan_partition" -> Relational.scanPartition _,
     "q_source_dsv2" -> graft.sources.DocsSource.dsv2Query _,
+    "q_source_dsv2_agg" -> graft.sources.DocsSource.dsv2AggQuery _,
     // §2.2 projection / filter
     "q_project_expr" -> Relational.projectExpr _,
     "q_filter_pred" -> Relational.filterPred _,
@@ -54,6 +55,8 @@ object SparkEntry {
     "q_agg_collect" -> Relational.aggCollect _,
     "q_agg_argmax" -> Relational.aggArgmax _,
     "q_agg_hist" -> Relational.aggHist _,
+    "q_typed_agg" -> Relational.typedAgg _,
+    "q_scd2_asof" -> Relational.scd2Asof _,
     // §2.5 windows
     "q_win_rank" -> Relational.winRank _,
     "q_win_running" -> Relational.winRunning _,
@@ -92,6 +95,7 @@ object SparkEntry {
     "q_text_tokens_bpe" -> Text.textTokensBpe _,
     "q_text_tfidf" -> Text.textTfidf _,
     "q_text_gopher" -> Text.textGopher _,
+    "q_text_unigram_ll" -> Text.textUnigramLL _,
     "q_text_redact" -> Text.textRedact _,
     "q_gen_outer" -> Text.genOuter _,
     "q_text_decontaminate" -> Text.textDecontaminate _,

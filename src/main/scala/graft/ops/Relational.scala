@@ -1126,6 +1126,65 @@ object Relational {
       .orderBy($"user_id", $"session_start")
   }
 
+  /** Typed rows for [[typedAgg]] — the Dataset[T] surface. */
+  case class LiTyped(l_returnflag: String, l_linestatus: String,
+      l_quantity: Double, l_extendedprice: Double)
+  case class LiPartial(sum_qty: Double, n_items: Long, max_price: Double)
+
+  /** The TYPED Dataset path (SURVEY.md §1.2's "Dataset[T] where type
+    * safety helps"): case-class rows, groupByKey on a Scala tuple,
+    * mapValues + reduceGroups with plain Scala functions. reduceGroups
+    * compiles to a typed Aggregator, so the physical plan is still an
+    * ObjectHashAggregate with MAP-SIDE PARTIAL MERGE — each executor
+    * combines its rows locally and the exchange carries one partial per
+    * (key, task), the same scale shape as the codegen'd column path
+    * (what it trades is per-row object serialization, which is why the
+    * column API is the default everywhere else). Aggregates chosen to
+    * be order-exact in doubles: quantities are integral (sums exact
+    * below 2^53), count and max are order-free — no DECIMAL detour
+    * needed even through Scala arithmetic. */
+  def typedAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .select($"l_returnflag", $"l_linestatus", $"l_quantity", $"l_extendedprice")
+      .as[LiTyped]
+      .groupByKey(r => (r.l_returnflag, r.l_linestatus))
+      .mapValues(r => LiPartial(r.l_quantity, 1L, r.l_extendedprice))
+      .reduceGroups((a, b) => LiPartial(
+        a.sum_qty + b.sum_qty, a.n_items + b.n_items,
+        math.max(a.max_price, b.max_price)))
+      .map { case ((rf, ls), p) => (rf, ls, p.sum_qty, p.n_items, p.max_price) }
+      .toDF("l_returnflag", "l_linestatus", "sum_qty", "n_items", "max_price")
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  /** SCD2 (slowly-changing-dimension) reconstruction from a change log:
+    * each event's value is a new version valid [ts, next ts); the query
+    * emits, per user, the version count, the CURRENT value (the open
+    * interval — lead() is NULL exactly once per user) and the state AS
+    * OF a fixed snapshot instant (point-in-time query). Zero-length
+    * versions from equal timestamps resolve deterministically: the
+    * (ts, event_id) ordering makes the earlier event's interval empty,
+    * so exactly one version covers any instant. One window shuffle on
+    * user_id; the as-of/current filters are free riders on it. */
+  def scd2Asof(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val snapshot = lit("2024-01-15 00:00:00").cast("timestamp")
+    val versions = Tables.events(spark, dir)
+      .select($"user_id", $"ts", $"event_id", $"value")
+      .withColumn("valid_to", lead($"ts", 1).over(w))
+    val counts = versions.groupBy($"user_id").agg(count(lit(1)).as("n_versions"))
+    val current = versions.filter($"valid_to".isNull)
+      .select($"user_id", $"value".as("current_value"))
+    val asof = versions
+      .filter($"ts" <= snapshot && ($"valid_to".isNull || $"valid_to" > snapshot))
+      .select($"user_id", $"event_id".as("asof_event"), $"value".as("asof_value"))
+    counts.join(current, Seq("user_id"))
+      .join(asof, Seq("user_id"), "left")
+      .orderBy($"user_id")
+  }
+
   /** Fixed-width histogram via the built-in width_bucket — the one-pass
     * profiling aggregate a 100 TB column scan wants (bounds are
     * parameters, not a data-dependent second pass). The oracle

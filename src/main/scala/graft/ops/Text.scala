@@ -270,6 +270,32 @@ object Text {
       .orderBy($"doc_id", $"rank")
   }
 
+  /** Unigram negative-log-likelihood quality score (the CCNet-style LM
+    * filter proxy): train a unigram model ON the corpus itself (token
+    * frequency / total tokens) and score each doc by its mean token
+    * -ln p — high = improbable tokens = likely noise; low = boilerplate.
+    * A real pipeline swaps in a reference-corpus model; the plan is the
+    * same: one groupBy on the token for the model, a 1-row total
+    * broadcast, one join back to token occurrences, per-doc aggregate.
+    * All shuffles key on token/doc_id — nothing O(pairs), vocab-sized
+    * state only. ln() rounds at 6 dp (libm drift convention). */
+  def textUnigramLL(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // cached for the same reason as textTfidf's tf relation: tok feeds
+    // both the model aggregate and the scoring join
+    val tok = graft.api.Dedup.spread(Tables.documents(spark, dir))
+      .select($"doc_id", explode(toks($"text")).as("w"))
+      .cache()
+    val model = tok.groupBy($"w").agg(count(lit(1)).as("tf"))
+    val total = model.agg(sum($"tf").as("total"))
+    tok.join(model, "w")
+      .crossJoin(broadcast(total))
+      .withColumn("nll", -log($"tf".cast("double") / $"total".cast("double")))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"), round(avg($"nll"), 6).as("avg_nll"))
+      .orderBy($"doc_id")
+  }
+
   /** Benchmark decontamination scan: per probe phrase, how many
     * documents contain it verbatim and the first contaminated doc. The
     * probe set is a broadcast literal (in production: the eval-set

@@ -8,7 +8,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
@@ -63,6 +64,12 @@ object DocsSource {
     StructField("payload", StringType, nullable = false),
   ))
 
+  /** Rows materialized by the ROW reader since JVM start — local-mode
+    * test instrumentation (executors share the JVM on local[*]): the
+    * aggregate-pushdown spec asserts this does not move when
+    * count/min/max are answered from the scan bounds. */
+  private[graft] val rowsGenerated = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** One row of the generator contract — shared by the partition reader
     * and the spec's hand-computed fixtures. */
   private[graft] def genRow(i: Long): (Long, String, Long, String) = {
@@ -87,6 +94,18 @@ object DocsSource {
       .agg(count(lit(1)).as("n"), sum(col("val")).as("sum_val"),
         min(col("payload")).as("min_payload"))
       .orderBy(col("cat"))
+
+  /** The aggregate-pushdown query (q_source_dsv2_agg): global
+    * count/min/max over a pushed id range answers ENTIRELY from the
+    * scan bounds — zero generator rows materialize (DsV2SourceSpec
+    * asserts the row counter), the DSv2 analog of a metadata-only
+    * count(*) over parquet footers. */
+  def dsv2AggQuery(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("graft.sources.DocsSource")
+      .option("nrows", 20000).option("slices", 16).load()
+      .filter(col("id") >= 2500 && col("id") < 17500)
+      .agg(count(lit(1)).as("n"), min(col("id")).as("min_id"),
+        max(col("id")).as("max_id"))
 }
 
 private[graft] class DocsTable(nrows: Long, slices: Int) extends Table with SupportsRead {
@@ -99,11 +118,13 @@ private[graft] class DocsTable(nrows: Long, slices: Int) extends Table with Supp
 }
 
 private[graft] class DocsScanBuilder(nrows: Long, slices: Int)
-    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
   private var lo: Long = 0L
   private var hi: Long = nrows // exclusive
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = DocsSource.schema
+  private var aggSpecs: Option[Seq[DocsAggScan.Spec]] = None
 
   /** Absorb id-range predicates into [lo, hi); everything else stays
     * post-scan. Returned array = filters Spark must STILL apply — an
@@ -137,7 +158,93 @@ private[graft] class DocsScanBuilder(nrows: Long, slices: Int)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new DocsScan(nrows, slices, lo, hi, pushed, required)
+  /** COMPLETE aggregate pushdown for global count(*)/min(id)/max(id):
+    * the id domain is exactly [lo, hi) after filter pushdown, so all
+    * three are metadata arithmetic — no row is ever generated (the
+    * DSv2 analog of answering count(*) from parquet footers). Spark
+    * only attempts this when every filter was pushed (no post-scan
+    * Filter sits between the aggregate and the scan), so absorbing the
+    * bounds is sufficient for exactness; anything else (group-bys,
+    * other columns, other functions) is declined and runs as a normal
+    * scan + aggregate. */
+  /** PURE acceptability check — supportCompletePushDown may be probed
+    * without a commitment to push, so it must not flip build()'s mode. */
+  private def planSpecs(aggregation: Aggregation): Option[Seq[DocsAggScan.Spec]] = {
+    def isId(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+      e match {
+        case nr: NamedReference => nr.fieldNames.toSeq == Seq("id")
+        case _ => false
+      }
+    if (aggregation.groupByExpressions.nonEmpty) return None
+    val specs = aggregation.aggregateExpressions.toSeq.map {
+      case _: CountStar => Some(DocsAggScan.CountStarSpec)
+      case m: Min if isId(m.column) => Some(DocsAggScan.MinIdSpec)
+      case m: Max if isId(m.column) => Some(DocsAggScan.MaxIdSpec)
+      case _ => None
+    }
+    if (specs.exists(_.isEmpty)) None else Some(specs.flatten)
+  }
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    val s = planSpecs(aggregation)
+    s.foreach(x => aggSpecs = Some(x))
+    s.isDefined
+  }
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean =
+    planSpecs(aggregation).isDefined
+
+  override def build(): Scan = aggSpecs match {
+    case Some(specs) => new DocsAggScan(lo, hi, specs, pushed)
+    case None => new DocsScan(nrows, slices, lo, hi, pushed, required)
+  }
+}
+
+private[graft] object DocsAggScan {
+  sealed trait Spec
+  case object CountStarSpec extends Spec
+  case object MinIdSpec extends Spec
+  case object MaxIdSpec extends Spec
+}
+
+/** Scan for a completely-pushed global aggregate: ONE partition, ONE
+  * row, computed from the [lo, hi) bounds alone — `rowsGenerated`
+  * stays untouched, which the spec asserts. Empty range ⇒ count 0 and
+  * SQL-standard NULL min/max. */
+private[graft] class DocsAggScan(private[graft] val lo: Long, private[graft] val hi: Long,
+    specs: Seq[DocsAggScan.Spec], pushed: Array[Filter]) extends Scan with Batch {
+  import DocsAggScan._
+  override def readSchema(): StructType = StructType(specs.zipWithIndex.map {
+    case (CountStarSpec, i) => StructField(s"agg_$i", LongType, nullable = false)
+    case (_, i) => StructField(s"agg_$i", LongType, nullable = true)
+  })
+  override def description(): String =
+    s"graft_docs AGG bounds=[$lo,$hi) specs=${specs.mkString(",")} " +
+      s"PushedFilters: ${pushed.mkString("[", ", ", "]")}"
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(DocsPartition(lo, hi))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new DocsAggReaderFactory(specs)
+}
+
+private[graft] class DocsAggReaderFactory(specs: Seq[DocsAggScan.Spec])
+    extends PartitionReaderFactory {
+  import DocsAggScan._
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[DocsPartition]
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = { val r = !emitted; emitted = true; r }
+      override def get(): InternalRow = {
+        val empty = p.end <= p.start
+        new GenericInternalRow(specs.map {
+          case CountStarSpec => (if (empty) 0L else p.end - p.start): Any
+          case MinIdSpec => if (empty) null else p.start
+          case MaxIdSpec => if (empty) null else p.end - 1
+        }.toArray)
+      }
+      override def close(): Unit = ()
+    }
+  }
 }
 
 private[graft] class DocsScan(nrows: Long, slices: Int,
@@ -176,7 +283,10 @@ private[graft] class DocsReaderFactory(required: StructType)
       private val needsDigest = required.fieldNames.exists(n => n != "id")
       private val fields = required.fieldNames
       private var i = p.start - 1
-      override def next(): Boolean = { i += 1; i < p.end }
+      override def next(): Boolean = {
+        i += 1
+        if (i < p.end) { DocsSource.rowsGenerated.incrementAndGet(); true } else false
+      }
       override def get(): InternalRow = {
         val (id, cat, v, pay) =
           if (needsDigest) DocsSource.genRow(i) else (i, null, 0L, null)

@@ -74,6 +74,35 @@ class DsV2SourceSpec extends SparkSpec {
     assert(df.agg(sum(col("id"))).collect().head.getLong(0) == 511L * 512 / 2)
   }
 
+  test("global count/min/max push COMPLETELY into the source: no rows generated, no Aggregate node") {
+    val before = DocsSource.rowsGenerated.get()
+    val df = docs(100000, slices = 8)
+      .filter(col("id") >= 1000L && col("id") < 90000L)
+      .agg(count(lit(1)).as("n"), min(col("id")).as("min_id"), max(col("id")).as("max_id"))
+    val row = df.collect().head
+    assert(row.getLong(0) == 89000L && row.getLong(1) == 1000L && row.getLong(2) == 89999L)
+    assert(DocsSource.rowsGenerated.get() == before,
+      "a completely-pushed aggregate must not materialize generator rows")
+    val aggNodes = collectExec(df.queryExecution.executedPlan).count {
+      case _: org.apache.spark.sql.execution.aggregate.HashAggregateExec => true
+      case _: org.apache.spark.sql.execution.aggregate.SortAggregateExec => true
+      case _: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => true
+      case _ => false
+    }
+    assert(aggNodes == 0, "complete pushdown leaves no aggregate operator in the plan")
+  }
+
+  test("aggregates the source cannot answer are declined and still correct") {
+    // sum(val) is not pushable — the query must fall back to a normal
+    // scan + aggregate and match the generator computed directly
+    val before = DocsSource.rowsGenerated.get()
+    val df = docs(1024).agg(sum(col("val")).as("s"))
+    val got = df.collect().head.getLong(0)
+    val expected = (0L until 1024L).map(i => DocsSource.genRow(i)._3).sum
+    assert(got == expected)
+    assert(DocsSource.rowsGenerated.get() > before, "fallback path must scan rows")
+  }
+
   test("empty pushed range plans zero splits and returns zero rows") {
     val df = docs(1024).filter(col("id") >= 500L && col("id") < 400L)
     // Catalyst may fold the contradiction to an empty relation before the
