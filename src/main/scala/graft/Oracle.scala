@@ -1378,6 +1378,77 @@ object Oracle {
          |WHERE id >= 2500 AND id < 17500 AND cat IN ('c1', 'c3', 'c5')
          |GROUP BY cat ORDER BY cat""".stripMargin,
 
+    // profile replay: one aggregate per column unioned to the long
+    // shape; numeric min/max go through DECIMAL(18,2)/plain-string
+    // before casting so double formatting never enters the hash
+    "q_profile_table" ->
+      """SELECT 'o_custkey' AS col_name, count(*) AS n_rows,
+        |       count(o_custkey) AS n_nonnull,
+        |       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+        |       CAST(min(o_custkey) AS VARCHAR) AS min_val,
+        |       CAST(max(o_custkey) AS VARCHAR) AS max_val
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_orderstatus', count(*), count(o_orderstatus),
+        |       CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+        |       min(o_orderstatus), max(o_orderstatus)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_totalprice', count(*), count(o_totalprice),
+        |       CAST(count(DISTINCT o_totalprice) AS BIGINT),
+        |       CAST(CAST(min(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR),
+        |       CAST(CAST(max(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR)
+        |FROM orders
+        |ORDER BY col_name""".stripMargin,
+
+    // NULL-semantics replay: IS NOT DISTINCT FROM ↔ Spark's <=>, same
+    // nullif-derived nulls, null group kept, null-safe LEFT join
+    "q_fn_nullsafe" ->
+      """WITH l AS (
+        |  SELECT nullif(l_returnflag, 'N') AS rf_n,
+        |         count(*) AS n_rows,
+        |         count(nullif(l_linestatus, 'O')) AS n_ls_nonnull,
+        |         CAST(sum(CASE WHEN nullif(l_returnflag, 'N')
+        |                        IS NOT DISTINCT FROM nullif(l_linestatus, 'O')
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_nullsafe_eq
+        |  FROM lineitem GROUP BY 1),
+        |r AS (
+        |  SELECT nullif(l_linestatus, 'O') AS k2, count(*) AS n_r
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l.rf_n, l.n_rows, l.n_ls_nonnull, l.n_nullsafe_eq, r.n_r
+        |FROM l LEFT JOIN r ON l.rf_n IS NOT DISTINCT FROM r.k2
+        |ORDER BY l.rf_n NULLS FIRST""".stripMargin,
+
+    // funnel replay: identical two-pass window formulation; epoch_us on
+    // DuckDB's TIMESTAMP_NS truncates to the same microseconds Spark's
+    // reader produces, so the 1h step arithmetic is integer-exact
+    "q_events_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, ts, epoch_us(ts) AS us FROM events),
+        |w1 AS (
+        |  SELECT *, max(CASE WHEN event_type = 'view' THEN us END)
+        |    OVER (PARTITION BY user_id ORDER BY us, event_id
+        |          ROWS UNBOUNDED PRECEDING) AS lv_us
+        |  FROM e),
+        |w2 AS (
+        |  SELECT *, CASE WHEN event_type = 'click' AND lv_us IS NOT NULL
+        |                  AND us - lv_us <= 3600000000 THEN us END AS qc_us
+        |  FROM w1),
+        |w3 AS (
+        |  SELECT *, max(qc_us)
+        |    OVER (PARTITION BY user_id ORDER BY us, event_id
+        |          ROWS UNBOUNDED PRECEDING) AS lqc_us
+        |  FROM w2),
+        |f AS (
+        |  SELECT *, (event_type = 'purchase' AND lqc_us IS NOT NULL
+        |             AND us - lqc_us <= 3600000000) AS completed
+        |  FROM w3)
+        |SELECT user_id,
+        |       count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchases,
+        |       count(CASE WHEN completed THEN 1 END) AS n_completed,
+        |       CAST(min(CASE WHEN completed THEN ts END) AS TIMESTAMP) AS first_completion
+        |FROM f GROUP BY user_id ORDER BY user_id""".stripMargin,
+
     // the typed-Dataset pipeline reduces to a plain grouped aggregate;
     // all three measures are order-exact (integral-double sum, count,
     // max) so no DECIMAL detour is needed on either side

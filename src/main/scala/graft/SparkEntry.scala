@@ -78,10 +78,12 @@ object SparkEntry {
     "q_fn_array" -> Relational.fnArray _,
     "q_fn_json" -> Relational.fnJson _,
     "q_fn_cond" -> Relational.fnCond _,
+    "q_fn_nullsafe" -> Relational.fnNullsafe _,
     // §2.9 batch twins of streaming
     "q_stream_tumbling_batch" -> Relational.streamTumblingBatch _,
     "q_stream_sliding_batch" -> Relational.streamSlidingBatch _,
     "q_sessionize_batch" -> Relational.sessionizeBatch _,
+    "q_events_funnel" -> Relational.eventsFunnel _,
     "q_session_window" -> Relational.sessionWindow _,
     "q_agg_incremental" -> Relational.aggIncremental _,
     "q_ts_resample" -> Relational.tsResample _,
@@ -147,6 +149,7 @@ object SparkEntry {
     "q_join_bucketed" -> Relational.joinBucketed _,
     // warehouse operations
     "q_quality_audit" -> Quality.qualityAudit _,
+    "q_profile_table" -> Quality.profileTable _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -41,6 +41,43 @@ object Quality {
     agg0.selectExpr(s"stack(${names.size}, $stackArgs) AS (check_name, n_violations)")
   }
 
+  /** Table profile — the per-column summary every warehouse exposes
+    * (null count, exact distinct count, min/max): ONE scan, one wide
+    * aggregate (the multi-distinct is RewriteDistinctAggregates' Expand
+    * — N distincts never become N scans), then stack() to the long
+    * (column, stats) shape. min/max normalize through DECIMAL or plain
+    * string before the string cast so the cross-engine formatting of
+    * doubles never enters the hash. */
+  def profileTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, dir)
+    val wide = o.agg(
+      count(lit(1)).as("n_rows"),
+      // o_orderstatus (string)
+      count($"o_orderstatus").as("s_nn"),
+      countDistinct($"o_orderstatus").as("s_nd"),
+      min($"o_orderstatus").as("s_min"),
+      max($"o_orderstatus").as("s_max"),
+      // o_custkey (bigint)
+      count($"o_custkey").as("k_nn"),
+      countDistinct($"o_custkey").as("k_nd"),
+      min($"o_custkey").cast("string").as("k_min"),
+      max($"o_custkey").cast("string").as("k_max"),
+      // o_totalprice (double → DECIMAL(18,2) before the string cast)
+      count($"o_totalprice").as("p_nn"),
+      countDistinct($"o_totalprice").as("p_nd"),
+      min($"o_totalprice").cast("decimal(18,2)").cast("string").as("p_min"),
+      max($"o_totalprice").cast("decimal(18,2)").cast("string").as("p_max"),
+    )
+    wide.selectExpr(
+      """stack(3,
+        |  'o_orderstatus', n_rows, s_nn, s_nd, s_min, s_max,
+        |  'o_custkey',     n_rows, k_nn, k_nd, k_min, k_max,
+        |  'o_totalprice',  n_rows, p_nn, p_nd, p_min, p_max
+        |) AS (col_name, n_rows, n_nonnull, n_distinct, min_val, max_val)""".stripMargin)
+      .orderBy($"col_name")
+  }
+
   def qualityAudit(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val li = Tables.lineitem(spark, dir)

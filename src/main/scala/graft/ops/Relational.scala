@@ -1126,6 +1126,33 @@ object Relational {
       .orderBy($"user_id", $"session_start")
   }
 
+  /** NULL-semantics battery — the correctness traps every engine must
+    * agree on: null-SKIPPING count(col) vs count(*), IS [NOT] DISTINCT
+    * FROM as the three-valued-logic-free comparison, a GROUP BY that
+    * keeps the null group, a JOIN on the null-safe operator (`<=>` is a
+    * legitimate hash-join key in Spark — EqualNullSafe plans as an equi
+    * join, no BNL), and NULLS FIRST ordering. Nullable inputs are
+    * derived deterministically with nullif so the same nulls exist in
+    * both engines. */
+  def fnNullsafe(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir)
+    val l = li
+      .withColumn("rf_n", nullif($"l_returnflag", lit("N")))
+      .withColumn("ls_n", nullif($"l_linestatus", lit("O")))
+      .groupBy($"rf_n")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count($"ls_n").as("n_ls_nonnull"), // count(col) skips nulls
+        sum(when($"rf_n" <=> $"ls_n", 1L).otherwise(0L)).as("n_nullsafe_eq"))
+    val r = li
+      .groupBy(nullif($"l_linestatus", lit("O")).as("k2"))
+      .agg(count(lit(1)).as("n_r"))
+    l.join(r, $"rf_n" <=> $"k2", "left") // null key matches null key
+      .select($"rf_n", $"n_rows", $"n_ls_nonnull", $"n_nullsafe_eq", $"n_r")
+      .orderBy($"rf_n".asc_nulls_first)
+  }
+
   /** Typed rows for [[typedAgg]] — the Dataset[T] surface. */
   case class LiTyped(l_returnflag: String, l_linestatus: String,
       l_quantity: Double, l_extendedprice: Double)
@@ -1201,6 +1228,37 @@ object Relational {
         min($"o_totalprice").as("min_price"),
         max($"o_totalprice").as("max_price"))
       .orderBy($"bucket")
+  }
+
+  /** Funnel analysis (view → click → purchase, each step within 1 h):
+    * the sequential-pattern workload. One shuffle on user_id serves
+    * BOTH window passes (same partitioning/ordering): pass 1 carries
+    * the last view-so-far to every row; pass 2 carries the last
+    * QUALIFIED click (a click with a view ≤ 1 h before it); a purchase
+    * completes the funnel when a qualified click is ≤ 1 h behind it.
+    * Timestamps compare in integer MICROSECONDS (unix_micros ↔ DuckDB
+    * epoch_us — both truncate the parquet nanos the same way), so the
+    * step-window arithmetic is engine-exact. */
+  def eventsFunnel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hourUs = 3600L * 1000000L
+    val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .select($"user_id", $"event_id", $"event_type", $"ts",
+        unix_micros($"ts").as("us"))
+      .withColumn("lv_us", max(when($"event_type" === "view", $"us")).over(w))
+      .withColumn("qc_us", when($"event_type" === "click"
+        && $"lv_us".isNotNull && $"us" - $"lv_us" <= hourUs, $"us"))
+      .withColumn("lqc_us", max($"qc_us").over(w))
+      .withColumn("completed", $"event_type" === "purchase"
+        && $"lqc_us".isNotNull && $"us" - $"lqc_us" <= hourUs)
+      .groupBy($"user_id")
+      .agg(
+        count(when($"event_type" === "purchase", 1)).as("n_purchases"),
+        count(when($"completed", 1)).as("n_completed"),
+        min(when($"completed", $"ts")).as("first_completion"))
+      .orderBy($"user_id")
   }
 
   def sessionizeBatch(spark: SparkSession, dir: String): DataFrame = {
