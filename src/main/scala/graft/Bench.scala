@@ -25,6 +25,35 @@ import org.apache.spark.sql.SparkSession
   * be read off the artifact directly instead of inferred.
   */
 object Bench {
+  /** The 73 queries of the round-1 recorded baseline (BASELINE.md's
+    * first per-query table, 22.47 s total). The suite has since grown
+    * ~1.6×; "baseline73" in the JSON is the subtotal over exactly this
+    * set, so total-vs-22.47 s comparisons are like-for-like without
+    * reconstructing which queries existed when the baseline was taken.
+    */
+  private val Baseline73: Set[String] = Set(
+    "q_agg_approx_distinct", "q_agg_collect", "q_agg_cube", "q_agg_distinct",
+    "q_agg_groupby", "q_agg_having", "q_agg_pivot", "q_agg_rollup",
+    "q_agg_stats", "q_ann_ivf", "q_ann_lsh", "q_dedup_embed",
+    "q_dedup_exact", "q_dedup_minhash", "q_dedup_ngram", "q_dedup_simhash",
+    "q_filter_like", "q_filter_pred", "q_fn_array", "q_fn_bitwise",
+    "q_fn_cond", "q_fn_date", "q_fn_date2", "q_fn_json",
+    "q_fn_math", "q_fn_string", "q_join_anti", "q_join_asof",
+    "q_join_broadcast", "q_join_full", "q_join_inner", "q_join_left",
+    "q_join_self", "q_join_semi", "q_join_skew_salted", "q_join_theta",
+    "q_join_theta_auto", "q_multimodal_decode", "q_multimodal_frames",
+    "q_multimodal_join", "q_project_expr", "q_quality_audit",
+    "q_scan_parquet", "q_scan_pruned", "q_sessionize_batch",
+    "q_set_except", "q_set_intersect", "q_set_union", "q_sim_knn",
+    "q_sim_pairs", "q_sort_limit", "q_sql_exists_corr",
+    "q_sql_grouping_sets", "q_sql_in_subquery", "q_sql_scalar_subquery",
+    "q_sql_tpch_q3", "q_sql_tpch_q4", "q_stream_sliding_batch",
+    "q_stream_tumbling_batch", "q_text_editdist", "q_text_fingerprint",
+    "q_text_langid", "q_text_quality", "q_text_stats", "q_text_tokens",
+    "q_text_tokens_bpe", "q_udaf_centroid", "q_win_analytic",
+    "q_win_frame", "q_win_percent", "q_win_range_frame", "q_win_rank",
+    "q_win_running")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -148,8 +177,10 @@ object Bench {
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val b73 = results.filter(r => Baseline73.contains(r._1))
+    val b73Total = b73.map(_._2).sum
     val calAfter = calibrate()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"jobs":$js,"failed":$failedJson,"calibration":{"before_s":$calBefore,"after_s":$calAfter},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"baseline73":{"n":${b73.size},"total_s":$b73Total},"queries":$qs,"jobs":$js,"failed":$failedJson,"calibration":{"before_s":$calBefore,"after_s":$calAfter},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -519,6 +519,39 @@ object Oracle {
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
 
+    // PageRank replay: integer micro-unit ranks, 3 unrolled iterations.
+    // Every division is floor division (DuckDB // ↔ Spark div — equal
+    // for non-negative operands), every accumulation an integer sum, so
+    // the replay is hash-exact with no float tolerance. sum(BIGINT) is
+    // HUGEINT in DuckDB, hence the CASTs (playbook gotcha).
+    "q_graph_pagerank" ->
+      """WITH e AS (
+        |  SELECT DISTINCT o_custkey * 10 + 1 AS src, l_suppkey * 10 + 2 AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_orderkey % 10 = 0),
+        |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+        |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS pr FROM n),
+        |c1 AS (SELECT e.dst AS node, CAST(sum(r.pr // d.deg) AS BIGINT) AS c
+        |       FROM e JOIN r0 r ON e.src = r.node JOIN deg d ON e.src = d.src
+        |       GROUP BY e.dst),
+        |r1 AS (SELECT n.node,
+        |              CAST(150000 + (85 * coalesce(c.c, 0)) // 100 AS BIGINT) AS pr
+        |       FROM n LEFT JOIN c1 c ON n.node = c.node),
+        |c2 AS (SELECT e.dst AS node, CAST(sum(r.pr // d.deg) AS BIGINT) AS c
+        |       FROM e JOIN r1 r ON e.src = r.node JOIN deg d ON e.src = d.src
+        |       GROUP BY e.dst),
+        |r2 AS (SELECT n.node,
+        |              CAST(150000 + (85 * coalesce(c.c, 0)) // 100 AS BIGINT) AS pr
+        |       FROM n LEFT JOIN c2 c ON n.node = c.node),
+        |c3 AS (SELECT e.dst AS node, CAST(sum(r.pr // d.deg) AS BIGINT) AS c
+        |       FROM e JOIN r2 r ON e.src = r.node JOIN deg d ON e.src = d.src
+        |       GROUP BY e.dst),
+        |r3 AS (SELECT n.node,
+        |              CAST(150000 + (85 * coalesce(c.c, 0)) // 100 AS BIGINT) AS pr
+        |       FROM n LEFT JOIN c3 c ON n.node = c.node)
+        |SELECT node, pr FROM r3 ORDER BY pr DESC, node LIMIT 20""".stripMargin,
+
     // identical recursive-CTE text in both engines: two independent
     // WITH RECURSIVE implementations must agree (Spark 4 UnionLoop vs
     // DuckDB's recursive executor)

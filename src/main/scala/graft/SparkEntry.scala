@@ -150,6 +150,8 @@ object SparkEntry {
     // warehouse operations
     "q_quality_audit" -> Quality.qualityAudit _,
     "q_profile_table" -> Quality.profileTable _,
+    // iterative graph analytics
+    "q_graph_pagerank" -> Graph.pageRank _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1,0 +1,77 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Iterative graph analytics — the Pregel-on-DataFrames shape.
+  *
+  * PageRank is the canonical "ranks flow along edges until fixpoint"
+  * workload (data-curation pipelines use the same iteration for
+  * reference-graph ranking of crawled documents). Each iteration is
+  * exactly one join (ranks ⋈ edges, co-keyed on src) plus one
+  * aggregation (sum of contributions by dst) — the same two-shuffle
+  * round a Pregel superstep costs, and the shape that scales: edges
+  * partition once by src, contributions shuffle by dst, and no state
+  * ever lands on the driver.
+  *
+  * Determinism across engines: ranks are held in integer micro-units
+  * (1.0 ≡ 1 000 000) and every division is INTEGER division, which
+  * Spark (`div`) and DuckDB (`//`) define identically for non-negative
+  * operands. Integer sums are associative/commutative — no
+  * floating-point accumulation order can enter the result — so a fixed
+  * iteration count is hash-exact between engines, something no
+  * double-based PageRank can promise. (The truncation each `div`
+  * discards is deliberately part of the spec: both engines discard the
+  * identical remainder.)
+  */
+object Graph {
+
+  /** Directed purchase graph: customer → supplier edges from lineitem ⋈
+    * orders (who bought from whom), deduplicated. Node ids live in one
+    * integer space via disjoint affine embeddings (cust → 10k+1,
+    * supp → 10k+2). The orderkey filter keeps the bench-scale edge list
+    * ~50k rows; at 100 TB the same plan holds — the join shuffles on
+    * orderkey, the distinct on (src, dst).
+    */
+  private[graft] def purchaseEdges(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .filter($"l_orderkey" % 10 === 0)
+      .select($"l_orderkey", $"l_suppkey")
+      .join(Tables.orders(spark, dir).select($"o_orderkey", $"o_custkey"),
+        $"l_orderkey" === $"o_orderkey")
+      .select(($"o_custkey" * 10 + 1).as("src"), ($"l_suppkey" * 10 + 2).as("dst"))
+      .distinct()
+  }
+
+  /** Damping 0.85 in micro-units: new = 150 000 + (85 · Σ contrib) div 100. */
+  private[graft] def pageRankIterate(edges: DataFrame, degrees: DataFrame,
+      nodes: DataFrame, ranks: DataFrame): DataFrame = {
+    val contribs = edges
+      .join(ranks.withColumnRenamed("node", "src"), "src")
+      .join(degrees, "src")
+      .select(col("dst").as("node"), expr("pr div deg").as("contrib"))
+      .groupBy("node").agg(sum(col("contrib")).as("c"))
+    nodes.join(contribs, Seq("node"), "left")
+      .select(col("node"),
+        (lit(150000L) + expr("(85 * coalesce(c, 0L)) div 100")).as("pr"))
+  }
+
+  /** 3 fixed iterations from a uniform 1 000 000 start; top 20 by rank
+    * (ties broken by node id). Dangling nodes (suppliers, who have no
+    * out-edges) absorb rank without redistributing it — the standard
+    * simplified formulation, identical in the oracle.
+    */
+  def pageRank(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = purchaseEdges(spark, dir)
+    val deg = e.groupBy($"src").agg(count(lit(1)).as("deg"))
+    val nodes = e.select($"src".as("node")).union(e.select($"dst".as("node"))).distinct()
+    var ranks = nodes.withColumn("pr", lit(1000000L))
+    for (_ <- 1 to 3)
+      ranks = pageRankIterate(e, deg, nodes, ranks)
+    ranks.orderBy($"pr".desc, $"node").limit(20)
+  }
+}

@@ -229,4 +229,36 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("pageRankIterate matches a driver-side integer replay on random graphs") {
+    import spark.implicits._
+    // random directed graphs: up to 12 nodes, up to 30 distinct edges
+    val edgeGen = for {
+      n <- Gen.chooseNum(2, 12)
+      m <- Gen.chooseNum(1, 30)
+      es <- Gen.listOfN(m, for {
+        s <- Gen.chooseNum(0, n - 1); d <- Gen.chooseNum(0, n - 1)
+      } yield (s.toLong, d.toLong))
+    } yield es.distinct
+    forAll(edgeGen) { es =>
+      val e = es.toDF("src", "dst")
+      val deg = e.groupBy($"src").agg(count(lit(1)).as("deg"))
+      val nodes = e.select($"src".as("node")).union(e.select($"dst".as("node"))).distinct()
+      var ranks = nodes.withColumn("pr", lit(1000000L))
+      for (_ <- 1 to 3)
+        ranks = graft.ops.Graph.pageRankIterate(e, deg, nodes, ranks)
+      val got = ranks.as[(Long, Long)].collect().toMap
+      // replay: same integer arithmetic, scala.Map instead of DataFrames
+      val degM = es.groupBy(_._1).map { case (s, l) => s -> l.size.toLong }
+      val ns = (es.map(_._1) ++ es.map(_._2)).distinct
+      var r = ns.map(_ -> 1000000L).toMap
+      for (_ <- 1 to 3) {
+        val contrib = es.groupBy(_._2).map { case (d, in) =>
+          d -> in.map { case (s, _) => r(s) / degM(s) }.sum
+        }
+        r = ns.map(n => n -> (150000L + 85L * contrib.getOrElse(n, 0L) / 100L)).toMap
+      }
+      assert(got == r, s"edges=$es")
+    }
+  }
 }
