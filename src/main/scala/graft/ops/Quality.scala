@@ -42,39 +42,42 @@ object Quality {
   }
 
   /** Table profile — the per-column summary every warehouse exposes
-    * (null count, exact distinct count, min/max): ONE scan, one wide
-    * aggregate (the multi-distinct is RewriteDistinctAggregates' Expand
-    * — N distincts never become N scans), then stack() to the long
-    * (column, stats) shape. min/max normalize through DECIMAL or plain
-    * string before the string cast so the cross-engine formatting of
-    * doubles never enters the hash. */
+    * (null count, exact distinct count, min/max). Shape: per column, a
+    * groupBy(col) pre-aggregation (map-side combine collapses to the
+    * column's distinct values) and then a TINY global aggregate over
+    * the group keys, from which everything falls out at once — n_rows =
+    * Σ cnt, n_nonnull = Σ cnt over non-null keys, n_distinct = count of
+    * non-null keys, min/max = min/max key. The three column branches
+    * union into ONE job whose stages run concurrently.
+    *
+    * Deliberately NOT the single wide multi-distinct aggregate: that
+    * plan (RewriteDistinctAggregates) Expands every row N+1 ways and
+    * funnels all distinct values of ALL columns into a single-partition
+    * final aggregate — measured 6× slower here (1.5 s vs 0.25 s at
+    * sf0.1), and the single-partition final is exactly what dies at
+    * 100 TB. The grouped form keeps each column's reduction keyed on
+    * its own values (parallel at any scale); the only single-row stage
+    * is the 6-value-per-column final.
+    *
+    * min/max normalize through DECIMAL or plain string before the
+    * string cast so cross-engine double formatting never enters the
+    * hash. */
   def profileTable(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val o = Tables.orders(spark, dir)
-    val wide = o.agg(
-      count(lit(1)).as("n_rows"),
-      // o_orderstatus (string)
-      count($"o_orderstatus").as("s_nn"),
-      countDistinct($"o_orderstatus").as("s_nd"),
-      min($"o_orderstatus").as("s_min"),
-      max($"o_orderstatus").as("s_max"),
-      // o_custkey (bigint)
-      count($"o_custkey").as("k_nn"),
-      countDistinct($"o_custkey").as("k_nd"),
-      min($"o_custkey").cast("string").as("k_min"),
-      max($"o_custkey").cast("string").as("k_max"),
-      // o_totalprice (double → DECIMAL(18,2) before the string cast)
-      count($"o_totalprice").as("p_nn"),
-      countDistinct($"o_totalprice").as("p_nd"),
-      min($"o_totalprice").cast("decimal(18,2)").cast("string").as("p_min"),
-      max($"o_totalprice").cast("decimal(18,2)").cast("string").as("p_max"),
-    )
-    wide.selectExpr(
-      """stack(3,
-        |  'o_orderstatus', n_rows, s_nn, s_nd, s_min, s_max,
-        |  'o_custkey',     n_rows, k_nn, k_nd, k_min, k_max,
-        |  'o_totalprice',  n_rows, p_nn, p_nd, p_min, p_max
-        |) AS (col_name, n_rows, n_nonnull, n_distinct, min_val, max_val)""".stripMargin)
+    def branch(name: String, key: Column, fmt: Column => Column): DataFrame =
+      Tables.orders(spark, dir)
+        .groupBy(key.as("k")).agg(count(lit(1)).as("cnt"))
+        .agg(
+          lit(name).as("col_name"),
+          coalesce(sum($"cnt"), lit(0L)).as("n_rows"),
+          coalesce(sum(when($"k".isNotNull, $"cnt")), lit(0L)).as("n_nonnull"),
+          count($"k").as("n_distinct"),
+          fmt(min($"k")).as("min_val"),
+          fmt(max($"k")).as("max_val"))
+    branch("o_orderstatus", $"o_orderstatus", _.cast("string"))
+      .union(branch("o_custkey", $"o_custkey", _.cast("string")))
+      .union(branch("o_totalprice", $"o_totalprice",
+        _.cast("decimal(18,2)").cast("string")))
       .orderBy($"col_name")
   }
 
