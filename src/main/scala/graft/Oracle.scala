@@ -24,6 +24,14 @@ object Oracle {
       "x -> CAST(CASE WHEN ascii(x) >= 97 THEN ascii(x) - 87 ELSE ascii(x) - 48 END AS BIGINT)), " +
       "(a, b) -> a * 16 + b)"
 
+  /** Morton interleave of two pre-scaled BIGINT columns, mirroring
+    * graft.api.ZOrder.zValue bit for bit: bit i of a → position 2i, bit
+    * i of b → 2i+1. Plain `>> & << |` — engine-exact. */
+  private def mortonExpr(aCol: String, bCol: String, bits: Int): String =
+    (0 until bits).flatMap(i => Seq(
+      s"((($aCol >> $i) & 1) << ${2 * i})",
+      s"((($bCol >> $i) & 1) << ${2 * i + 1})")).mkString(" | ")
+
   /** Sign-LSH bucket CTE mirroring graft.api.Similarity.signLshBuckets
     * (nBits=6, extraBits=4, maxOccupancy=32) bit-for-bit: bucket bits are
     * raw-float sign tests (no arithmetic → no cross-engine rounding), the
@@ -518,6 +526,23 @@ object Oracle {
         |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+
+    // z-order replay: identical equi-width scaling (double arithmetic —
+    // exact for these magnitudes, floor(double) is engine-portable) and
+    // the same Morton interleave via plain bit operators
+    "q_zorder_profile" ->
+      s"""WITH bounds AS (
+         |  SELECT min(l_partkey) AS plo, max(l_partkey) AS phi,
+         |         min(l_suppkey) AS slo, max(l_suppkey) AS shi FROM lineitem),
+         |s AS (
+         |  SELECT CAST(floor((l_partkey - plo) * 1024.0 / (phi - plo + 1)) AS BIGINT) AS pa,
+         |         CAST(floor((l_suppkey - slo) * 1024.0 / (shi - slo + 1)) AS BIGINT) AS sb
+         |  FROM lineitem, bounds),
+         |z AS (SELECT pa, sb, ${mortonExpr("pa", "sb", 10)} AS zv FROM s)
+         |SELECT zv >> 14 AS z_bucket, count(*) AS n_rows,
+         |       min(pa) AS pa_min, max(pa) AS pa_max,
+         |       min(sb) AS sb_min, max(sb) AS sb_max
+         |FROM z GROUP BY z_bucket ORDER BY z_bucket""".stripMargin,
 
     // PageRank replay: integer micro-unit ranks, 3 unrolled iterations.
     // Every division is floor division (DuckDB // ↔ Spark div — equal

@@ -152,6 +152,7 @@ object SparkEntry {
     "q_profile_table" -> Quality.profileTable _,
     // iterative graph analytics
     "q_graph_pagerank" -> Graph.pageRank _,
+    "q_zorder_profile" -> Quality.zorderProfile _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1,0 +1,75 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Z-order (Morton) clustering — the multi-dimensional data-skipping
+  * layout (the technique behind Delta/Iceberg `OPTIMIZE ZORDER BY`).
+  *
+  * A linear sort on column A gives parquet row-groups narrow min/max
+  * ranges on A and USELESS full-span ranges on every other column; a
+  * filter on B then prunes nothing. Interleaving the bits of A and B
+  * into one Morton key and range-partitioning/sorting on it gives every
+  * file a narrow range on BOTH columns, so min/max (zone-map) pruning
+  * works for filters on either — the decisive scan-reduction lever at
+  * 100 TB, where the difference is "read 3 files" vs "read all 30 000".
+  *
+  * The interleave is pure integer bit arithmetic on builtin functions
+  * (shiftright/shiftleft/bitwise and/or) — codegen'd, no UDF, and
+  * portable: DuckDB evaluates the identical expression bit for bit, so
+  * z-keys are fully oracle-checkable.
+  */
+object ZOrder {
+
+  /** Morton key of two non-negative ints using the low `bits` of each:
+    * bit i of a lands at position 2i, bit i of b at 2i+1. Columns must
+    * be pre-scaled to [0, 2^bits) — callers map raw values into rank
+    * space first (see [[rankScale]]).
+    */
+  def zValue(a: Column, b: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, s"bits=$bits out of range")
+    (0 until bits).map { i =>
+      val ai = shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i)
+      val bi = shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1)
+      ai.bitwiseOR(bi)
+    }.reduce(_.bitwiseOR(_))
+  }
+
+  /** Equi-width scaling of a value known to lie in [lo, hi] onto
+    * [0, 2^bits): the deterministic, engine-portable stand-in for the
+    * rank-based scaling a production optimizer would use (ranks need a
+    * sort; width buckets need only min/max metadata). Integer floor
+    * arithmetic — identical in DuckDB.
+    */
+  def rankScale(c: Column, lo: Long, hi: Long, bits: Int): Column = {
+    require(hi > lo)
+    // (c - lo) * 2^bits / (hi - lo + 1), floored; stays in [0, 2^bits)
+    floor(((c - lit(lo)) * lit(1L << bits)) / lit(hi - lo + 1)).cast("long")
+  }
+
+  /** Column-bounds variant of [[rankScale]], for bounds computed from
+    * the data (a 1-row broadcast aggregate). Arithmetic runs in double
+    * — exact while `(value − lo) · 2^bits < 2^53`, i.e. any realistic
+    * key domain — and floor(double) is engine-portable, unlike integral
+    * division operators whose semantics differ across engines/versions.
+    */
+  def rankScale(c: Column, lo: Column, hi: Column, bits: Int): Column =
+    floor(((c - lo) * lit((1L << bits).toDouble)) / (hi - lo + lit(1)))
+      .cast("long")
+
+  /** Rewrite a DataFrame into a z-clustered layout: range-partition on
+    * the Morton key of (a, b) and sort each partition by it, so each
+    * output file covers a compact z-range — i.e. a small rectangle in
+    * (a, b) space, giving min/max pruning on BOTH columns. At scale
+    * this is the write-side `OPTIMIZE ZORDER BY (a, b)`; numPartitions
+    * maps to target file count.
+    */
+  def cluster(df: DataFrame, a: Column, b: Column, bits: Int,
+      numPartitions: Int): DataFrame = {
+    val z = zValue(a, b, bits).as("__z")
+    df.withColumn("__z", z)
+      .repartitionByRange(numPartitions, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+  }
+}

@@ -81,6 +81,34 @@ object Quality {
       .orderBy($"col_name")
   }
 
+  /** Z-order clustering profile: Morton-key lineitem on (l_partkey,
+    * l_suppkey) — bounds from a 1-row broadcast aggregate, equi-width
+    * scaled to 10 bits each — then per z-bucket (top 6 bits) report the
+    * covered rectangle in (partkey, suppkey) space. The point the
+    * numbers make: every bucket's min/max range is narrow on BOTH
+    * dimensions simultaneously — the property that turns parquet
+    * zone-map pruning into multi-column data skipping at 100 TB (see
+    * api.ZOrder for the write-side layout; DistributionSpec proves the
+    * span reduction vs a linear sort). Bit arithmetic is engine-exact,
+    * so the whole profile is a full-oracle row.
+    */
+  def zorderProfile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir).select($"l_partkey", $"l_suppkey")
+    val bounds = li.agg(
+      min($"l_partkey").as("plo"), max($"l_partkey").as("phi"),
+      min($"l_suppkey").as("slo"), max($"l_suppkey").as("shi"))
+    li.crossJoin(broadcast(bounds))
+      .withColumn("pa", graft.api.ZOrder.rankScale($"l_partkey", $"plo", $"phi", 10))
+      .withColumn("sb", graft.api.ZOrder.rankScale($"l_suppkey", $"slo", $"shi", 10))
+      .withColumn("zv", graft.api.ZOrder.zValue($"pa", $"sb", 10))
+      .groupBy(shiftright($"zv", 14).as("z_bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min($"pa").as("pa_min"), max($"pa").as("pa_max"),
+        min($"sb").as("sb_min"), max($"sb").as("sb_max"))
+      .orderBy($"z_bucket")
+  }
+
   def qualityAudit(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val li = Tables.lineitem(spark, dir)

@@ -53,4 +53,49 @@ class DistributionSpec extends SparkSpec {
     assert(plan.contains("Sort") && !plan.toLowerCase.contains("rangepartitioning"),
       plan.take(400))
   }
+
+  test("zValue matches a driver-side Morton reference") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val pairs = Seq.fill(200)((rnd.nextInt(1024).toLong, rnd.nextInt(1024).toLong))
+    def ref(a: Long, b: Long): Long =
+      (0 until 10).map(i => (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1))).reduce(_ | _)
+    val got = pairs.toDF("a", "b")
+      .select($"a", $"b", graft.api.ZOrder.zValue($"a", $"b", 10).as("z"))
+      .as[(Long, Long, Long)].collect()
+    got.foreach { case (a, b, z) => assert(z == ref(a, b), s"($a,$b)") }
+  }
+
+  test("z-order layout: narrow per-partition rectangles on BOTH dims vs linear sort") {
+    import spark.implicits._
+    // a 64x64 grid, both dims uniform: a linear sort on x gives each of
+    // 8 partitions the FULL y span; the z-layout gives each a compact
+    // rectangle in (x, y)
+    val grid = (for (x <- 0L until 64L; y <- 0L until 64L) yield (x, y)).toDF("x", "y")
+    def meanSpan(laid: org.apache.spark.sql.DataFrame, c: String): Double = {
+      val spans = laid.withColumn("pid", spark_partition_id())
+        .groupBy($"pid").agg((max(col(c)) - min(col(c))).as("span"))
+        .select(avg($"span")).as[Double].head()
+      spans / 63.0 // normalize by the full-domain span
+    }
+    val linear = grid.repartitionByRange(8, $"x").sortWithinPartitions($"x")
+    val zed = graft.api.ZOrder.cluster(grid, $"x", $"y", bits = 6, numPartitions = 8)
+    val (linX, linY) = (meanSpan(linear, "x"), meanSpan(linear, "y"))
+    val (zX, zY) = (meanSpan(zed, "x"), meanSpan(zed, "y"))
+    // linear: x narrow, y full-span. z: BOTH dims bounded — each
+    // partition is a consecutive z-range, i.e. at worst the union of
+    // two adjacent power-of-two Morton blocks (range-partitioner cuts
+    // aren't block-aligned), so spans stay well below the full domain
+    // on both axes instead of pinning one axis at 100%.
+    assert(linY > 0.95, s"linear layout should span y fully, got $linY")
+    assert(zX < 0.8 && zY < 0.5, s"z layout rectangles too wide: x=$zX y=$zY")
+    // pruning consequence: a filter on a y range touches every linear
+    // partition but only the z partitions whose rectangle intersects it
+    def touched(laid: org.apache.spark.sql.DataFrame): Long =
+      laid.withColumn("pid", spark_partition_id())
+        .groupBy($"pid").agg(min($"y").as("lo"), max($"y").as("hi"))
+        .filter($"lo" <= 12 && $"hi" >= 5).count()
+    assert(touched(linear) == 8L)
+    assert(touched(zed) <= 6L, s"z layout should prune partitions, touched ${touched(zed)}")
+  }
 }
