@@ -527,6 +527,30 @@ object Oracle {
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
 
+    // gaps-and-islands replay: identical rn-difference trick and the
+    // identical (len DESC, start ASC) longest-streak tie-break
+    "q_win_islands" ->
+      """WITH e AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+        |  FROM events WHERE event_type = 'purchase'),
+        |w AS (
+        |  SELECT user_id, d,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY d) AS rn
+        |  FROM e),
+        |i AS (
+        |  SELECT user_id, d - CAST(rn AS INTEGER) AS grp,
+        |         count(*) AS len, min(d) AS streak_start
+        |  FROM w GROUP BY 1, 2),
+        |r AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY user_id ORDER BY len DESC, streak_start) AS rk
+        |  FROM i),
+        |s AS (SELECT user_id, count(*) AS n_streaks FROM i GROUP BY 1)
+        |SELECT s.user_id, s.n_streaks, CAST(r.len AS BIGINT) AS max_streak,
+        |       r.streak_start AS best_start
+        |FROM s JOIN r ON s.user_id = r.user_id AND r.rk = 1
+        |ORDER BY s.user_id""".stripMargin,
+
     // z-order replay: identical equi-width scaling (double arithmetic —
     // exact for these magnitudes, floor(double) is engine-portable) and
     // the same Morton interleave via plain bit operators

@@ -84,6 +84,7 @@ object SparkEntry {
     "q_stream_sliding_batch" -> Relational.streamSlidingBatch _,
     "q_sessionize_batch" -> Relational.sessionizeBatch _,
     "q_events_funnel" -> Relational.eventsFunnel _,
+    "q_win_islands" -> Relational.winIslands _,
     "q_session_window" -> Relational.sessionWindow _,
     "q_agg_incremental" -> Relational.aggIncremental _,
     "q_ts_resample" -> Relational.tsResample _,

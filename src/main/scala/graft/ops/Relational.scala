@@ -1261,6 +1261,38 @@ object Relational {
       .orderBy($"user_id")
   }
 
+  /** Gaps-and-islands (streak detection): consecutive purchase-DAY
+    * runs per user via the row_number-difference trick — a day minus
+    * its per-user rank is constant exactly within a consecutive run,
+    * so islands fall out of one groupBy with no self-join and no
+    * iteration. Distinct from time-gap sessionization (q_sessionize):
+    * islands are calendar-adjacency, sessions are inactivity-timeout.
+    * Per user: streak count, longest streak, and its start date
+    * (rank-1 under the deterministic (len DESC, start ASC) order — the
+    * same tie-break spelled in the oracle, so no max_by ambiguity).
+    * All three shuffles are keyed on user_id or its refinement. */
+  def winIslands(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val days = Tables.events(spark, dir)
+      .filter($"event_type" === "purchase")
+      .select($"user_id", to_date($"ts").as("d"))
+      .distinct()
+    val islands = days
+      .withColumn("grp", date_sub($"d",
+        row_number().over(Window.partitionBy($"user_id").orderBy($"d"))))
+      .groupBy($"user_id", $"grp")
+      .agg(count(lit(1)).as("len"), min($"d").as("streak_start"))
+    val best = islands
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"user_id").orderBy($"len".desc, $"streak_start")))
+      .filter($"rk" === 1)
+    islands.groupBy($"user_id").agg(count(lit(1)).as("n_streaks"))
+      .join(best.select($"user_id", $"len".as("max_streak"),
+        $"streak_start".as("best_start")), "user_id")
+      .select($"user_id", $"n_streaks", $"max_streak", $"best_start")
+      .orderBy($"user_id")
+  }
+
   def sessionizeBatch(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     graft.api.Temporal.sessionize(
