@@ -527,6 +527,36 @@ object Oracle {
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
 
+    // basket replay: relational (self-join) formulation of the same
+    // pair semantics the Spark side derives with one groupBy + HOF
+    // expansion — independent derivations must agree
+    "q_basket_pairs" ->
+      """WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |p AS (
+        |  SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS cnt
+        |  FROM lp a JOIN lp b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2)
+        |SELECT p1, p2, CAST(cnt AS BIGINT) AS n_orders
+        |FROM p ORDER BY n_orders DESC, p1, p2 LIMIT 20""".stripMargin,
+
+    // cohort replay: identical integer week arithmetic from a fixed
+    // epoch — DATE minus DATE is BIGINT days in DuckDB, then floor
+    // division by 7 matches Spark's datediff … div 7
+    "q_cohort_retention" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type,
+        |         (CAST(ts AS DATE) - DATE '2024-01-01') // 7 AS week
+        |  FROM events),
+        |c AS (SELECT user_id, min(week) AS cohort_week FROM ev
+        |      WHERE event_type = 'purchase' GROUP BY 1),
+        |a AS (SELECT DISTINCT user_id, week FROM ev)
+        |SELECT c.cohort_week, a.week - c.cohort_week AS week_offset,
+        |       CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+        |FROM a JOIN c ON a.user_id = c.user_id
+        |WHERE a.week >= c.cohort_week
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     // gaps-and-islands replay: identical rn-difference trick and the
     // identical (len DESC, start ASC) longest-streak tie-break
     "q_win_islands" ->

@@ -85,6 +85,8 @@ object SparkEntry {
     "q_sessionize_batch" -> Relational.sessionizeBatch _,
     "q_events_funnel" -> Relational.eventsFunnel _,
     "q_win_islands" -> Relational.winIslands _,
+    "q_cohort_retention" -> Relational.cohortRetention _,
+    "q_basket_pairs" -> Relational.basketPairs _,
     "q_session_window" -> Relational.sessionWindow _,
     "q_agg_incremental" -> Relational.aggIncremental _,
     "q_ts_resample" -> Relational.tsResample _,

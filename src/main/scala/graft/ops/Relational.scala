@@ -1261,6 +1261,57 @@ object Relational {
       .orderBy($"user_id")
   }
 
+  /** Market-basket pair counts (co-occurrence mining): which part pairs
+    * appear together in the most orders. Deliberately NOT a self-join:
+    * one groupBy(orderkey) collects each order's distinct sorted part
+    * set, and an index-aware transform HOF expands the ordered pairs
+    * per row — ONE shuffle total, and the expansion is bounded by
+    * per-order basket size k (k ≤ 7 here, k² tiny at any corpus scale),
+    * where the self-join formulation shuffles the fact table twice. The
+    * oracle replays it relationally (DuckDB self-join) — same
+    * semantics, independently derived. */
+  def basketPairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .select($"l_orderkey", $"l_partkey").distinct()
+      .groupBy($"l_orderkey")
+      .agg(sort_array(collect_set($"l_partkey")).as("parts"))
+      .select(explode(expr(
+        """flatten(transform(parts, (x, i) ->
+          |  transform(slice(parts, i + 2, size(parts) - i - 1), y ->
+          |    struct(x AS p1, y AS p2))))""".stripMargin)).as("pr"))
+      .groupBy($"pr.p1".as("p1"), $"pr.p2".as("p2"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy($"n_orders".desc, $"p1", $"p2")
+      .limit(20)
+  }
+
+  /** Cohort retention — the user-analytics staple: users cohorted by
+    * their first-event week, then for each (cohort_week, week_offset)
+    * cell, how many of that cohort were active offset weeks later.
+    * Weeks are integer floor-divisions of day offsets from a fixed
+    * epoch (engine-exact; no engine week-of-year conventions). Shape:
+    * a per-user min aggregate (one shuffle on user_id), a distinct
+    * (user, week) activity set riding the same key, a broadcast-sized
+    * join back, and the final cell aggregate — at 100 TB the only big
+    * shuffles are the two user_id-keyed ones. */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select($"user_id", $"event_type",
+        expr("datediff(to_date(ts), DATE'2024-01-01') div 7").as("week"))
+    // cohort = first PURCHASE week (users who never purchase drop out);
+    // activity = any event type
+    val cohorts = ev.filter($"event_type" === "purchase")
+      .groupBy($"user_id").agg(min($"week").as("cohort_week"))
+    ev.select($"user_id", $"week").distinct()
+      .join(cohorts, "user_id")
+      .filter($"week" >= $"cohort_week")
+      .groupBy($"cohort_week", ($"week" - $"cohort_week").as("week_offset"))
+      .agg(countDistinct($"user_id").as("n_users"))
+      .orderBy($"cohort_week", $"week_offset")
+  }
+
   /** Gaps-and-islands (streak detection): consecutive purchase-DAY
     * runs per user via the row_number-difference trick — a day minus
     * its per-user rank is constant exactly within a consecutive run,
