@@ -527,6 +527,26 @@ object Oracle {
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
 
+    // triangle replay: identical oriented-edge wedge formulation; the
+    // closing-edge check is EXISTS (≡ Spark's left_semi)
+    "q_graph_triangles" ->
+      """WITH lp AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        |  WHERE l_orderkey % 10 = 0),
+        |e AS (
+        |  SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+        |  FROM lp a JOIN lp b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |n AS (SELECT count(*) AS n_nodes FROM
+        |        (SELECT p1 AS n FROM e UNION SELECT p2 FROM e)),
+        |m AS (SELECT count(*) AS n_edges FROM e),
+        |t AS (
+        |  SELECT count(*) AS n_triangles
+        |  FROM (SELECT w1.p1 AS x, w2.p2 AS z
+        |        FROM e w1 JOIN e w2 ON w1.p2 = w2.p1) w
+        |  WHERE EXISTS (SELECT 1 FROM e c WHERE c.p1 = w.x AND c.p2 = w.z))
+        |SELECT n.n_nodes, m.n_edges, t.n_triangles FROM n, m, t""".stripMargin,
+
     // basket replay: relational (self-join) formulation of the same
     // pair semantics the Spark side derives with one groupBy + HOF
     // expansion — independent derivations must agree

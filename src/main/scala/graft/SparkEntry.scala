@@ -156,6 +156,7 @@ object SparkEntry {
     // iterative graph analytics
     "q_graph_pagerank" -> Graph.pageRank _,
     "q_zorder_profile" -> Quality.zorderProfile _,
+    "q_graph_triangles" -> Graph.triangleCount _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -59,6 +59,45 @@ object Graph {
         (lit(150000L) + expr("(85 * coalesce(c, 0L)) div 100")).as("pr"))
   }
 
+  /** Triangle counting over the part co-purchase graph — the motif-
+    * counting workload, in the standard distributed formulation: orient
+    * every edge from the lower to the higher endpoint id, join oriented
+    * edges on the shared middle node to enumerate wedges, then
+    * semi-check the closing edge. Orientation counts each triangle
+    * exactly once and bounds the wedge join by the oriented
+    * out-degrees; at scale the refinement is degree-based orientation
+    * (low-degree → high-degree endpoint), which caps out-degree at
+    * O(√edges) even on skewed graphs — id-orientation suffices here
+    * because basket-derived degrees are small and uniform. Three
+    * integer counts, one row, engine-exact.
+    */
+  def triangleCount(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val lp = Tables.lineitem(spark, dir)
+      .filter($"l_orderkey" % 10 === 0)
+      .select($"l_orderkey", $"l_partkey").distinct()
+    // co-purchase edges, oriented p1 < p2; three consumers (node count,
+    // edge count, two sides of the wedge join + the closing check) —
+    // cached, same session-lifetime contract as pageRank's edge list
+    val e = lp.as("a")
+      .join(lp.as("b"), $"a.l_orderkey" === $"b.l_orderkey" && $"a.l_partkey" < $"b.l_partkey")
+      .select($"a.l_partkey".as("p1"), $"b.l_partkey".as("p2"))
+      .distinct().cache()
+    val nodes = e.select($"p1".as("n")).union(e.select($"p2".as("n")))
+      .distinct().agg(count(lit(1)).as("n_nodes"))
+    val edges = e.agg(count(lit(1)).as("n_edges"))
+    val tris = e.as("w1")
+      .join(e.as("w2"), $"w1.p2" === $"w2.p1")
+      .select($"w1.p1".as("x"), $"w2.p2".as("z"))
+      // semi join = "exists a closing edge": each wedge ROW (one per
+      // triangle, since e is distinct and orientation fixes the roles)
+      // is kept or dropped — left multiplicity is preserved, and the
+      // right side is unique on (p1, p2) so inner would count the same
+      .join(e.as("c"), $"x" === $"c.p1" && $"z" === $"c.p2", "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    nodes.crossJoin(edges).crossJoin(tris)
+  }
+
   /** 3 fixed iterations from a uniform 1 000 000 start; top 20 by rank
     * (ties broken by node id). Dangling nodes (suppliers, who have no
     * out-edges) absorb rank without redistributing it — the standard
