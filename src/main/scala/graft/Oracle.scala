@@ -527,6 +527,25 @@ object Oracle {
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
 
+    // RFM replay: identical quintile assignment — ntile is only
+    // deterministic under a total order, so every ORDER BY carries the
+    // customer key; DuckDB's BIGINT ntile casts down to Spark's INT
+    "q_rfm_segments" ->
+      """WITH pc AS (
+        |  SELECT o_custkey, max(o_orderdate) AS last_order,
+        |         count(*) AS frequency,
+        |         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+        |  FROM orders GROUP BY 1),
+        |seg AS (
+        |  SELECT monetary,
+        |         CAST(ntile(5) OVER (ORDER BY last_order DESC, o_custkey) AS INTEGER) AS r,
+        |         CAST(ntile(5) OVER (ORDER BY frequency DESC, o_custkey) AS INTEGER) AS f,
+        |         CAST(ntile(5) OVER (ORDER BY monetary DESC, o_custkey) AS INTEGER) AS m
+        |  FROM pc)
+        |SELECT r, f, m, count(*) AS n_customers,
+        |       CAST(sum(monetary) AS DOUBLE) AS segment_value
+        |FROM seg GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
     // triangle replay: identical oriented-edge wedge formulation; the
     // closing-edge check is EXISTS (≡ Spark's left_semi)
     "q_graph_triangles" ->

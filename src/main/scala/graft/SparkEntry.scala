@@ -87,6 +87,7 @@ object SparkEntry {
     "q_win_islands" -> Relational.winIslands _,
     "q_cohort_retention" -> Relational.cohortRetention _,
     "q_basket_pairs" -> Relational.basketPairs _,
+    "q_rfm_segments" -> Relational.rfmSegments _,
     "q_session_window" -> Relational.sessionWindow _,
     "q_agg_incremental" -> Relational.aggIncremental _,
     "q_ts_resample" -> Relational.tsResample _,

@@ -1261,6 +1261,39 @@ object Relational {
       .orderBy($"user_id")
   }
 
+  /** RFM segmentation — recency/frequency/monetary quintiles, the
+    * classic customer-scoring workload, and the suite's ntile coverage.
+    * ntile is deterministic only under a TOTAL order, so every ORDER BY
+    * carries the customer key as tie-break, spelled identically in the
+    * oracle (without it, equal metric values make tile assignment
+    * engine-dependent). Monetary goes through DECIMAL (order-free sum).
+    * One aggregate shuffle on custkey, three window passes over the
+    * same per-customer relation, and a cell-count output. Scale note:
+    * an unpartitioned ntile serializes its sort into one task — fine
+    * for a per-customer rollup (|customers| ≪ |facts|), but at 100 TB
+    * the exact quintile assignment would be replaced by bucketing
+    * against approx-percentile cut points (one pass, no global sort);
+    * the segmentation semantics are identical. */
+  def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val perCust = Tables.orders(spark, dir)
+      .groupBy($"o_custkey")
+      .agg(max($"o_orderdate").as("last_order"),
+        count(lit(1)).as("frequency"),
+        sum(dec2($"o_totalprice")).as("monetary"))
+    val seg = perCust
+      .withColumn("r", ntile(5).over(
+        Window.orderBy($"last_order".desc, $"o_custkey")))
+      .withColumn("f", ntile(5).over(
+        Window.orderBy($"frequency".desc, $"o_custkey")))
+      .withColumn("m", ntile(5).over(
+        Window.orderBy($"monetary".desc, $"o_custkey")))
+    seg.groupBy($"r", $"f", $"m")
+      .agg(count(lit(1)).as("n_customers"),
+        sum($"monetary").cast("double").as("segment_value"))
+      .orderBy($"r", $"f", $"m")
+  }
+
   /** Market-basket pair counts (co-occurrence mining): which part pairs
     * appear together in the most orders. Deliberately NOT a self-join:
     * one groupBy(orderkey) collects each order's distinct sorted part
