@@ -491,6 +491,13 @@ object Oracle {
         |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT') t
         |GROUP BY custkey ORDER BY custkey""".stripMargin,
 
+    "q_set_intersect_all" ->
+      """SELECT custkey, count(*) AS n_common FROM (
+        |  SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |  INTERSECT ALL
+        |  SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH') t
+        |GROUP BY custkey ORDER BY custkey""".stripMargin,
+
     // §2.7 scalar function families -----------------------------------------
     "q_fn_string" ->
       """SELECT p_partkey,
@@ -526,6 +533,22 @@ object Oracle {
         |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+
+    // IGNORE NULLS replay: DuckDB spells it inside the argument list;
+    // same frame, same (us, event_id) total order, raw doubles carried
+    "q_win_ignore_nulls" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS us,
+        |         CASE WHEN event_type = 'purchase' THEN value END AS v
+        |  FROM events)
+        |SELECT event_id, user_id,
+        |       last_value(v IGNORE NULLS) OVER (
+        |         PARTITION BY user_id ORDER BY us, event_id
+        |         ROWS UNBOUNDED PRECEDING) AS last_purchase_value,
+        |       first_value(v IGNORE NULLS) OVER (
+        |         PARTITION BY user_id ORDER BY us, event_id
+        |         ROWS UNBOUNDED PRECEDING) AS first_purchase_value
+        |FROM e ORDER BY event_id""".stripMargin,
 
     // RFM replay: identical quintile assignment — ntile is only
     // deterministic under a total order, so every ORDER BY carries the

@@ -70,6 +70,7 @@ object SparkEntry {
     "q_set_intersect" -> Relational.setIntersect _,
     "q_set_except" -> Relational.setExcept _,
     "q_set_except_all" -> Relational.setExceptAll _,
+    "q_set_intersect_all" -> Relational.setIntersectAll _,
     // §2.7 scalar function families
     "q_fn_string" -> Relational.fnString _,
     "q_fn_date" -> Relational.fnDate _,
@@ -88,6 +89,7 @@ object SparkEntry {
     "q_cohort_retention" -> Relational.cohortRetention _,
     "q_basket_pairs" -> Relational.basketPairs _,
     "q_rfm_segments" -> Relational.rfmSegments _,
+    "q_win_ignore_nulls" -> Relational.winIgnoreNulls _,
     "q_session_window" -> Relational.sessionWindow _,
     "q_agg_incremental" -> Relational.aggIncremental _,
     "q_ts_resample" -> Relational.tsResample _,

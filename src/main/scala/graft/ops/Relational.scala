@@ -667,6 +667,22 @@ object Relational {
       .orderBy($"custkey")
   }
 
+  /** INTERSECT ALL — multiset intersection (min of per-side
+    * multiplicities), completing the §2.6 bag-semantics pair with
+    * [[setExceptAll]]: customers' order-priority overlap between the
+    * URGENT and HIGH books, with surviving multiplicity. Spark plans
+    * intersectAll as one aggregate over a union with per-side counts —
+    * no join, one shuffle on the value. */
+  def setIntersectAll(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, dir)
+    o.filter($"o_orderpriority" === "1-URGENT").select($"o_custkey".as("custkey"))
+      .intersectAll(o.filter($"o_orderpriority" === "2-HIGH").select($"o_custkey".as("custkey")))
+      .groupBy($"custkey")
+      .agg(count(lit(1)).as("n_common"))
+      .orderBy($"custkey")
+  }
+
   // ===========================================================================
   // §2.7 scalar function families
   // ===========================================================================
@@ -1259,6 +1275,26 @@ object Relational {
         count(when($"completed", 1)).as("n_completed"),
         min(when($"completed", $"ts")).as("first_completion"))
       .orderBy($"user_id")
+  }
+
+  /** IGNORE NULLS window semantics — the §2.5 corner that trips
+    * engines: last_value/first_value skipping nulls turns a sparse
+    * per-event purchase amount into a carried-forward (LOCF) series in
+    * ONE window pass, no gap-fill join (contrast Temporal.resampleLocf,
+    * which also densifies the grid). The carried values are raw column
+    * doubles — no arithmetic touches them, so cross-engine hashing is
+    * exact without rounding. */
+  def winIgnoreNulls(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .select($"event_id", $"user_id", unix_micros($"ts").as("us"),
+        when($"event_type" === "purchase", $"value").as("v"))
+      .select($"event_id", $"user_id",
+        last($"v", ignoreNulls = true).over(w).as("last_purchase_value"),
+        first($"v", ignoreNulls = true).over(w).as("first_purchase_value"))
+      .orderBy($"event_id")
   }
 
   /** RFM segmentation — recency/frequency/monetary quintiles, the
