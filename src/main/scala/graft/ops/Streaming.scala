@@ -130,6 +130,50 @@ object Streaming {
       }
   }
 
+  /** Streaming twin of the batch funnel (Relational.eventsFunnel):
+    * view → click → purchase with 1 h step windows, as arbitrary
+    * stateful processing. Per-user state is just TWO timestamps (last
+    * view, last QUALIFIED click) — constant bytes per user no matter
+    * how long the stream runs, which is why the pattern scales where
+    * "keep the whole history per user" does not. Rows are sorted by
+    * event time within each batch; cross-batch order relies on the
+    * source delivering event-time-ordered batches (the general case
+    * buffers under a watermark — same trade documented on
+    * streamClickView). StreamingSpec proves stream ≡ driver replay,
+    * including a purchase completed by a click from an EARLIER batch.
+    */
+  case class FunnelState(lastViewUs: Long, lastQualClickUs: Long)
+  case class FunnelHit(user_id: Long, event_id: Long, completed: Boolean)
+
+  def funnelPerUser(events: Dataset[Event]): Dataset[FunnelHit] = {
+    import events.sparkSession.implicits._
+    val hourUs = 3600L * 1000000L
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelHit](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[Event], state: GroupState[FunnelState]) =>
+          var st = state.getOption.getOrElse(FunnelState(-1L, -1L))
+          val out = scala.collection.mutable.ArrayBuffer.empty[FunnelHit]
+          rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            val us = e.ts.getTime * 1000L
+            e.event_type match {
+              case "view" =>
+                st = st.copy(lastViewUs = math.max(st.lastViewUs, us))
+              case "click" =>
+                if (st.lastViewUs >= 0 && us - st.lastViewUs <= hourUs)
+                  st = st.copy(lastQualClickUs = math.max(st.lastQualClickUs, us))
+              case "purchase" =>
+                out += FunnelHit(uid, e.event_id,
+                  st.lastQualClickUs >= 0 && us - st.lastQualClickUs <= hourUs)
+              case _ => ()
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** The same running aggregate on Spark 4's transformWithState API
     * (arbitrary state v2): typed ValueState, explicit TTL hooks, timer
     * support — the forward-looking replacement for

@@ -238,6 +238,52 @@ class StreamingSpec extends SparkSpec {
     assert(StreamingSpecKv.store.get("click") == "3" && StreamingSpecKv.store.get("view") == "1",
       "replay changed the store: " + StreamingSpecKv.store.toString)
   }
+
+  test("stateful streaming funnel equals a driver replay; state crosses batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // user 1: view → click (qualified) | batch boundary | purchase ≤1h
+    // after the batch-1 click → completed=true ONLY if state crossed
+    // user 2: purchase with no prior qualified click → false
+    // user 3: view, then click 2h later (NOT qualified), purchase → false
+    val b1 = Seq(
+      ev(10, "2024-01-01 10:00:00", 1, "view"),
+      ev(11, "2024-01-01 10:20:00", 1, "click"),
+      ev(12, "2024-01-01 09:00:00", 3, "view"),
+      ev(13, "2024-01-01 11:30:00", 3, "click"))
+    val b2 = Seq(
+      ev(20, "2024-01-01 10:50:00", 1, "purchase"),
+      ev(21, "2024-01-01 10:55:00", 2, "purchase"),
+      ev(22, "2024-01-01 11:40:00", 3, "purchase"))
+    val ms = MemoryStream[Event]
+    val q = Streaming.funnelPerUser(ms.toDS)
+      .writeStream.format("memory").queryName("funnel_stream").outputMode("append").start()
+    try {
+      ms.addData(b1); q.processAllAvailable()
+      ms.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("funnel_stream")
+      .collect().map(r => (r.getLong(1), r.getBoolean(2))).toMap
+    // driver replay over the full ordered stream
+    val hourMs = 3600000L
+    val expected = (b1 ++ b2).groupBy(_.user_id).flatMap { case (_, es) =>
+      var lastView = -1L; var lastQual = -1L
+      es.sortBy(e => (e.ts.getTime, e.event_id)).flatMap { e =>
+        e.event_type match {
+          case "view" => lastView = math.max(lastView, e.ts.getTime); None
+          case "click" =>
+            if (lastView >= 0 && e.ts.getTime - lastView <= hourMs)
+              lastQual = math.max(lastQual, e.ts.getTime)
+            None
+          case "purchase" =>
+            Some(e.event_id -> (lastQual >= 0 && e.ts.getTime - lastQual <= hourMs))
+          case _ => None
+        }
+      }
+    }.toMap
+    assert(got == expected, s"got=$got expected=$expected")
+    assert(got(20L) && !got(21L) && !got(22L)) // cross-batch completion is the point
+  }
 }
 
 /** Executor-visible in-memory store (local mode shares the JVM). */
@@ -254,4 +300,5 @@ class MapSink extends graft.api.KeyValueSink {
     StreamingSpecKv.puts.incrementAndGet()
     ()
   }
+
 }
