@@ -63,13 +63,28 @@ object ZOrder {
     * (a, b) space, giving min/max pruning on BOTH columns. At scale
     * this is the write-side `OPTIMIZE ZORDER BY (a, b)`; numPartitions
     * maps to target file count.
+    *
+    * Both dimensions are rank-scaled to the full [0, 2^bits) range from
+    * a 1-row broadcast bounds aggregate BEFORE interleaving. This is
+    * load-bearing, not cosmetic: interleaving raw values lets the
+    * wider-domain column monopolize the high z-bits (a column spanning
+    * [0, 9] contributes zeros above bit 3), and the "z-order" silently
+    * degenerates to a linear sort on the wide column — zone maps on the
+    * narrow column never tighten (caught by DistributionSpec's footer
+    * test). Production ZORDER implementations scale per-column ranks
+    * for exactly this reason.
     */
   def cluster(df: DataFrame, a: Column, b: Column, bits: Int,
       numPartitions: Int): DataFrame = {
-    val z = zValue(a, b, bits).as("__z")
-    df.withColumn("__z", z)
+    val bounds = df.agg(
+      min(a).as("__alo"), max(a).as("__ahi"),
+      min(b).as("__blo"), max(b).as("__bhi"))
+    df.crossJoin(broadcast(bounds))
+      .withColumn("__z", zValue(
+        rankScale(a, col("__alo"), col("__ahi"), bits),
+        rankScale(b, col("__blo"), col("__bhi"), bits), bits))
       .repartitionByRange(numPartitions, col("__z"))
       .sortWithinPartitions(col("__z"))
-      .drop("__z")
+      .drop("__z", "__alo", "__ahi", "__blo", "__bhi")
   }
 }

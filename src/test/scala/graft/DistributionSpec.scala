@@ -98,4 +98,58 @@ class DistributionSpec extends SparkSpec {
     assert(touched(linear) == 8L)
     assert(touched(zed) <= 6L, s"z layout should prune partitions, touched ${touched(zed)}")
   }
+
+  test("z-order parquet footers: zone maps skip row groups a linear sort must read") {
+    import spark.implicits._
+    // real files, real footers: the statistics a zone-map (row-group
+    // min/max) pruner consults are read straight from the written
+    // parquet metadata, so this measures exactly what a 100 TB scan
+    // with a suppkey predicate would have to decode under each layout
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .select($"l_partkey", $"l_suppkey")
+    val base = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_zorder_${System.nanoTime()}").getAbsolutePath
+    li.repartitionByRange(8, $"l_partkey").sortWithinPartitions($"l_partkey")
+      .write.parquet(s"$base/linear")
+    graft.api.ZOrder.cluster(li, $"l_partkey", $"l_suppkey", bits = 8, numPartitions = 8)
+      .write.parquet(s"$base/zed")
+    // rows a reader must decode for l_suppkey ∈ [lo, hi] (suppkey domain at sf0.001 is [0, 9]): sum of rows of
+    // row groups whose suppkey [min, max] intersects the range
+    def survivingRows(dir: String, lo: Long, hi: Long): (Long, Long) = {
+      import org.apache.hadoop.fs.Path
+      import org.apache.parquet.hadoop.ParquetFileReader
+      import org.apache.parquet.hadoop.util.HadoopInputFile
+      import scala.jdk.CollectionConverters._
+      val conf = spark.sparkContext.hadoopConfiguration
+      val files = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      var kept = 0L
+      var total = 0L
+      files.foreach { f =>
+        val r = ParquetFileReader.open(
+          HadoopInputFile.fromPath(new Path(f.getAbsolutePath), conf))
+        try r.getFooter.getBlocks.asScala.foreach { b =>
+          total += b.getRowCount
+          val col = b.getColumns.asScala
+            .find(_.getPath.toDotString == "l_suppkey")
+            .getOrElse(fail(s"no l_suppkey chunk in ${f.getName}"))
+          val st = col.getStatistics
+          assert(st != null && !st.isEmpty, "writer produced no statistics")
+          val mn = st.genericGetMin.asInstanceOf[Number].longValue
+          val mx = st.genericGetMax.asInstanceOf[Number].longValue
+          if (mx >= lo && mn <= hi) kept += b.getRowCount
+        } finally r.close()
+      }
+      (kept, total)
+    }
+    val (linKept, linTotal) = survivingRows(s"$base/linear", 2L, 3L)
+    val (zKept, zTotal) = survivingRows(s"$base/zed", 2L, 3L)
+    assert(linTotal == zTotal && linTotal > 0)
+    // linear-by-partkey: every row group spans the full suppkey domain →
+    // zone maps skip nothing. z-order: only groups whose suppkey
+    // rectangle intersects the queried band must be decoded.
+    assert(linKept == linTotal, s"linear layout unexpectedly skipped: $linKept of $linTotal")
+    assert(zKept <= zTotal / 2,
+      s"z layout would decode $zKept of $zTotal — zone maps not tightened")
+  }
 }
