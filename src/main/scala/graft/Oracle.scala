@@ -534,6 +534,16 @@ object Oracle {
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
 
+    // variant replay: DuckDB extracts the same JSON field as text and
+    // casts; integer bucket arithmetic identical (// ↔ div, values ≥ 0)
+    "q_fn_variant" ->
+      """WITH e AS (
+        |  SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        |  FROM events)
+        |SELECT CAST(k // 10 AS BIGINT) AS k_bucket, count(*) AS n,
+        |       min(k) AS k_min, max(k) AS k_max
+        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // IGNORE NULLS replay: DuckDB spells it inside the argument list;
     // same frame, same (us, event_id) total order, raw doubles carried
     "q_win_ignore_nulls" ->

@@ -90,6 +90,7 @@ object SparkEntry {
     "q_basket_pairs" -> Relational.basketPairs _,
     "q_rfm_segments" -> Relational.rfmSegments _,
     "q_win_ignore_nulls" -> Relational.winIgnoreNulls _,
+    "q_fn_variant" -> Relational.fnVariant _,
     "q_session_window" -> Relational.sessionWindow _,
     "q_agg_incremental" -> Relational.aggIncremental _,
     "q_ts_resample" -> Relational.tsResample _,

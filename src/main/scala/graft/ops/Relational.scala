@@ -1277,6 +1277,24 @@ object Relational {
       .orderBy($"user_id")
   }
 
+  /** Semi-structured VARIANT path (Spark 4): parse_json once into the
+    * binary variant encoding, then typed variant_get extraction — the
+    * modern alternative to from_json-with-schema (q_fn_json) for data
+    * whose shape isn't known up front. At scale the win is parse-once/
+    * extract-many and predicate pushdown into shredded variant columns;
+    * here the extraction feeds an ordinary bucketed aggregate whose
+    * integer arithmetic is engine-exact against DuckDB's JSON
+    * extraction. */
+  def fnVariant(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .select(parse_json($"props").as("v"))
+      .select(expr("variant_get(v, '$.k', 'int')").as("k"))
+      .groupBy(expr("cast(k div 10 as bigint)").as("k_bucket"))
+      .agg(count(lit(1)).as("n"), min($"k").as("k_min"), max($"k").as("k_max"))
+      .orderBy($"k_bucket")
+  }
+
   /** IGNORE NULLS window semantics — the §2.5 corner that trips
     * engines: last_value/first_value skipping nulls turns a sparse
     * per-event purchase amount into a carried-forward (LOCF) series in
