@@ -534,6 +534,28 @@ object Oracle {
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
 
+    // z-score replay: moments rounded to 6 dp BEFORE the threshold on
+    // both sides so the boundary set is identical; worst offender via
+    // (z, event_id) struct-max ↔ ORDER BY z DESC, event_id DESC rank 1
+    "q_anomaly_zscore" ->
+      """WITH s AS (
+        |  SELECT event_type, round(avg(value), 6) AS mu,
+        |         round(stddev_samp(value), 6) AS sigma
+        |  FROM events GROUP BY 1),
+        |z AS (
+        |  SELECT e.event_type, e.event_id,
+        |         round(abs(e.value - s.mu) / s.sigma, 6) AS z
+        |  FROM events e JOIN s USING (event_type)),
+        |o AS (SELECT * FROM z WHERE z > 2.0),
+        |w AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY event_type ORDER BY z DESC, event_id DESC) AS rk
+        |  FROM o)
+        |SELECT event_type, count(*) AS n_outliers,
+        |       CAST(max(CASE WHEN rk = 1 THEN event_id END) AS BIGINT) AS worst_event,
+        |       round(max(z), 6) AS max_z
+        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // variant replay: DuckDB extracts the same JSON field as text and
     // casts; integer bucket arithmetic identical (// ↔ div, values ≥ 0)
     "q_fn_variant" ->

@@ -91,6 +91,7 @@ object SparkEntry {
     "q_rfm_segments" -> Relational.rfmSegments _,
     "q_win_ignore_nulls" -> Relational.winIgnoreNulls _,
     "q_fn_variant" -> Relational.fnVariant _,
+    "q_anomaly_zscore" -> Relational.anomalyZscore _,
     "q_session_window" -> Relational.sessionWindow _,
     "q_agg_incremental" -> Relational.aggIncremental _,
     "q_ts_resample" -> Relational.tsResample _,

@@ -1277,6 +1277,30 @@ object Relational {
       .orderBy($"user_id")
   }
 
+  /** Z-score outlier detection — the monitoring/anomaly workload: per
+    * event_type, flag events whose value sits more than 2σ from the
+    * type mean, report the outlier count and the worst offender (argmax
+    * on |z| with event_id tie-break, spelled identically both sides).
+    * One aggregate pass for the moments, a broadcast join back, one
+    * filtered aggregate — no window needed, so nothing serializes. The
+    * z-threshold comparison happens on values ROUNDED to 6 dp (stddev
+    * is algorithm-sensitive across engines) and the rounding is part of
+    * the spec on both sides, so the boundary set is identical. */
+  def anomalyZscore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir).select($"event_id", $"event_type", $"value")
+    val stats = ev.groupBy($"event_type")
+      .agg(round(avg($"value"), 6).as("mu"), round(stddev_samp($"value"), 6).as("sigma"))
+    ev.join(broadcast(stats), "event_type")
+      .withColumn("z", round(abs($"value" - $"mu") / $"sigma", 6))
+      .filter($"z" > 2.0)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_outliers"),
+        max(struct($"z", $"event_id")).getField("event_id").as("worst_event"),
+        round(max($"z"), 6).as("max_z"))
+      .orderBy($"event_type")
+  }
+
   /** Semi-structured VARIANT path (Spark 4): parse_json once into the
     * binary variant encoding, then typed variant_get extraction — the
     * modern alternative to from_json-with-schema (q_fn_json) for data

@@ -44,6 +44,15 @@ object Formats {
     df.write.mode(SaveMode.Overwrite).json(path)
 
   /** Parquet sink with optional hive-style partition layout. */
+  /** ORC — the other columnar warehouse format; same schema-first
+    * contract as the parquet path (predicate pushdown and column
+    * pruning work identically through the vectorized ORC reader). */
+  def readOrc(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
   def writeParquet(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
     val w = df.write.mode(SaveMode.Overwrite)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)

@@ -39,6 +39,19 @@ class FormatsSpec extends SparkSpec {
     assert(sortedRows(back) == sortedRows(ordersSlice))
   }
 
+  test("ORC round-trip preserves all values; filters push to the scan") {
+    import org.apache.spark.sql.functions.col
+    val dir = tmp()
+    Formats.writeOrc(ordersSlice, dir)
+    val back = Formats.readOrc(spark, dir, Schemas.orders)
+    assert(sortedRows(back) == sortedRows(ordersSlice))
+    val filtered = back.filter(col("o_custkey") === 10L)
+    assert(filtered.count() == 2)
+    val scan = filtered.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters") && scan.contains("o_custkey"),
+      scan.take(500))
+  }
+
   test("partitioned parquet write prunes partitions at the scan") {
     import spark.implicits._
     val dir = tmp()
