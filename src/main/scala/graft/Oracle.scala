@@ -534,6 +534,16 @@ object Oracle {
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
 
+    // bivariate stats replay: same 6-dp rounding convention as
+    // q_agg_stats (co-moment update order differs in the last ulps)
+    "q_agg_corr" ->
+      """SELECT l_returnflag,
+        |       round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+        |       round(covar_samp(l_quantity, l_extendedprice), 6) AS covar_qty_price,
+        |       round(covar_samp(l_quantity, l_extendedprice)
+        |             / var_samp(l_quantity), 6) AS slope_price_per_qty
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // z-score replay: moments rounded to 6 dp BEFORE the threshold on
     // both sides so the boundary set is identical; worst offender via
     // (z, event_id) struct-max ↔ ORDER BY z DESC, event_id DESC rank 1

@@ -92,6 +92,7 @@ object SparkEntry {
     "q_win_ignore_nulls" -> Relational.winIgnoreNulls _,
     "q_fn_variant" -> Relational.fnVariant _,
     "q_anomaly_zscore" -> Relational.anomalyZscore _,
+    "q_agg_corr" -> Relational.aggCorr _,
     "q_session_window" -> Relational.sessionWindow _,
     "q_agg_incremental" -> Relational.aggIncremental _,
     "q_ts_resample" -> Relational.tsResample _,

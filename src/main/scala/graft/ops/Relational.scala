@@ -481,6 +481,25 @@ object Relational {
       .orderBy($"l_returnflag")
   }
 
+  /** Bivariate statistics per group: Pearson correlation and sample
+    * covariance between quantity and price, plus the regression slope
+    * they imply (cov/var — computed explicitly from the same
+    * aggregates rather than regr_slope, whose NULL-pair semantics
+    * differ subtly across engines). All three round to 6 dp: the
+    * one-pass co-moment update order is engine- and partitioning-
+    * dependent in the last ulps. */
+  def aggCorr(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        round(corr($"l_quantity", $"l_extendedprice"), 6).as("corr_qty_price"),
+        round(covar_samp($"l_quantity", $"l_extendedprice"), 6).as("covar_qty_price"),
+        round(covar_samp($"l_quantity", $"l_extendedprice")
+          / var_samp($"l_quantity"), 6).as("slope_price_per_qty"))
+      .orderBy($"l_returnflag")
+  }
+
   /** Exact interpolated percentiles per group — Spark's percentile() and
     * DuckDB's quantile_cont() share the continuous-quantile definition
     * (rank p·(n−1), linear interpolation), so the values hash-match at
