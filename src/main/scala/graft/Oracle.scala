@@ -541,7 +541,7 @@ object Oracle {
         |       round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
         |       round(covar_samp(l_quantity, l_extendedprice), 6) AS covar_qty_price,
         |       round(covar_samp(l_quantity, l_extendedprice)
-        |             / var_samp(l_quantity), 6) AS slope_price_per_qty
+        |             / nullif(var_samp(l_quantity), 0.0), 6) AS slope_price_per_qty
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // z-score replay: moments rounded to 6 dp BEFORE the threshold on
@@ -555,7 +555,8 @@ object Oracle {
         |z AS (
         |  SELECT e.event_type, e.event_id,
         |         round(abs(e.value - s.mu) / s.sigma, 6) AS z
-        |  FROM events e JOIN s USING (event_type)),
+        |  FROM events e JOIN s USING (event_type)
+        |  WHERE s.sigma > 0.0),
         |o AS (SELECT * FROM z WHERE z > 2.0),
         |w AS (
         |  SELECT *, row_number() OVER (

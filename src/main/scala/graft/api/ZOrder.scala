@@ -35,23 +35,15 @@ object ZOrder {
     }.reduce(_.bitwiseOR(_))
   }
 
-  /** Equi-width scaling of a value known to lie in [lo, hi] onto
-    * [0, 2^bits): the deterministic, engine-portable stand-in for the
-    * rank-based scaling a production optimizer would use (ranks need a
-    * sort; width buckets need only min/max metadata). Integer floor
-    * arithmetic — identical in DuckDB.
-    */
-  def rankScale(c: Column, lo: Long, hi: Long, bits: Int): Column = {
-    require(hi > lo)
-    // (c - lo) * 2^bits / (hi - lo + 1), floored; stays in [0, 2^bits)
-    floor(((c - lit(lo)) * lit(1L << bits)) / lit(hi - lo + 1)).cast("long")
-  }
-
-  /** Column-bounds variant of [[rankScale]], for bounds computed from
-    * the data (a 1-row broadcast aggregate). Arithmetic runs in double
-    * — exact while `(value − lo) · 2^bits < 2^53`, i.e. any realistic
-    * key domain — and floor(double) is engine-portable, unlike integral
-    * division operators whose semantics differ across engines/versions.
+  /** Equi-width scaling of a value in [lo, hi] onto [0, 2^bits) — the
+    * deterministic, engine-portable stand-in for the rank-based scaling
+    * a production optimizer would use (ranks need a sort; width buckets
+    * need only min/max metadata, which [[cluster]] gets from a 1-row
+    * broadcast aggregate). Arithmetic runs in double — exact while
+    * `(value − lo) · 2^bits < 2^53` (any realistic key domain; a Long
+    * formulation would silently overflow at wide-domain × high-bits),
+    * and floor(double) is engine-portable where integral-division
+    * semantics are not.
     */
   def rankScale(c: Column, lo: Column, hi: Column, bits: Int): Column =
     floor(((c - lo) * lit((1L << bits).toDouble)) / (hi - lo + lit(1)))

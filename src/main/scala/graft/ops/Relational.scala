@@ -98,9 +98,14 @@ object Relational {
     // either nothing, the old copy, or the complete new one). If the
     // rename loses the race to a concurrent publisher, that copy is
     // re-validated and ours is discarded. Cache root is overridable
-    // (GRAFT_PART_CACHE_DIR) for environments whose tmpdir is cleaned
-    // aggressively or shared across untrusted users.
-    val cacheRoot = sys.env.getOrElse("GRAFT_PART_CACHE_DIR", sys.props("java.io.tmpdir"))
+    // (graft.part.cache.dir property, GRAFT_PART_CACHE_DIR env) for
+    // environments whose tmpdir is cleaned aggressively or shared
+    // across untrusted users.
+    // resolution order: system property (settable in-process — tests
+    // and embedding apps), then env var, then tmpdir
+    val cacheRoot = sys.props.get("graft.part.cache.dir")
+      .orElse(sys.env.get("GRAFT_PART_CACHE_DIR"))
+      .getOrElse(sys.props("java.io.tmpdir"))
     val dest = new java.io.File(
       cacheRoot,
       "graft_part_orders_" + dir.replaceAll("[^A-Za-z0-9._-]", "_"))
@@ -495,8 +500,10 @@ object Relational {
       .agg(
         round(corr($"l_quantity", $"l_extendedprice"), 6).as("corr_qty_price"),
         round(covar_samp($"l_quantity", $"l_extendedprice"), 6).as("covar_qty_price"),
+        // nullif guards the constant-quantity group: var = 0 divides to
+        // Infinity in Spark but NULL in DuckDB; NULL/NULL agrees
         round(covar_samp($"l_quantity", $"l_extendedprice")
-          / var_samp($"l_quantity"), 6).as("slope_price_per_qty"))
+          / nullif(var_samp($"l_quantity"), lit(0.0)), 6).as("slope_price_per_qty"))
       .orderBy($"l_returnflag")
   }
 
@@ -1311,6 +1318,11 @@ object Relational {
     val stats = ev.groupBy($"event_type")
       .agg(round(avg($"value"), 6).as("mu"), round(stddev_samp($"value"), 6).as("sigma"))
     ev.join(broadcast(stats), "event_type")
+      // sigma > 0 is part of the spec on BOTH sides: a constant-valued
+      // group divides by zero, where Spark doubles yield Infinity but
+      // DuckDB yields NULL — without the guard the engines disagree on
+      // whether the whole group is "outliers"
+      .filter($"sigma" > 0.0)
       .withColumn("z", round(abs($"value" - $"mu") / $"sigma", 6))
       .filter($"z" > 2.0)
       .groupBy($"event_type")

@@ -145,6 +145,16 @@ object Streaming {
   case class FunnelState(lastViewUs: Long, lastQualClickUs: Long)
   case class FunnelHit(user_id: Long, event_id: Long, completed: Boolean)
 
+  /** Event-time in MICROSECONDS, matching the batch twin's unix_micros
+    * exactly. getTime alone floors to milliseconds — on sub-ms data
+    * that silently shifts the 1 h window boundary by up to 999 µs
+    * relative to the batch query (a real divergence, not a rounding
+    * nicety: a gap of exactly 1 h + 700 µs is late in batch but
+    * "floored on time" in ms). getNanos carries the sub-second part;
+    * its sub-ms remainder is what getTime dropped. */
+  private[graft] def eventMicros(ts: java.sql.Timestamp): Long =
+    ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+
   def funnelPerUser(events: Dataset[Event]): Dataset[FunnelHit] = {
     import events.sparkSession.implicits._
     val hourUs = 3600L * 1000000L
@@ -155,8 +165,8 @@ object Streaming {
         (uid: Long, rows: Iterator[Event], state: GroupState[FunnelState]) =>
           var st = state.getOption.getOrElse(FunnelState(-1L, -1L))
           val out = scala.collection.mutable.ArrayBuffer.empty[FunnelHit]
-          rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
-            val us = e.ts.getTime * 1000L
+          rows.toSeq.sortBy(e => (eventMicros(e.ts), e.event_id)).foreach { e =>
+            val us = eventMicros(e.ts)
             e.event_type match {
               case "view" =>
                 st = st.copy(lastViewUs = math.max(st.lastViewUs, us))

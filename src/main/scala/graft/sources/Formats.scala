@@ -43,7 +43,6 @@ object Formats {
   def writeJsonl(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).json(path)
 
-  /** Parquet sink with optional hive-style partition layout. */
   /** ORC — the other columnar warehouse format; same schema-first
     * contract as the parquet path (predicate pushdown and column
     * pruning work identically through the vectorized ORC reader). */
@@ -53,6 +52,7 @@ object Formats {
   def writeOrc(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).orc(path)
 
+  /** Parquet sink with optional hive-style partition layout. */
   def writeParquet(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
     val w = df.write.mode(SaveMode.Overwrite)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)

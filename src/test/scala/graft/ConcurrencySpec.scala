@@ -30,14 +30,13 @@ class ConcurrencySpec extends SparkSpec {
   }
 
   test("q_scan_partition: four concurrent cold callers agree and match the plain scan") {
-    // fresh cache root so ALL callers start cold and race the
-    // copy/validate/rename path (the env override exists for this)
+    // fresh cache root via the graft.part.cache.dir SYSTEM PROPERTY —
+    // highest precedence in scanPartition's resolution, so all callers
+    // start cold and race the copy/validate/rename path even if the
+    // GRAFT_PART_CACHE_DIR env var is set, and no process-global state
+    // (tmpdir) is touched for other tests
     val fresh = java.nio.file.Files.createTempDirectory("graft_race_part").toString
-    val prev = System.getProperty("java.io.tmpdir")
-    // scanPartition resolves GRAFT_PART_CACHE_DIR first, else tmpdir —
-    // env can't be set from inside the JVM, so point tmpdir at the
-    // fresh root for the duration
-    System.setProperty("java.io.tmpdir", fresh)
+    System.setProperty("graft.part.cache.dir", fresh)
     try {
       val counts = race(4)(() =>
         graft.ops.Relational.scanPartition(spark, dir).count())
@@ -45,7 +44,7 @@ class ConcurrencySpec extends SparkSpec {
       val expected = graft.ops.Relational.scanPartition(spark, dir).count()
       assert(counts.head == expected && expected > 0)
     } finally {
-      System.setProperty("java.io.tmpdir", prev)
+      System.clearProperty("graft.part.cache.dir")
       ()
     }
   }

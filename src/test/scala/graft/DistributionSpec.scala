@@ -142,6 +142,10 @@ class DistributionSpec extends SparkSpec {
       }
       (kept, total)
     }
+    def rmTree(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(); ()
+    }
+    try {
     val (linKept, linTotal) = survivingRows(s"$base/linear", 2L, 3L)
     val (zKept, zTotal) = survivingRows(s"$base/zed", 2L, 3L)
     assert(linTotal == zTotal && linTotal > 0)
@@ -154,5 +158,6 @@ class DistributionSpec extends SparkSpec {
     // linear layout's 100% — assert with margin for the sampling jitter
     assert(zKept <= (zTotal * 6) / 10,
       s"z layout would decode $zKept of $zTotal — zone maps not tightened")
+    } finally rmTree(new java.io.File(base))
   }
 }

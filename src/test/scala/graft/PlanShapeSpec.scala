@@ -15,7 +15,11 @@ class PlanShapeSpec extends SparkSpec {
   private val dir = "/root/testdata/sf0.001"
 
   private def hashShuffles(df: DataFrame): Int = {
-    df.count() // finalize the adaptive plan
+    // collect() executes THIS Dataset's QueryExecution and finalizes its
+    // adaptive plan; count() would build a separate aggregated
+    // QueryExecution and leave df's plan un-executed (its exchange count
+    // would then be the static estimate, not what actually ran)
+    df.collect()
     collectExec(df.queryExecution.executedPlan)
       .count(_.isInstanceOf[ShuffleExchangeLike])
   }

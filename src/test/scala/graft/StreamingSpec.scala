@@ -251,10 +251,20 @@ class StreamingSpec extends SparkSpec {
       ev(11, "2024-01-01 10:20:00", 1, "click"),
       ev(12, "2024-01-01 09:00:00", 3, "view"),
       ev(13, "2024-01-01 11:30:00", 3, "click"))
+    // user 4: purchase lands exactly 1h + 700µs after the qualified
+    // click — late in true microseconds, but a millisecond-floored
+    // implementation would see exactly 1h and call it completed (the
+    // regression this case pins)
+    val lateByMicros = {
+      val t = ts("2024-01-01 11:20:00"); t.setNanos(700000); t
+    }
     val b2 = Seq(
       ev(20, "2024-01-01 10:50:00", 1, "purchase"),
       ev(21, "2024-01-01 10:55:00", 2, "purchase"),
-      ev(22, "2024-01-01 11:40:00", 3, "purchase"))
+      ev(22, "2024-01-01 11:40:00", 3, "purchase"),
+      ev(30, "2024-01-01 10:00:00", 4, "view"),
+      ev(31, "2024-01-01 10:20:00", 4, "click"),
+      Event(32, lateByMicros, 4, "purchase", 1.0, "{}"))
     val ms = MemoryStream[Event]
     val q = Streaming.funnelPerUser(ms.toDS)
       .writeStream.format("memory").queryName("funnel_stream").outputMode("append").start()
@@ -264,25 +274,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
     val got = spark.table("funnel_stream")
       .collect().map(r => (r.getLong(1), r.getBoolean(2))).toMap
-    // driver replay over the full ordered stream
-    val hourMs = 3600000L
+    // driver replay over the full ordered stream, in the SAME true
+    // microseconds the implementation (and the batch twin's
+    // unix_micros) uses
+    val hourUs = 3600000000L
+    def us(e: Event) = Streaming.eventMicros(e.ts)
     val expected = (b1 ++ b2).groupBy(_.user_id).flatMap { case (_, es) =>
       var lastView = -1L; var lastQual = -1L
-      es.sortBy(e => (e.ts.getTime, e.event_id)).flatMap { e =>
+      es.sortBy(e => (us(e), e.event_id)).flatMap { e =>
         e.event_type match {
-          case "view" => lastView = math.max(lastView, e.ts.getTime); None
+          case "view" => lastView = math.max(lastView, us(e)); None
           case "click" =>
-            if (lastView >= 0 && e.ts.getTime - lastView <= hourMs)
-              lastQual = math.max(lastQual, e.ts.getTime)
+            if (lastView >= 0 && us(e) - lastView <= hourUs)
+              lastQual = math.max(lastQual, us(e))
             None
           case "purchase" =>
-            Some(e.event_id -> (lastQual >= 0 && e.ts.getTime - lastQual <= hourMs))
+            Some(e.event_id -> (lastQual >= 0 && us(e) - lastQual <= hourUs))
           case _ => None
         }
       }
     }.toMap
     assert(got == expected, s"got=$got expected=$expected")
     assert(got(20L) && !got(21L) && !got(22L)) // cross-batch completion is the point
+    assert(!got(32L), "1h + 700µs must be late: ms-floored arithmetic would pass it")
   }
 }
 
