@@ -662,6 +662,31 @@ object Oracle {
         |WHERE a.week >= c.cohort_week
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    // stateful-funnel replay: the window formulation of the same
+    // sequential semantics the flatMapGroupsWithState kernel executes —
+    // per-purchase completion flags, integer-µs arithmetic
+    "q_stream_funnel_state" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+        |w1 AS (
+        |  SELECT *, max(CASE WHEN event_type = 'view' THEN us END)
+        |    OVER (PARTITION BY user_id ORDER BY us, event_id
+        |          ROWS UNBOUNDED PRECEDING) AS lv_us
+        |  FROM e),
+        |w2 AS (
+        |  SELECT *, CASE WHEN event_type = 'click' AND lv_us IS NOT NULL
+        |                  AND us - lv_us <= 3600000000 THEN us END AS qc_us
+        |  FROM w1),
+        |w3 AS (
+        |  SELECT *, max(qc_us)
+        |    OVER (PARTITION BY user_id ORDER BY us, event_id
+        |          ROWS UNBOUNDED PRECEDING) AS lqc_us
+        |  FROM w2)
+        |SELECT user_id, event_id,
+        |       CAST(CASE WHEN lqc_us IS NOT NULL AND us - lqc_us <= 3600000000
+        |            THEN 1 ELSE 0 END AS INTEGER) AS completed
+        |FROM w3 WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+
     // gaps-and-islands replay: identical rn-difference trick and the
     // identical (len DESC, start ASC) longest-streak tie-break
     "q_win_islands" ->

@@ -86,6 +86,7 @@ object SparkEntry {
     "q_sessionize_batch" -> Relational.sessionizeBatch _,
     "q_events_funnel" -> Relational.eventsFunnel _,
     "q_win_islands" -> Relational.winIslands _,
+    "q_stream_funnel_state" -> Streaming.funnelBatch _,
     "q_cohort_retention" -> Relational.cohortRetention _,
     "q_basket_pairs" -> Relational.basketPairs _,
     "q_rfm_segments" -> Relational.rfmSegments _,

@@ -184,6 +184,21 @@ object Streaming {
       }
   }
 
+  /** [[funnelPerUser]] run in BATCH mode as an oracle-gradeable query:
+    * flatMapGroupsWithState executes on a batch Dataset too (each group
+    * processed once, state transient), so the SAME stateful kernel that
+    * serves the stream gets hash-checked against DuckDB's window-based
+    * replay of the funnel on real data — a far stronger guarantee for
+    * the stateful path than unit replays. Booleans cast to int at the
+    * output boundary per the repo convention. */
+  def funnelBatch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    funnelPerUser(graft.Tables.events(spark, dir).as[Event]).toDF()
+      .select(col("user_id"), col("event_id"),
+        col("completed").cast("int").as("completed"))
+      .orderBy(col("event_id"))
+  }
+
   /** The same running aggregate on Spark 4's transformWithState API
     * (arbitrary state v2): typed ValueState, explicit TTL hooks, timer
     * support — the forward-looking replacement for
