@@ -98,6 +98,47 @@ object Graph {
     nodes.crossJoin(edges).crossJoin(tris)
   }
 
+  /** Count triangles in an UNDIRECTED edge list (rows (a, b), a ≠ b,
+    * either or both directions may be present) with a caller-chosen
+    * orientation. Orientation assigns each undirected edge exactly one
+    * direction by a total order on nodes; every triangle then appears
+    * as exactly one (x→y, y→z, x→z) wedge-plus-closing-edge, so the
+    * count is orientation-INVARIANT — but the wedge join's size is not:
+    * out-degree under id order is unbounded on skewed graphs, while
+    * ordering nodes by (degree, id) caps oriented out-degree at
+    * O(√edges), the classic worst-case bound. PropertySpec pins the
+    * invariance on random graphs.
+    */
+  private[graft] def countTriangles(undirected: DataFrame,
+      byDegree: Boolean): Long = {
+    val spark = undirected.sparkSession
+    import spark.implicits._
+    val canon = undirected.select(
+      least($"a", $"b").as("u"), greatest($"a", $"b").as("v"))
+      .filter($"u" =!= $"v").distinct()
+    val oriented =
+      if (!byDegree) canon.select($"u".as("p1"), $"v".as("p2"))
+      else {
+        // total degree per node over the undirected edge set, then
+        // orient low-(deg, id) → high-(deg, id)
+        val deg = canon.select($"u".as("n")).union(canon.select($"v".as("n")))
+          .groupBy($"n").agg(count(lit(1)).as("d"))
+        canon
+          .join(deg.select($"n".as("u"), $"d".as("du")), "u")
+          .join(deg.select($"n".as("v"), $"d".as("dv")), "v")
+          .select(
+            when($"du" < $"dv" || ($"du" === $"dv" && $"u" < $"v"), $"u")
+              .otherwise($"v").as("p1"),
+            when($"du" < $"dv" || ($"du" === $"dv" && $"u" < $"v"), $"v")
+              .otherwise($"u").as("p2"))
+      }
+    oriented.as("w1")
+      .join(oriented.as("w2"), $"w1.p2" === $"w2.p1")
+      .select($"w1.p1".as("x"), $"w2.p2".as("z"))
+      .join(oriented.as("c"), $"x" === $"c.p1" && $"z" === $"c.p2", "left_semi")
+      .count()
+  }
+
   /** 3 fixed iterations from a uniform 1 000 000 start; top 20 by rank
     * (ties broken by node id). Dangling nodes (suppliers, who have no
     * out-edges) absorb rank without redistributing it — the standard

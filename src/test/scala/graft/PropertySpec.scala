@@ -230,6 +230,34 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("triangle count is orientation-invariant and matches a driver-side count") {
+    import spark.implicits._
+    val gGen = for {
+      n <- Gen.chooseNum(3, 14)
+      m <- Gen.chooseNum(2, 40)
+      es <- Gen.listOfN(m, for {
+        a <- Gen.chooseNum(0, n - 1); b <- Gen.chooseNum(0, n - 1)
+      } yield (a.toLong, b.toLong))
+    } yield es
+    forAll(gGen) { es =>
+      val df = es.toDF("a", "b")
+      val byId = graft.ops.Graph.countTriangles(df, byDegree = false)
+      val byDeg = graft.ops.Graph.countTriangles(df, byDegree = true)
+      // driver reference: count distinct node triples with all 3 edges
+      val undirected = es.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+        .filter(p => p._1 != p._2).toSet
+      val nodes = undirected.flatMap(p => Seq(p._1, p._2)).toSeq.sorted
+      var ref = 0L
+      for {
+        i <- nodes.indices; j <- (i + 1) until nodes.size; k <- (j + 1) until nodes.size
+        if undirected((nodes(i), nodes(j))) && undirected((nodes(j), nodes(k))) &&
+          undirected((nodes(i), nodes(k)))
+      } ref += 1
+      assert(byId == ref && byDeg == ref,
+        s"byId=$byId byDeg=$byDeg ref=$ref edges=$es")
+    }
+  }
+
   test("pageRankIterate matches a driver-side integer replay on random graphs") {
     import spark.implicits._
     // random directed graphs: up to 12 nodes, up to 30 distinct edges
