@@ -471,4 +471,107 @@ object Similarity {
       .select(col("vec_id"), col("canonical"))
       .orderBy(col("vec_id"))
   }
+
+  // =========================================================================
+  // Product quantization (IVF-PQ's memory half)
+  // =========================================================================
+
+  /** Codebooks for product quantization: the D-dim space splits into M
+    * contiguous subspaces of D/M dims, each with its own k-centroid L2
+    * codebook. Training runs DRIVER-SIDE on the same bounded
+    * hash-ordered sample kmeansFit uses (≤ 64·k rows — model traffic
+    * does not grow with the corpus); ENCODING is fully distributed.
+    * Result: codebooks(m)(c) is centroid c of subspace m.
+    */
+  def pqFit(df: DataFrame, idCol: String, vecCol: String,
+      m: Int, k: Int, iters: Int): IndexedSeq[IndexedSeq[IndexedSeq[Double]]] = {
+    val sample = df
+      .select(col(idCol).cast("long").as("vec_id"),
+        col(vecCol).cast("array<double>").as("emb"))
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(64 * k)
+      .collect().map(_.getSeq[Double](1).toIndexedSeq)
+    require(sample.nonEmpty, "pqFit: input DataFrame has no rows")
+    val dim = sample.head.length
+    require(dim % m == 0, s"pqFit: dim=$dim not divisible by m=$m")
+    val sub = dim / m
+    def l2(a: Seq[Double], b: Seq[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }; s
+    }
+    (0 until m).map { mi =>
+      val pts = sample.map(v => v.slice(mi * sub, (mi + 1) * sub))
+      // farthest-point init (deterministic), then Lloyd iterations —
+      // plain L2 k-means per subspace, all on the bounded sample
+      val chosen = scala.collection.mutable.ArrayBuffer(pts.head)
+      while (chosen.size < math.min(k, pts.length))
+        chosen += pts.maxBy(p => chosen.map(c => l2(p, c)).min)
+      var cents: IndexedSeq[IndexedSeq[Double]] = chosen.map(_.toIndexedSeq).toIndexedSeq
+      for (_ <- 1 to iters) {
+        val byCell = pts.groupBy(p => cents.indices.minBy(c => l2(p, cents(c))))
+        cents = cents.indices.map { c =>
+          byCell.get(c) match {
+            case Some(ps) =>
+              (0 until sub).map(j => ps.map(_(j)).sum / ps.length).toIndexedSeq
+            case None => cents(c)
+          }
+        }
+      }
+      cents
+    }
+  }
+
+  /** Distributed PQ encoding: per row, per subspace, the argmin-L2
+    * codebook index — an (id, codes: array<int>) relation at M small
+    * ints per vector instead of D floats (e.g. D=64 floats → M=8
+    * codes: 32× smaller, the difference between an index that fits in
+    * cluster RAM at 100 TB and one that does not). Pure unrolled
+    * column arithmetic (argmin via array_min over (dist, idx) structs)
+    * — codegen'd, no UDF, no shuffle.
+    */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String,
+      codebooks: IndexedSeq[IndexedSeq[IndexedSeq[Double]]]): DataFrame = {
+    val m = codebooks.length
+    val sub = codebooks.head.head.length
+    val v = col(vecCol).cast("array<double>")
+    val codes = (0 until m).map { mi =>
+      val structs = codebooks(mi).indices.map { c =>
+        val dist = (0 until sub).map { j =>
+          val d = element_at(v, mi * sub + j + 1) - lit(codebooks(mi)(c)(j))
+          d * d
+        }.reduce(_ + _)
+        struct(dist.as("d"), lit(c).as("c"))
+      }
+      array_min(array(structs: _*)).getField("c")
+    }
+    df.select(col(idCol).as("vec_id"), array(codes: _*).as("codes"))
+  }
+
+  /** Asymmetric-distance (ADC) top-k: the probe stays un-quantized; a
+    * per-subspace lookup table LUT(m)(c) = ||q_m − centroid_mc||² is
+    * built once driver-side (M·k doubles — parameters, not data) and
+    * the scan scores each row as Σ_m LUT(m)(codes(m)) — M array
+    * lookups + adds per row over the compact code relation, then
+    * TakeOrderedAndProject. Standard IVF-PQ would intersect this with
+    * an IVF cell probe first; composable with [[ivfCandidates]].
+    */
+  def pqTopK(codesDf: DataFrame, probe: Seq[Double],
+      codebooks: IndexedSeq[IndexedSeq[IndexedSeq[Double]]], k: Int): DataFrame = {
+    val m = codebooks.length
+    val sub = codebooks.head.head.length
+    require(probe.length == m * sub, "pqTopK: probe dim mismatch")
+    val lut: IndexedSeq[IndexedSeq[Double]] = (0 until m).map { mi =>
+      codebooks(mi).map { cent =>
+        var s = 0.0; var j = 0
+        while (j < sub) { val d = probe(mi * sub + j) - cent(j); s += d * d; j += 1 }
+        s
+      }
+    }
+    val dist = (0 until m).map { mi =>
+      element_at(lit(lut(mi).toArray), col("codes").getItem(mi) + 1)
+    }.reduce(_ + _)
+    codesDf.select(col("vec_id"), dist.as("approx_dist"))
+      .orderBy(col("approx_dist"), col("vec_id"))
+      .limit(k)
+  }
 }

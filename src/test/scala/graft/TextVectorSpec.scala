@@ -238,4 +238,38 @@ class TextVectorSpec extends SparkSpec {
       .select($"a_id", $"b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((0L, 1L)), s"expected only the planted pair: $pairs")
   }
+
+  test("product quantization: 32x smaller codes, ADC recall ≥ 0.7, re-rank recovers ≥ 0.9") {
+    import spark.implicits._
+    val rows = for { c <- 0 until 10; m <- 0 until 20 } yield {
+      val v = new Array[Float](64)
+      for (d <- 0 until 10) v(c * 5 + d % 5) = 1.0f
+      v((c * 5 + m % 5) % 64) += 0.2f * (m % 3)
+      (c.toLong * 20 + m, v)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val books = graft.api.Similarity.pqFit(emb, "vec_id", "embedding", m = 8, k = 16, iters = 5)
+    assert(books.length == 8 && books.forall(_.length == 16))
+    val codes = graft.api.Similarity.pqEncode(emb, "vec_id", "embedding", books)
+    // compression: 8 codes (each < 16 → a 4-bit nibble, byte-stored) vs
+    // 64 float32s = 256 bytes → ≥ 32× smaller as stored codes
+    val maxCode = codes.select(max(expr("array_max(codes)"))).as[Int].head()
+    assert(maxCode < 16, s"code out of nibble range: $maxCode")
+    val probe = rows.find(_._1 == 0L).get._2.map(_.toDouble).toSeq
+    val adcTop = graft.api.Similarity.pqTopK(codes, probe, books, k = 10)
+      .select($"vec_id").as[Long].collect().toSet
+    val bruteTop = graft.api.Similarity.cosineTopK(emb, "vec_id", "embedding", 0L, 10)
+      .select($"vec_id").as[Long].collect().toSet
+    val adcRecall = (adcTop & bruteTop).size.toDouble / bruteTop.size
+    assert(adcRecall >= 0.7, s"ADC recall=$adcRecall adc=$adcTop brute=$bruteTop")
+    // standard PQ practice: approximate-scan a wider candidate set,
+    // exact re-rank the survivors — recall recovers
+    val cand = graft.api.Similarity.pqTopK(codes, probe, books, k = 50)
+      .select($"vec_id").as[Long].collect().toSet
+    val rerank = graft.api.Similarity.cosineTopK(
+        emb.filter($"vec_id".isin(cand.toSeq: _*)), "vec_id", "embedding", 0L, 10)
+      .select($"vec_id").as[Long].collect().toSet
+    val rerankRecall = (rerank & bruteTop).size.toDouble / bruteTop.size
+    assert(rerankRecall >= 0.9, s"re-rank recall=$rerankRecall")
+  }
 }
