@@ -271,5 +271,18 @@ class TextVectorSpec extends SparkSpec {
       .select($"vec_id").as[Long].collect().toSet
     val rerankRecall = (rerank & bruteTop).size.toDouble / bruteTop.size
     assert(rerankRecall >= 0.9, s"re-rank recall=$rerankRecall")
+
+    // IVF-PQ composition (the documented pairing): restrict the ADC
+    // scan to the probe's IVF cells — candidates strictly prune the
+    // corpus, and recall over the pruned scan stays high
+    val ivfCand = graft.api.Similarity.ivfCandidates(emb, "vec_id", "embedding",
+        probeId = 0L, nCells = 10, nProbe = 3, iters = 3)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(ivfCand.size < rows.size, "IVF probe did not prune")
+    val ivfpqTop = graft.api.Similarity.pqTopK(
+        codes.filter($"vec_id".isin(ivfCand.toSeq: _*)), probe, books, k = 10)
+      .select($"vec_id").as[Long].collect().toSet
+    val ivfpqRecall = (ivfpqTop & bruteTop).size.toDouble / bruteTop.size
+    assert(ivfpqRecall >= 0.7, s"IVF-PQ recall=$ivfpqRecall")
   }
 }
