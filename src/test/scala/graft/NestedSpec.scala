@@ -41,6 +41,33 @@ class NestedSpec extends SparkSpec {
     assert(r.getInt(0) == 2 && r.getInt(1) == 2 && r.getInt(2) == 10 && !r.getBoolean(3))
   }
 
+  test("nested schema pruning: selecting one struct leaf prunes the parquet ReadSchema") {
+    import spark.implicits._
+    // write genuinely nested parquet (the testdata is flat), then prove
+    // the scan contract at 100 TB: projecting payload.v must narrow the
+    // scan's ReadSchema to that one leaf — reading a 40-field struct to
+    // serve a 1-field projection is the nested version of SELECT *
+    val base = java.nio.file.Files.createTempDirectory("graft_nested").toString
+    def rmTree(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(); ()
+    }
+    try {
+      Seq((1L, "a", 10.0, "x" * 100), (2L, "b", 20.0, "y" * 100))
+        .toDF("id", "name", "v", "blob")
+        .select($"id", struct($"name", $"v", $"blob").as("payload"))
+        .write.parquet(base + "/t")
+      val df = spark.read.parquet(base + "/t").select($"id", $"payload.v")
+      assert(df.as[(Long, Double)].collect().toSet == Set((1L, 10.0), (2L, 20.0)))
+      val scan = collectExec(df.queryExecution.executedPlan)
+        .map(_.toString).find(_.contains("ReadSchema"))
+        .getOrElse(fail("no scan node with ReadSchema"))
+      val readSchema = scan.substring(scan.indexOf("ReadSchema"))
+      assert(readSchema.contains("v"), readSchema.take(300))
+      assert(!readSchema.contains("blob") && !readSchema.contains("name"),
+        s"nested pruning failed — scan reads unneeded leaves: ${readSchema.take(300)}")
+    } finally rmTree(new java.io.File(base))
+  }
+
   test("from_json into struct then to_json round-trips") {
     import spark.implicits._
     val df = Seq((1L, """{"k": 87, "tag": "x"}""")).toDF("id", "js")

@@ -251,6 +251,27 @@ class TextVectorSpec extends SparkSpec {
     val books = graft.api.Similarity.pqFit(emb, "vec_id", "embedding", m = 8, k = 16, iters = 5)
     assert(books.length == 8 && books.forall(_.length == 16))
     val codes = graft.api.Similarity.pqEncode(emb, "vec_id", "embedding", books)
+    // plan shape over a REAL source (a local relation constant-folds to
+    // LocalTableScan and proves nothing): the encode is one codegen'd
+    // projection over the scan — no UDF boundary, no shuffle
+    val pqDir = java.nio.file.Files.createTempDirectory("graft_pq").toString
+    try {
+      emb.write.mode("overwrite").parquet(pqDir + "/emb")
+      val encExec = collectExec(graft.api.Similarity.pqEncode(
+          spark.read.parquet(pqDir + "/emb"), "vec_id", "embedding", books)
+        .queryExecution.executedPlan)
+      assert(encExec.exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.WholeStageCodegenExec]),
+        s"encode fell out of codegen: ${encExec.map(_.nodeName)}")
+      assert(!encExec.exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike]),
+        "encode must not shuffle")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(pqDir))
+    }
     // compression: 8 codes (each < 16 → a 4-bit nibble, byte-stored) vs
     // 64 float32s = 256 bytes → ≥ 32× smaller as stored codes
     val maxCode = codes.select(max(expr("array_max(codes)"))).as[Int].head()
