@@ -574,4 +574,36 @@ object Similarity {
       .orderBy(col("approx_dist"), col("vec_id"))
       .limit(k)
   }
+
+  /** Persist trained PQ codebooks as a tiny parquet relation
+    * (m, c, j, value) — model artifacts follow the same storage
+    * contract as data, so a fit-once/encode-forever pipeline needs no
+    * side channel: fit on a bounded sample today, reload tomorrow on a
+    * different cluster and encode petabytes against identical
+    * centroids. Doubles round-trip bit-exactly through parquet.
+    */
+  def saveCodebooks(spark: org.apache.spark.sql.SparkSession,
+      codebooks: IndexedSeq[IndexedSeq[IndexedSeq[Double]]], path: String): Unit = {
+    import spark.implicits._
+    val rows = for {
+      (book, m) <- codebooks.zipWithIndex
+      (cent, c) <- book.zipWithIndex
+      (v, j) <- cent.zipWithIndex
+    } yield (m, c, j, v)
+    rows.toDF("m", "c", "j", "value").coalesce(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  def loadCodebooks(spark: org.apache.spark.sql.SparkSession,
+      path: String): IndexedSeq[IndexedSeq[IndexedSeq[Double]]] = {
+    import spark.implicits._
+    val rows = spark.read.parquet(path)
+      .select($"m", $"c", $"j", $"value")
+      .as[(Int, Int, Int, Double)].collect()
+    rows.groupBy(_._1).toIndexedSeq.sortBy(_._1).map { case (_, ms) =>
+      ms.groupBy(_._2).toIndexedSeq.sortBy(_._1).map { case (_, cs) =>
+        cs.sortBy(_._3).map(_._4).toIndexedSeq
+      }
+    }
+  }
 }

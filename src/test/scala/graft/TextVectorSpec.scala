@@ -293,6 +293,25 @@ class TextVectorSpec extends SparkSpec {
     val rerankRecall = (rerank & bruteTop).size.toDouble / bruteTop.size
     assert(rerankRecall >= 0.9, s"re-rank recall=$rerankRecall")
 
+    // model persistence: fit-once/encode-forever — reloaded codebooks
+    // are value-identical (doubles round-trip parquet bit-exactly) and
+    // produce identical codes
+    val mdlDir = java.nio.file.Files.createTempDirectory("graft_pq_model").toString
+    try {
+      graft.api.Similarity.saveCodebooks(spark, books, mdlDir + "/books")
+      val loaded = graft.api.Similarity.loadCodebooks(spark, mdlDir + "/books")
+      assert(loaded == books, "codebooks did not round-trip")
+      val codes2 = graft.api.Similarity.pqEncode(emb, "vec_id", "embedding", loaded)
+        .as[(Long, Seq[Int])].collect().toMap
+      val codes1 = codes.as[(Long, Seq[Int])].collect().toMap
+      assert(codes1 == codes2, "reloaded model encodes differently")
+    } finally {
+      def rm2(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm2)); f.delete(); ()
+      }
+      rm2(new java.io.File(mdlDir))
+    }
+
     // IVF-PQ composition (the documented pairing): restrict the ADC
     // scan to the probe's IVF cells — candidates strictly prune the
     // corpus, and recall over the pruned scan stays high
