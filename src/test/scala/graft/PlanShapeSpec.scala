@@ -45,6 +45,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(joins == 0, s"basket pairs must not plan a join, got $joins join nodes")
   }
 
+  test("exact dedup: one key shuffle plus spread and output sort, no join") {
+    // the VERDICT-table claim "one shuffle on normalized key": the only
+    // exchanges are the narrow-input spread repartition, the groupBy on
+    // the normalized key, and the deterministic output sort — and the
+    // plan must contain no join node at any size
+    val df = graft.ops.Text.dedupExact(spark, dir)
+    val n = hashShuffles(df)
+    assert(n <= 3, s"expected ≤3 exchanges (spread + key groupBy + sort), got $n")
+    val joins = collectExec(df.queryExecution.executedPlan)
+      .count(p => p.nodeName.toLowerCase.contains("join"))
+    assert(joins == 0, s"exact dedup must not plan a join, got $joins")
+  }
+
   test("cohort retention: both big shuffles key on user_id") {
     val df = graft.ops.Relational.cohortRetention(spark, dir)
     val n = hashShuffles(df)
