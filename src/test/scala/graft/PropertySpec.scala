@@ -230,6 +230,31 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("rankScale maps any [lo, hi] value into [0, 2^bits) with endpoints at the edges") {
+    import spark.implicits._
+    val caseGen = for {
+      lo <- Gen.chooseNum(-1000000L, 1000000L)
+      span <- Gen.chooseNum(1L, 2000000L)
+      bits <- Gen.chooseNum(1, 16)
+      vs <- Gen.listOfN(50, Gen.chooseNum(0L, span))
+    } yield (lo, lo + span, bits, vs.map(_ + lo))
+    forAll(caseGen) { case (lo, hi, bits, vs) =>
+      val df = (vs :+ lo :+ hi).toDF("c")
+        .select(graft.api.ZOrder.rankScale($"c", lit(lo), lit(hi), bits).as("s"), $"c")
+      val rows = df.as[(Long, Long)].collect()
+      rows.foreach { case (s, c) =>
+        assert(s >= 0 && s < (1L << bits), s"scale($c) = $s out of range (lo=$lo hi=$hi bits=$bits)")
+      }
+      val sMap = rows.map { case (s, c) => c -> s }.toMap
+      assert(sMap(lo) == 0L, s"lo must scale to 0, got ${sMap(lo)}")
+      // monotone in the input (a scaling that reorders keys would break
+      // the Morton locality argument); hi reaches the top bucket only
+      // when the span ≥ 2^bits, so that is deliberately NOT asserted
+      val sorted = rows.sortBy(_._2).map(_._1)
+      assert(sorted.zip(sorted.tail).forall { case (a, b) => a <= b }, "not monotone")
+    }
+  }
+
   test("triangle count is orientation-invariant and matches a driver-side count") {
     import spark.implicits._
     val gGen = for {
