@@ -150,6 +150,11 @@ object Bench {
     // the headline metric (a fast-failing query would otherwise look
     // like a fast success and a regression would IMPROVE the number).
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
+    // queries whose conditional third run fired — recorded in the
+    // artifact ("retried" list) because the retry asymmetrically
+    // re-samples slow queries: a best-of-3 number is not comparable to
+    // a best-of-2 one without knowing which it was
+    val retried = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       var ok = true
       def timedRun(): (Double, Int) = {
@@ -167,8 +172,10 @@ object Bench {
       // steady-state cost. One retry, only for expensive anomalies, keeps
       // the reported number the steady-state one at negligible suite
       // cost.
-      if (ok && runs(1)._1 > runs(0)._1 && runs.map(_._1).min > 1.0)
+      if (ok && runs(1)._1 > runs(0)._1 && runs.map(_._1).min > 1.0) {
+        retried += name
         runs = runs :+ timedRun()
+      }
       if (!ok) failed += name
       // between queries (not between a query's two runs — run 2 may
       // legitimately reuse run 1's cache): drop cached relations so the
@@ -186,6 +193,7 @@ object Bench {
     val js = byCost.map { case (k, _, j) => "\"" + k + "\":" + j }
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val retriedJson = retried.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val b73 = results.filter(r => Baseline73.contains(r._1))
     val b73Total = b73.map(_._2).sum
@@ -195,7 +203,7 @@ object Bench {
     // "value" field and forcing a judge-side reconstruction of the
     // total. Tail-truncation now preserves the numbers that matter.
     val summary = s"""{"total_s":$total,"n_queries":${results.size},"baseline73_s":$b73Total,"cal_before_s":$calBefore,"cal_after_s":$calAfter,"n_failed":${failed.size}}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"baseline73":{"n":${b73.size},"total_s":$b73Total},"queries":$qs,"jobs":$js,"failed":$failedJson,"calibration":{"before_s":$calBefore,"after_s":$calAfter},"sf":"$sfDir","summary":$summary}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"baseline73":{"n":${b73.size},"total_s":$b73Total},"queries":$qs,"jobs":$js,"failed":$failedJson,"retried":$retriedJson,"calibration":{"before_s":$calBefore,"after_s":$calAfter},"sf":"$sfDir","summary":$summary}""")
     spark.stop()
   }
 }

@@ -568,12 +568,13 @@ object Oracle {
         |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // variant replay: DuckDB extracts the same JSON field as text and
-    // casts; integer bucket arithmetic identical (// ↔ div, values ≥ 0)
+    // casts; bucket arithmetic is floor(k / 10.0) on BOTH sides (div/
+    // // truncation conventions differ for negatives — floor does not)
     "q_fn_variant" ->
       """WITH e AS (
         |  SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
         |  FROM events)
-        |SELECT CAST(k // 10 AS BIGINT) AS k_bucket, count(*) AS n,
+        |SELECT CAST(floor(k / 10.0) AS BIGINT) AS k_bucket, count(*) AS n,
         |       min(k) AS k_min, max(k) AS k_max
         |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
 
@@ -645,13 +646,14 @@ object Oracle {
         |SELECT p1, p2, CAST(cnt AS BIGINT) AS n_orders
         |FROM p ORDER BY n_orders DESC, p1, p2 LIMIT 20""".stripMargin,
 
-    // cohort replay: identical integer week arithmetic from a fixed
-    // epoch — DATE minus DATE is BIGINT days in DuckDB, then floor
-    // division by 7 matches Spark's datediff … div 7
+    // cohort replay: identical week arithmetic from a fixed epoch —
+    // DATE minus DATE is BIGINT days in DuckDB, and floor(days / 7.0)
+    // is spelled on BOTH sides (Spark div truncates toward zero for
+    // negatives where // floors; floor is convention-free)
     "q_cohort_retention" ->
       """WITH ev AS (
         |  SELECT user_id, event_type,
-        |         (CAST(ts AS DATE) - DATE '2024-01-01') // 7 AS week
+        |         CAST(floor((CAST(ts AS DATE) - DATE '2024-01-01') / 7.0) AS BIGINT) AS week
         |  FROM events),
         |c AS (SELECT user_id, min(week) AS cohort_week FROM ev
         |      WHERE event_type = 'purchase' GROUP BY 1),

@@ -502,10 +502,19 @@ object Similarity {
     (0 until m).map { mi =>
       val pts = sample.map(v => v.slice(mi * sub, (mi + 1) * sub))
       // farthest-point init (deterministic), then Lloyd iterations —
-      // plain L2 k-means per subspace, all on the bounded sample
+      // plain L2 k-means per subspace, all on the bounded sample.
+      // Early stop when the farthest remaining point is distance 0 from
+      // a chosen centroid: fewer than k distinct subvectors in the
+      // sample would otherwise fill the codebook with duplicates that
+      // the empty-cell fallback then preserves forever — a smaller,
+      // duplicate-free codebook encodes identically and wastes nothing.
       val chosen = scala.collection.mutable.ArrayBuffer(pts.head)
-      while (chosen.size < math.min(k, pts.length))
-        chosen += pts.maxBy(p => chosen.map(c => l2(p, c)).min)
+      var exhausted = false
+      while (!exhausted && chosen.size < math.min(k, pts.length)) {
+        val next = pts.maxBy(p => chosen.map(c => l2(p, c)).min)
+        if (chosen.map(c => l2(next, c)).min == 0.0) exhausted = true
+        else chosen += next
+      }
       var cents: IndexedSeq[IndexedSeq[Double]] = chosen.map(_.toIndexedSeq).toIndexedSeq
       for (_ <- 1 to iters) {
         val byCell = pts.groupBy(p => cents.indices.minBy(c => l2(p, cents(c))))

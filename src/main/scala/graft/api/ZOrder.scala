@@ -44,6 +44,15 @@ object ZOrder {
     * formulation would silently overflow at wide-domain × high-bits),
     * and floor(double) is engine-portable where integral-division
     * semantics are not.
+    *
+    * INTEGER-GRANULARITY domain assumed: the `hi − lo + 1` denominator
+    * counts the number of distinct integers in [lo, hi], which maps the
+    * top value into the last bucket without a special case. For a
+    * CONTINUOUS column whose span is fractional (e.g. hi − lo = 0.5)
+    * the +1 dominates the denominator and values compress into a
+    * fraction of [0, 2^bits), silently degrading z-order locality —
+    * pre-scale such columns to an integer grid (or pass a wider bits)
+    * before clustering.
     */
   def rankScale(c: Column, lo: Column, hi: Column, bits: Int): Column =
     floor(((c - lo) * lit((1L << bits).toDouble)) / (hi - lo + lit(1)))

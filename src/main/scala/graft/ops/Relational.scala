@@ -1345,7 +1345,11 @@ object Relational {
     Tables.events(spark, dir)
       .select(parse_json($"props").as("v"))
       .select(expr("variant_get(v, '$.k', 'int')").as("k"))
-      .groupBy(expr("cast(k div 10 as bigint)").as("k_bucket"))
+      // floor(k / 10.0), not `k div 10`: Spark div truncates toward zero
+      // while DuckDB // floors, so the two only agree for k ≥ 0 — floor
+      // on BOTH sides keeps the oracle equivalence independent of the
+      // generator's non-negative-k convention (exact below 2^53)
+      .groupBy(expr("cast(floor(k / 10.0) as bigint)").as("k_bucket"))
       .agg(count(lit(1)).as("n"), min($"k").as("k_min"), max($"k").as("k_max"))
       .orderBy($"k_bucket")
   }
@@ -1440,8 +1444,13 @@ object Relational {
   def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val ev = Tables.events(spark, dir)
+      // floor(days / 7.0), not `div 7`: div truncates toward zero, so a
+      // pre-epoch timestamp (negative day offset) would bucket one week
+      // off vs DuckDB's flooring // — floor on both sides removes the
+      // dependence on the generator's all-post-epoch convention
       .select($"user_id", $"event_type",
-        expr("datediff(to_date(ts), DATE'2024-01-01') div 7").as("week"))
+        expr("cast(floor(datediff(to_date(ts), DATE'2024-01-01') / 7.0) as bigint)")
+          .as("week"))
     // cohort = first PURCHASE week (users who never purchase drop out);
     // activity = any event type
     val cohorts = ev.filter($"event_type" === "purchase")

@@ -34,8 +34,16 @@ class ConcurrencySpec extends SparkSpec {
     // highest precedence in scanPartition's resolution, so all callers
     // start cold and race the copy/validate/rename path even if the
     // GRAFT_PART_CACHE_DIR env var is set, and no process-global state
-    // (tmpdir) is touched for other tests
+    // (tmpdir) is touched for other tests.
+    //
+    // The property is JVM-GLOBAL: this spec assumes ScalaTest's
+    // default sequential suite execution (parallelExecution stays off
+    // in build.sbt) — a suite running scanPartition concurrently with
+    // this block would see the temporary root. The finally RESTORES
+    // the prior value rather than clearing, so an externally-set
+    // property survives the test either way.
     val fresh = java.nio.file.Files.createTempDirectory("graft_race_part").toString
+    val prev = System.getProperty("graft.part.cache.dir")
     System.setProperty("graft.part.cache.dir", fresh)
     try {
       val counts = race(4)(() =>
@@ -44,7 +52,8 @@ class ConcurrencySpec extends SparkSpec {
       val expected = graft.ops.Relational.scanPartition(spark, dir).count()
       assert(counts.head == expected && expected > 0)
     } finally {
-      System.clearProperty("graft.part.cache.dir")
+      if (prev == null) System.clearProperty("graft.part.cache.dir")
+      else System.setProperty("graft.part.cache.dir", prev)
       ()
     }
   }

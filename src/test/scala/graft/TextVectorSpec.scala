@@ -249,7 +249,13 @@ class TextVectorSpec extends SparkSpec {
     }
     val emb = rows.toDF("vec_id", "embedding")
     val books = graft.api.Similarity.pqFit(emb, "vec_id", "embedding", m = 8, k = 16, iters = 5)
-    assert(books.length == 8 && books.forall(_.length == 16))
+    // ≤ k, never == k pinned: the farthest-point init stops early when
+    // the sample has fewer than k distinct subvectors (this fixture's
+    // subspaces are deliberately repetitive), so codebooks are
+    // duplicate-free rather than padded with distance-0 copies
+    assert(books.length == 8 && books.forall(b => b.length <= 16 && b.nonEmpty))
+    assert(books.forall(b => b.distinct.length == b.length),
+      "codebook contains duplicate centroids")
     val codes = graft.api.Similarity.pqEncode(emb, "vec_id", "embedding", books)
     // plan shape over a REAL source (a local relation constant-folds to
     // LocalTableScan and proves nothing): the encode is one codegen'd
