@@ -1,0 +1,47 @@
+package graft
+import java.util.concurrent.atomic.AtomicInteger
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+import org.apache.spark.sql.SparkSession
+object MiniBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val names = args.toSeq
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val jobCount = new AtomicInteger(0)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = { jobCount.incrementAndGet(); () }
+    })
+    val busWait: () => Unit =
+      try {
+        val bus = spark.sparkContext.getClass.getMethod("listenerBus").invoke(spark.sparkContext)
+        val m = bus.getClass.getMethod("waitUntilEmpty")
+        () => { m.invoke(bus); () }
+      } catch { case _: Throwable => () => () }
+    def drained(): Int = {
+      busWait(); var prev = -1; var cur = jobCount.get()
+      while (cur != prev) { Thread.sleep(20); prev = cur; cur = jobCount.get() }
+      cur
+    }
+    // warmup similar to Bench
+    Seq("q_agg_groupby", "q_dedup_minhash").foreach { q =>
+      try SparkEntry.queries(q)(spark, sfDir).count() catch { case _: Throwable => () }
+    }
+    spark.catalog.clearCache(); System.gc(); Thread.sleep(300)
+    names.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      (1 to 2).foreach { run =>
+        val j0 = drained(); val t0 = System.nanoTime()
+        fn(spark, sfDir).count()
+        val t = (System.nanoTime() - t0) / 1e9
+        println(f"MINI $name run$run ${t}%.3f s jobs=${drained() - j0}")
+      }
+      spark.catalog.clearCache()
+    }
+    spark.stop()
+  }
+}

@@ -116,32 +116,50 @@ object Quality {
     val c = Tables.customer(spark, dir)
     val p = Tables.part(spark, dir)
 
-    def check(name: String, violations: DataFrame): DataFrame =
-      violations.agg(count(lit(1)).as("n_violations"))
-        .select(lit(name).as("check_name"), $"n_violations")
-
-    val liChecks = pkAndPredicateChecks(li, Seq("l_orderkey", "l_linenumber"),
+    // Referential integrity rides the SAME pass as the predicate + PK
+    // checks: each fact left-joins its dimensions' KEY projections
+    // (unique keys, so the join preserves row count) and the orphan
+    // counts become two more conditional sums on the groupBy(pk) the
+    // dup check needs anyway. One pass per fact table — lineitem is
+    // read ONCE per audit (was 3×: PK pass + 2 anti-joins), orders
+    // once as a fact (+ once as a key projection for lineitem's
+    // check). Join strategy is deliberately split: part/customer keys
+    // broadcast (dimensions at any scale); the orders key projection
+    // is NOT hinted — at 100 TB orders is a fact and the li⋈o check
+    // must be a shuffle join on l_orderkey, which the subsequent
+    // groupBy(l_orderkey, l_linenumber) then reuses (partitioning on a
+    // prefix of the grouping key satisfies the clustered distribution
+    // — no second lineitem shuffle). Job count: 11 → 5 measured at
+    // sf0.1, and on a contended driver jobs ≈ cost.
+    // distinct() on each key projection is load-bearing for check
+    // INDEPENDENCE, not a formality: if a dimension ever contained a
+    // duplicate PK (exactly what the *_duplicate_pk checks exist to
+    // catch), a non-distinct left join would multiply fact rows and
+    // corrupt every other count in the same pass. With distinct keys
+    // the join is row-preserving by construction.
+    val liResolved = li
+      .join(o.select($"o_orderkey").distinct(), $"l_orderkey" === $"o_orderkey", "left")
+      .join(broadcast(p.select($"p_partkey").distinct()),
+        $"l_partkey" === $"p_partkey", "left")
+    val liChecks = pkAndPredicateChecks(liResolved, Seq("l_orderkey", "l_linenumber"),
       "lineitem_duplicate_pk", Seq(
         "lineitem_null_quantity" -> $"l_quantity".isNull,
         "lineitem_nonpositive_qty" -> ($"l_quantity" <= 0.0),
         "lineitem_discount_range" -> ($"l_discount" < 0.0 || $"l_discount" > 1.0),
+        // null FK never matches (anti-join semantics preserved)
+        "lineitem_orphan_orderkey" -> $"o_orderkey".isNull,
+        "lineitem_orphan_partkey" -> $"p_partkey".isNull,
       ))
-    val oChecks = pkAndPredicateChecks(o, Seq("o_orderkey"),
+    val oResolved = o
+      .join(broadcast(c.select($"c_custkey").distinct()),
+        $"o_custkey" === $"c_custkey", "left")
+    val oChecks = pkAndPredicateChecks(oResolved, Seq("o_orderkey"),
       "orders_duplicate_pk", Seq(
         "orders_null_orderdate" -> $"o_orderdate".isNull,
         "orders_status_domain" -> !$"o_orderstatus".isin("F", "O", "P"),
+        "orders_orphan_custkey" -> $"c_custkey".isNull,
       ))
-    val joinChecks = Seq(
-      // referential integrity: facts must resolve to their dimensions
-      check("lineitem_orphan_orderkey",
-        li.join(o, $"l_orderkey" === $"o_orderkey", "left_anti")),
-      check("lineitem_orphan_partkey",
-        li.join(p, $"l_partkey" === $"p_partkey", "left_anti")),
-      check("orders_orphan_custkey",
-        o.join(c, $"o_custkey" === $"c_custkey", "left_anti")),
-    )
-    (Seq(liChecks, oChecks) ++ joinChecks)
-      .reduce(_.unionByName(_))
+    liChecks.unionByName(oChecks)
       .orderBy($"check_name")
   }
 }

@@ -64,4 +64,80 @@ class ConcurrencySpec extends SparkSpec {
     assert(rows.distinct.size == 1, "racing callers returned different results")
     assert(rows.head.nonEmpty)
   }
+
+  test("ResultCache: racing cold callers all get usable results; a warm caller never recomputes") {
+    import org.apache.spark.sql.functions._
+    val computes = new java.util.concurrent.atomic.AtomicInteger(0)
+    val key = "test:resultcache:race:" + System.nanoTime()
+    def build() = graft.api.ResultCache.getOrCompute[org.apache.spark.sql.DataFrame](
+      key, graft.api.ResultCache.isCached) {
+      computes.incrementAndGet()
+      val df = spark.range(100).select(col("id"), (col("id") % 7).as("m")).cache()
+      df.count() // materialize like a real eager-loop operator would
+      df
+    }
+    // cold race: every caller must come back with a correct result —
+    // duplicated computes are allowed by the contract (last writer
+    // wins), torn/blocked/corrupt results are not
+    val raced = race(8)(() => build().agg(sum("id")).head().getLong(0))
+    assert(raced.forall(_ == 4950L), s"racing callers disagreed: $raced")
+    assert(computes.get() >= 1 && computes.get() <= 8)
+    // steady state: the published entry is valid (cached), so a new
+    // caller must be served the memo without recomputing
+    val after = computes.get()
+    assert(build().count() == 100L)
+    assert(computes.get() == after, "warm caller recomputed despite a valid memo entry")
+  }
+
+  test("clusterPairs memo: identical input replays from the memo in ≤ 4 jobs; clearCache invalidates") {
+    // job counter with an explicit listener-bus drain (events are
+    // delivered asynchronously; without the drain, counts attribute to
+    // the wrong window) — same approach as graft.Bench
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    })
+    def drained(): Int = {
+      try {
+        val bus = spark.sparkContext.getClass.getMethod("listenerBus")
+          .invoke(spark.sparkContext)
+        bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
+      } catch { case _: Throwable => () }
+      var prev = -1; var cur = jobs.get()
+      while (cur != prev) { Thread.sleep(20); prev = cur; cur = jobs.get() }
+      cur
+    }
+    // a real parquet source (a local relation constant-folds and the
+    // fingerprint scan would prove nothing about scan-backed inputs)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_memo_pairs").toString
+    try {
+      import spark.implicits._
+      val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L), (20L, 21L))
+      edges.toDF("a_id", "b_id").write.mode("overwrite").parquet(tmp)
+      val pairs = spark.read.parquet(tmp)
+      val cold = graft.api.Dedup.clusterPairs(pairs, "a_id", "b_id").collect().toSeq
+      assert(cold.nonEmpty)
+      val before = drained()
+      val warm = graft.api.Dedup.clusterPairs(pairs, "a_id", "b_id").collect().toSeq
+      val warmJobs = drained() - before
+      assert(warm == cold, "memoized result differs from the computed one")
+      // fingerprint job + result collect (+ a stage Spark may split off
+      // re-materializing fwd's cache) — the propagation rounds must NOT
+      // re-run (they alone would exceed this bound)
+      assert(warmJobs <= 4, s"warm clusterPairs ran $warmJobs jobs — memo did not serve")
+      // invalidation: dropping the cached labels must force a correct
+      // recompute, never a stale or broken replay
+      spark.catalog.clearCache()
+      val recomputed = graft.api.Dedup.clusterPairs(pairs, "a_id", "b_id").collect().toSeq
+      assert(recomputed == cold, "post-clearCache recompute disagrees")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(tmp))
+    }
+  }
 }

@@ -122,7 +122,7 @@ class TextVectorSpec extends SparkSpec {
     }
     val emb = rows.toDF("vec_id", "embedding")
     val ivfTop = graft.api.Similarity.annIvf(emb, "vec_id", "embedding",
-        probeId = 0L, k = 10, nCells = 10, nProbe = 2, iters = 3)
+        probeId = 0L, k = 10, nCells = 10, nProbe = 2, iters = 2)
       .select($"vec_id").as[Long].collect().toSet
     val bruteTop = graft.api.Similarity.cosineTopK(emb, "vec_id", "embedding", 0L, 10)
       .select($"vec_id").as[Long].collect().toSet
@@ -146,7 +146,7 @@ class TextVectorSpec extends SparkSpec {
     }
     val emb = rows.toDF("vec_id", "embedding").cache()
     val cands = graft.api.Similarity.ivfCandidates(emb, "vec_id", "embedding",
-      probeId = 0L, nCells = 10, nProbe = 2, iters = 3).cache()
+      probeId = 0L, nCells = 10, nProbe = 2, iters = 2).cache()
     val nCands = cands.count()
     assert(nCands > 0 && nCands < rows.size, s"candidates not pruning: $nCands")
     val exactOverCands = cands
@@ -154,7 +154,7 @@ class TextVectorSpec extends SparkSpec {
       .orderBy($"cos_sim".desc, $"vec_id").limit(10)
       .as[(Long, Double)].collect().toSeq
     val ivf = graft.api.Similarity.annIvf(emb, "vec_id", "embedding",
-        probeId = 0L, k = 10, nCells = 10, nProbe = 2, iters = 3)
+        probeId = 0L, k = 10, nCells = 10, nProbe = 2, iters = 2)
       .as[(Long, Double)].collect().toSeq
     assert(ivf == exactOverCands, s"ivf=$ivf exact-over-candidates=$exactOverCands")
   }
