@@ -2,6 +2,17 @@ package graft
 import java.util.concurrent.atomic.AtomicInteger
 import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
 import org.apache.spark.sql.SparkSession
+
+/** Subset bench for iterating on individual queries: times BOTH runs of
+  * each named query (where graft.Bench reports only the best) with
+  * per-run job counts, so cold-vs-warm behavior — the thing the
+  * ResultCache/plan-cache work optimizes — is directly visible.
+  *
+  *   sbt "runMain graft.MiniBench q_dedup_semantic q_quality_audit"
+  *
+  * Same session config and clearCache-between-queries discipline as
+  * graft.Bench; SPARK_GRAFT_SF_DIR selects the scale (default sf0.1).
+  */
 object MiniBench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

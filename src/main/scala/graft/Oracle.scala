@@ -173,11 +173,13 @@ object Oracle {
 
     // ANN: the axis-aligned LSH family and the sign-bucket inverted file
     // are pure sign tests + integer arithmetic — fully replayable.
-    // q_ann_ivf deliberately has NO entry: its k-means training is
-    // float-sum arithmetic whose accumulation order is not portable
-    // across engines, so its designated check is the candidate-set
-    // re-rank test in TextVectorSpec (annIvf == exact top-k over
-    // ivfCandidates) plus the recall fixture.
+    // q_ann_ivf and q_ann_ivfpq deliberately have NO entries: their
+    // k-means training (coarse cells; PQ codebooks) is float-sum
+    // arithmetic whose accumulation order is not portable across
+    // engines, so their designated checks are the candidate-set
+    // re-rank tests in TextVectorSpec (annIvf == exact top-k over
+    // ivfCandidates; annIvfPq == exact top-k over the ADC-selected
+    // candidates) plus the recall fixtures.
     "q_ann_lsh" -> annLshOracle(probeId = 0L, k = 10, nTables = 8, nBits = 4, dim = 64),
     "q_ann_multiprobe" -> annMultiProbeOracle(probeId = 0L, k = 10,
       nBits = 6, extraBits = 4, maxOccupancy = 32),

@@ -131,6 +131,7 @@ object SparkEntry {
     "q_dedup_semantic" -> Vector.dedupSemantic _,
     "q_vec_quantize" -> Vector.vecQuantize _,
     "q_ann_ivf" -> Vector.annIvf _,
+    "q_ann_ivfpq" -> Vector.annIvfPq _,
     // §2.8 multimodal
     "q_multimodal_join" -> Multimodal.multimodalJoin _,
     "q_multimodal_decode" -> Multimodal.multimodalDecode _,

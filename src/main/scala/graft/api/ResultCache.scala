@@ -63,23 +63,30 @@ object ResultCache {
     * lineage is the full unrolled loop. */
   def isCached(df: DataFrame): Boolean = df.storageLevel != StorageLevel.NONE
 
-  /** Content fingerprint of a two-long-column relation (an edge/pair
-    * list) in ONE job: row count + two independent order-free xxhash64
-    * folds. bit_xor (not sum) keeps the fold overflow-free under ANSI
+  /** Content fingerprint of a relation in ONE job: row count + two
+    * independent order-free xxhash64 folds over every column (xxhash64
+    * hashes arrays/structs recursively, so vector columns fingerprint
+    * too). bit_xor (not sum) keeps the fold overflow-free under ANSI
     * mode at any row count; two independent 64-bit folds put an
     * accidental collision at ~2^-128 — the same trust class as the
     * grading harness's own hash compare. As a side effect this
     * materializes `df`'s cache if it is marked for caching — callers
     * exploit that to fold fingerprinting into the materialization job
     * they would run anyway. */
-  def fingerprintPairs(df: DataFrame, aCol: String, bCol: String): String = {
+  def fingerprintRelation(df: DataFrame): String = {
+    val cols = df.columns.map(c => s"`$c`").mkString(", ")
     val r = df.agg(
       count(lit(1)).as("n"),
-      expr(s"bit_xor(xxhash64($aCol, $bCol))").as("h1"),
-      expr(s"bit_xor(xxhash64($aCol, $bCol, 42))").as("h2")).head()
+      expr(s"bit_xor(xxhash64($cols))").as("h1"),
+      expr(s"bit_xor(xxhash64($cols, 42))").as("h2")).head()
     val n = r.getLong(0)
     val h1 = if (r.isNullAt(1)) "e" else r.getLong(1).toString
     val h2 = if (r.isNullAt(2)) "e" else r.getLong(2).toString
     s"$n:$h1:$h2"
   }
+
+  /** [[fingerprintRelation]] restricted to an edge/pair list's two key
+    * columns. */
+  def fingerprintPairs(df: DataFrame, aCol: String, bCol: String): String =
+    fingerprintRelation(df.select(col(aCol), col(bCol)))
 }

@@ -113,6 +113,18 @@ object Vector {
     Similarity.annIvf(Tables.embeddings(spark, dir), "vec_id", "embedding",
       probeId = 0L, k = 10, nCells = 16, nProbe = 4, iters = 2)
 
+  /** IVF-PQ ANN (16 k-means cells / probe top-4, 8×16 PQ codebooks,
+    * ADC top-50 overscan, exact top-10 re-rank) vs probe vec_id 0 —
+    * graft.api.Similarity.annIvfPq, the full composition of the
+    * coarse quantizer and the code scan. Rows-only check by
+    * construction (two float k-means quantizers); the designated
+    * ScalaTest asserts output == exact top-k over the ADC-selected
+    * candidates plus fixture recall ≥ 0.9. */
+  def annIvfPq(spark: SparkSession, dir: String): DataFrame =
+    Similarity.annIvfPq(Tables.embeddings(spark, dir), "vec_id", "embedding",
+      probeId = 0L, k = 10, nCells = 16, nProbe = 4, iters = 2,
+      m = 8, codebookK = 16, pqIters = 3, overscan = 5)
+
   /** Int8 scalar quantization of the embedding column — the 4×
     * compression step a 100 TB vector store applies before indexing —
     * with its reconstruction-error profile per label. Per-vector

@@ -159,6 +159,43 @@ class TextVectorSpec extends SparkSpec {
     assert(ivf == exactOverCands, s"ivf=$ivf exact-over-candidates=$exactOverCands")
   }
 
+  test("IVF-PQ: output equals exact top-k over the ADC-selected candidates; fixture recall ≥ 0.9") {
+    import spark.implicits._
+    // q_ann_ivfpq's designated check (no DuckDB oracle is possible:
+    // BOTH quantizers — coarse cells and PQ codebooks — are float
+    // k-means): the output must equal an EXACT cosine top-k computed
+    // over exactly the ids the ADC overscan selected, and the ADC set
+    // must really prune (≤ k·overscan ≪ corpus).
+    val rows = for { c <- 0 until 10; m <- 0 until 20 } yield {
+      val v = new Array[Float](64)
+      for (d <- 0 until 10) v(c * 5 + d % 5) = 1.0f
+      v((c * 5 + m % 5) % 64) += 0.2f * (m % 3)
+      (c.toLong * 20 + m, v)
+    }
+    val emb = rows.toDF("vec_id", "embedding").cache()
+    val (adcIds, cands) = graft.api.Similarity.ivfPqAdcCandidates(emb,
+      "vec_id", "embedding", probeId = 0L, k = 10, nCells = 10, nProbe = 2,
+      iters = 2, m = 8, codebookK = 16, pqIters = 3, overscan = 5)
+    val adcSet = adcIds.as[Long].collect().toSet
+    assert(adcSet.nonEmpty && adcSet.size <= 50, s"ADC set not bounded: ${adcSet.size}")
+    assert(adcSet.size < rows.size, "ADC candidates not pruning")
+    val exactOverAdc = cands
+      .filter($"vec_id".isin(adcSet.toSeq: _*))
+      .select($"vec_id", round(V.cosine($"nemb", $"probe_nemb"), 6).as("cos_sim"))
+      .orderBy($"cos_sim".desc, $"vec_id").limit(10)
+      .as[(Long, Double)].collect().toSeq
+    val ivfpq = graft.api.Similarity.annIvfPq(emb, "vec_id", "embedding",
+        probeId = 0L, k = 10, nCells = 10, nProbe = 2, iters = 2,
+        m = 8, codebookK = 16, pqIters = 3, overscan = 5)
+      .as[(Long, Double)].collect().toSeq
+    assert(ivfpq == exactOverAdc, s"ivfpq=$ivfpq exact-over-adc=$exactOverAdc")
+    // recall vs brute force: the overscan-then-rerank contract
+    val bruteTop = graft.api.Similarity.cosineTopK(emb, "vec_id", "embedding", 0L, 10)
+      .select($"vec_id").as[Long].collect().toSet
+    val recall = (ivfpq.map(_._1).toSet & bruteTop).size.toDouble / bruteTop.size
+    assert(recall >= 0.9, s"recall=$recall ivfpq=${ivfpq.map(_._1)} brute=$bruteTop")
+  }
+
   test("gopher repetition score matches hand computation and flags repetition") {
     import spark.implicits._
     val docs = Seq(
@@ -258,17 +295,20 @@ class TextVectorSpec extends SparkSpec {
       "codebook contains duplicate centroids")
     val codes = graft.api.Similarity.pqEncode(emb, "vec_id", "embedding", books)
     // plan shape over a REAL source (a local relation constant-folds to
-    // LocalTableScan and proves nothing): the encode is one codegen'd
-    // projection over the scan — no UDF boundary, no shuffle
+    // LocalTableScan and proves nothing): the encode is one projection
+    // over the scan — no UDF boundary, no shuffle, no aggregate. (It is
+    // deliberately NOT whole-stage-codegen'd: the HOF argmin form
+    // replaced an unrolled projection whose single generated method
+    // blew the JVM's 64 KB limit and paid a compile-fail-fallback on
+    // every execution — see pqEncode's Scaladoc.)
     val pqDir = java.nio.file.Files.createTempDirectory("graft_pq").toString
     try {
       emb.write.mode("overwrite").parquet(pqDir + "/emb")
       val encExec = collectExec(graft.api.Similarity.pqEncode(
           spark.read.parquet(pqDir + "/emb"), "vec_id", "embedding", books)
         .queryExecution.executedPlan)
-      assert(encExec.exists(
-        _.isInstanceOf[org.apache.spark.sql.execution.WholeStageCodegenExec]),
-        s"encode fell out of codegen: ${encExec.map(_.nodeName)}")
+      assert(encExec.exists(_.isInstanceOf[org.apache.spark.sql.execution.ProjectExec]),
+        s"encode is not a plain projection: ${encExec.map(_.nodeName)}")
       assert(!encExec.exists(
         _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike]),
         "encode must not shuffle")
