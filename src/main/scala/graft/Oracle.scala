@@ -201,6 +201,14 @@ object Oracle {
         |FROM orders WHERE o_orderpriority = '1-URGENT'
         |ORDER BY o_orderkey""".stripMargin,
 
+    // the Spark side reads a once-per-JVM CSV copy of customer; the
+    // oracle reads the parquet ORIGINAL, so a match proves the text
+    // round-trip was value-exact for every aggregated column
+    "q_scan_csv" ->
+      """SELECT c_mktsegment, count(*) AS n_customers,
+        |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // §2.2 projection / filter ----------------------------------------------
     "q_project_expr" ->
       """SELECT l_orderkey, l_linenumber,

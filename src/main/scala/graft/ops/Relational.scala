@@ -80,6 +80,50 @@ object Relational {
     (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
   }
 
+  /** Cache root for write-once fixture copies — system property first
+    * (settable in-process: tests, embedding apps), then env var, then
+    * tmpdir. */
+  private def fixtureCacheRoot: String =
+    sys.props.get("graft.part.cache.dir")
+      .orElse(sys.env.get("GRAFT_PART_CACHE_DIR"))
+      .getOrElse(sys.props("java.io.tmpdir"))
+
+  /** The atomic publish dance shared by [[scanPartition]] and
+    * [[scanCsv]]: build the replacement in a unique sibling temp dir
+    * (dest stays readable throughout), re-check validity after the slow
+    * write (a concurrent JVM may have published a fresh valid copy
+    * while we wrote — keep theirs, discard ours), retire a stale dest
+    * by RENAMING it away rather than recursive delete (a delete is
+    * file-by-file; a rename is atomic, so no reader ever sees a
+    * half-removed directory), and tolerate losing the final rename race
+    * as long as the winner's copy validates. */
+  private def publishValidated(cacheRoot: String, dest: java.io.File,
+      destValid: () => Boolean, write: java.io.File => Unit): Unit = {
+    if (destValid()) return
+    def deleteTree(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(deleteTree))
+      f.delete(); ()
+    }
+    val tmp = new java.io.File(cacheRoot,
+      dest.getName + ".tmp." + java.util.UUID.randomUUID().toString.take(8))
+    write(tmp)
+    if (destValid()) {
+      deleteTree(tmp) // a concurrent publisher beat us with a valid copy
+    } else {
+      if (dest.exists()) {
+        val trash = new java.io.File(cacheRoot,
+          dest.getName + ".trash." + java.util.UUID.randomUUID().toString.take(8))
+        if (dest.renameTo(trash)) deleteTree(trash)
+      }
+      if (!tmp.renameTo(dest)) {
+        // lost the publish race — keep the winner's copy if it checks out
+        deleteTree(tmp)
+        require(destValid(),
+          s"publishValidated: concurrent writer left an invalid copy at $dest")
+      }
+    }
+  }
+
   def scanPartition(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     // dest is keyed by the FULL SANITIZED SOURCE PATH (a 32-bit hash
@@ -92,20 +136,14 @@ object Relational {
     // count. Validation runs ONCE per JVM per dest (memoized), so the
     // steady-state query is exactly the pruned one-directory read.
     //
-    // Concurrency: the copy is PUBLISHED ATOMICALLY — written to a
-    // unique sibling temp dir, then renamed into place — so a second
-    // JVM racing this one can never read a half-written copy (it sees
-    // either nothing, the old copy, or the complete new one). If the
-    // rename loses the race to a concurrent publisher, that copy is
-    // re-validated and ours is discarded. Cache root is overridable
+    // Concurrency: the copy is PUBLISHED ATOMICALLY via
+    // [[publishValidated]] — a second JVM racing this one can never
+    // read a half-written copy (it sees either nothing, the old copy,
+    // or the complete new one). Cache root is overridable
     // (graft.part.cache.dir property, GRAFT_PART_CACHE_DIR env) for
     // environments whose tmpdir is cleaned aggressively or shared
     // across untrusted users.
-    // resolution order: system property (settable in-process — tests
-    // and embedding apps), then env var, then tmpdir
-    val cacheRoot = sys.props.get("graft.part.cache.dir")
-      .orElse(sys.env.get("GRAFT_PART_CACHE_DIR"))
-      .getOrElse(sys.props("java.io.tmpdir"))
+    val cacheRoot = fixtureCacheRoot
     val dest = new java.io.File(
       cacheRoot,
       "graft_part_orders_" + dir.replaceAll("[^A-Za-z0-9._-]", "_"))
@@ -115,38 +153,9 @@ object Relational {
         (try ordersFingerprint(spark.read.parquet(dest.toString)
            .select($"o_orderkey", $"o_custkey", $"o_totalprice", $"o_orderpriority")) == src
          catch { case _: Exception => false })
-      if (!destValid()) {
-        def deleteTree(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(deleteTree))
-          f.delete(); ()
-        }
-        // build the replacement FIRST (dest stays readable throughout),
-        // then swap: re-check validity after the slow write (a
-        // concurrent JVM may have published a fresh valid copy while we
-        // wrote — keep theirs, discard ours), and retire a stale dest by
-        // RENAMING it away rather than recursive delete (a delete is
-        // file-by-file; a rename is atomic, so no reader ever sees a
-        // half-removed directory).
-        val tmp = new java.io.File(cacheRoot,
-          dest.getName + ".tmp." + java.util.UUID.randomUUID().toString.take(8))
-        graft.sources.Formats.writeParquet(
-          Tables.orders(spark, dir), tmp.toString, partitionBy = Seq("o_orderpriority"))
-        if (destValid()) {
-          deleteTree(tmp) // a concurrent publisher beat us with a valid copy
-        } else {
-          if (dest.exists()) {
-            val trash = new java.io.File(cacheRoot,
-              dest.getName + ".trash." + java.util.UUID.randomUUID().toString.take(8))
-            if (dest.renameTo(trash)) deleteTree(trash)
-          }
-          if (!tmp.renameTo(dest)) {
-            // lost the publish race — keep the winner's copy if it checks out
-            deleteTree(tmp)
-            require(destValid(),
-              s"scanPartition: concurrent writer left an invalid copy at $dest")
-          }
-        }
-      }
+      publishValidated(cacheRoot, dest, () => destValid(),
+        tmp => graft.sources.Formats.writeParquet(
+          Tables.orders(spark, dir), tmp.toString, partitionBy = Seq("o_orderpriority")))
       validatedPartCopies.add(dest.toString)
     }
     spark.read.parquet(dest.toString)
@@ -154,6 +163,56 @@ object Relational {
       .select($"o_orderkey", $"o_custkey", $"o_totalprice", $"o_orderpriority")
       .orderBy($"o_orderkey")
   }
+
+  /** CSV-scan query whose ANSWER is format-independent — the graded
+    * cover for the §2.1 CSV ingest row: customer's stable columns are
+    * copied ONCE per JVM into a CSV layout (same fingerprint-validated
+    * atomic publication as [[scanPartition]]'s partitioned copy), read
+    * back through the schema-first CSV reader
+    * (graft.sources.Formats.readCsv — explicit schema, never
+    * inference), and aggregated. The DuckDB oracle computes the same
+    * aggregate from the PARQUET original, so a green row proves the
+    * text round-trip preserved every value the aggregate touches
+    * (longs, strings, and doubles — Spark writes doubles as their
+    * shortest round-trip representation, so read-back is bit-exact;
+    * the fingerprint validation re-checks exactly that). */
+  def scanCsv(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def stable(df: DataFrame) =
+      df.select($"c_custkey", $"c_nationkey", $"c_mktsegment", $"c_acctbal")
+    def fingerprint(df: DataFrame): (Long, Long) = {
+      import org.apache.spark.sql.functions.{bit_xor => bxor}
+      val r = df.agg(count(lit(1)), bxor(xxhash64(
+        col("c_custkey"), col("c_nationkey"), col("c_mktsegment"), col("c_acctbal")))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    val src = stable(Tables.customer(spark, dir))
+    val cacheRoot = fixtureCacheRoot
+    val dest = new java.io.File(
+      cacheRoot,
+      "graft_csv_customer_" + dir.replaceAll("[^A-Za-z0-9._-]", "_"))
+    if (!validatedCsvCopies.contains(dest.toString)) {
+      val srcFp = fingerprint(src)
+      def destValid() = new java.io.File(dest, "_SUCCESS").exists() &&
+        (try fingerprint(
+           graft.sources.Formats.readCsv(spark, dest.toString, src.schema)) == srcFp
+         catch { case _: Exception => false })
+      publishValidated(cacheRoot, dest, () => destValid(),
+        tmp => graft.sources.Formats.writeCsv(src, tmp.toString))
+      validatedCsvCopies.add(dest.toString)
+    }
+    graft.sources.Formats.readCsv(spark, dest.toString, src.schema)
+      .groupBy($"c_mktsegment")
+      .agg(
+        count(lit(1)).as("n_customers"),
+        sum($"c_acctbal".cast("decimal(18,2)")).cast("double").as("total_bal"))
+      .orderBy($"c_mktsegment")
+  }
+
+  /** dest paths whose CSV copy this JVM has already validated — the
+    * [[scanCsv]] twin of [[validatedPartCopies]]. */
+  private val validatedCsvCopies =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   // ===========================================================================
   // §2.2 projection / filter
