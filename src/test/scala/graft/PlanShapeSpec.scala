@@ -65,4 +65,56 @@ class PlanShapeSpec extends SparkSpec {
     // the cohort join itself must NOT add an exchange beyond these
     assert(n <= 5, s"expected ≤5 exchanges, got $n")
   }
+
+  // ==========================================================================
+  // Dedup family: these operators cache intermediates AND finals, so the
+  // real structure lives inside InMemoryRelations — counted with the DEEP
+  // walk on a cold cache. Two pins each: a bounded exchange count (their
+  // job/stage counts are the bench's contention exposure) and ZERO
+  // nested-loop/cartesian join nodes anywhere (the all-pairs scale
+  // killer these algorithms exist to avoid).
+  // ==========================================================================
+
+  private def dedupPins(name: String, df: => DataFrame,
+      maxExchanges: Int): Unit = {
+    spark.catalog.clearCache() // cold: count the plan that actually computes
+    val d = df
+    d.collect()
+    val nodes = collectExecDeep(d.queryExecution.executedPlan)
+    val n = nodes.count(_.isInstanceOf[ShuffleExchangeLike])
+    assert(n <= maxExchanges, s"$name: expected ≤$maxExchanges exchanges, got $n")
+    val nl = nodes.count(p => p.nodeName.contains("BroadcastNestedLoopJoin") ||
+      p.nodeName.contains("CartesianProduct"))
+    assert(nl == 0, s"$name: found $nl nested-loop/cartesian joins — all-pairs plan")
+    info(s"$name: $n exchanges (≤ $maxExchanges), 0 all-pairs joins")
+  }
+
+  test("minhash dedup: bounded exchanges, no all-pairs join") {
+    // spread repartition + signature groupBy + band-key candidate
+    // shuffle + output sort — measured 4; the verify joins broadcast
+    // off the cached shingle relation and add none
+    dedupPins("minhash", graft.ops.Text.dedupMinhash(spark, dir), 5)
+  }
+
+  test("ngram dedup: bounded exchanges, no all-pairs join") {
+    // spread + shingle-df aggregate + capped-posting candidate shuffle
+    // + per-doc stats + output sort — measured 5; the bound-prune and
+    // exact-verify joins broadcast off cached relations
+    dedupPins("ngram", graft.ops.Text.dedupNgram(spark, dir), 6)
+  }
+
+  test("span dedup: bounded exchanges, no all-pairs join") {
+    // the Scaladoc claim "span-keyed df aggregate + join-back — two
+    // shuffles, nothing O(pairs)" plus spread and the output sort —
+    // measured 5
+    dedupPins("spans", graft.ops.Text.dedupSpans(spark, dir), 6)
+  }
+
+  test("semantic dedup: bounded exchanges in pair generation, no all-pairs join") {
+    // sketch-bucket pair generation (bucket equi-join, occupancy
+    // bounded) + the label loop's node-id-keyed rounds — measured 6 on
+    // the sf0.001 graph; the loop's per-round joins broadcast off the
+    // cached previous generation
+    dedupPins("semantic", graft.ops.Vector.dedupSemantic(spark, dir), 7)
+  }
 }

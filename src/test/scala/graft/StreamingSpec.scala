@@ -239,6 +239,36 @@ class StreamingSpec extends SparkSpec {
       "replay changed the store: " + StreamingSpecKv.store.toString)
   }
 
+  test("key-value sink contract: a transactional sink skips replayed (partition, batch) deliveries") {
+    import spark.implicits._
+    // The scaladoc's OTHER idempotence strategy, proven end to end: a
+    // transactional store dedupes WHOLE batches on the (partitionId,
+    // batchId) handed to open() — the foreach-writer protocol a JDBC
+    // sink implements with a commits table. The replay deliberately
+    // carries DIFFERENT values: with upsert-style idempotence the
+    // replay would overwrite (harmlessly for identical content, but a
+    // STALE recomputation would clobber newer data); the batch-dedupe
+    // contract must not apply the replayed delivery at all.
+    StreamingSpecKv.txnStore.clear()
+    StreamingSpecKv.committed.clear()
+    val first = Seq(("click", 3L), ("view", 1L)).toDF("event_type", "n")
+      .coalesce(1) // one partition → deterministic (pid=0, batchId) key
+    graft.api.Sinks.writeBatch(first, new TxnMapSink, "event_type", "n", batchId = 7L)
+    assert(StreamingSpecKv.txnStore.get("click") == "3"
+      && StreamingSpecKv.txnStore.get("view") == "1", StreamingSpecKv.txnStore.toString)
+    // replay of an already-committed (partition, batch) with stale data
+    val replay = Seq(("click", 999L), ("view", 999L)).toDF("event_type", "n")
+      .coalesce(1)
+    graft.api.Sinks.writeBatch(replay, new TxnMapSink, "event_type", "n", batchId = 7L)
+    assert(StreamingSpecKv.txnStore.get("click") == "3"
+      && StreamingSpecKv.txnStore.get("view") == "1",
+      "replayed batch was applied despite being committed: " + StreamingSpecKv.txnStore.toString)
+    // a NEW batch id is not a replay and must land
+    graft.api.Sinks.writeBatch(replay, new TxnMapSink, "event_type", "n", batchId = 8L)
+    assert(StreamingSpecKv.txnStore.get("click") == "999",
+      "new batch id was wrongly deduped: " + StreamingSpecKv.txnStore.toString)
+  }
+
   test("stateful streaming funnel equals a driver replay; state crosses batches") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -304,6 +334,9 @@ class StreamingSpec extends SparkSpec {
 object StreamingSpecKv {
   val store = new java.util.concurrent.ConcurrentHashMap[String, String]()
   val puts = new java.util.concurrent.atomic.AtomicLong()
+  val txnStore = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  val committed =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(Int, Long)]()
 }
 
 /** The production shape would hold a JDBC/Redis connection opened in
@@ -315,4 +348,27 @@ class MapSink extends graft.api.KeyValueSink {
     ()
   }
 
+}
+
+/** The transactional dedupe shape from KeyValueSink's scaladoc: open()
+  * consults a commits set keyed (partitionId, batchId) — a replayed
+  * delivery is skipped wholesale, close() records the commit. A JDBC
+  * implementation does the same with a commits table in the SAME
+  * transaction as the batch's upserts. */
+class TxnMapSink extends graft.api.KeyValueSink {
+  private var skip = false
+  private var id: (Int, Long) = (0, 0L)
+
+  override def open(partitionId: Int, batchId: Long): Unit = {
+    id = (partitionId, batchId)
+    skip = StreamingSpecKv.committed.contains(id)
+  }
+
+  override def put(key: String, value: String): Unit =
+    if (!skip) { StreamingSpecKv.txnStore.put(key, value); () }
+
+  override def close(): Unit = {
+    StreamingSpecKv.committed.add(id)
+    ()
+  }
 }
