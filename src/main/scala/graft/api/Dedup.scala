@@ -23,10 +23,33 @@ object Dedup {
     * simhash at sf0.1. No-op when the source already has enough splits
     * (a 100 TB table would), so no redundant corpus shuffle at scale.
     * Shared with the multimodal codec kernels (graft.ops.Multimodal),
-    * which are per-row-heavy in exactly the same way. */
+    * which are per-row-heavy in exactly the same way.
+    *
+    * The split-count probe reads the LOGICAL plan's file index (total
+    * bytes / maxPartitionBytes — the same arithmetic Spark's file-scan
+    * planner applies), NOT `df.rdd.getNumPartitions`: the RDD probe
+    * forced physical-plan + RDD-DAG construction of the whole upstream
+    * plan once per call outside Catalyst. A plan with no file relation
+    * (local/test relations, views over joins) conservatively
+    * repartitions — for the per-row-heavy stages this guards, a
+    * bounded extra exchange is always cheaper than an accidental
+    * single-threaded stage. */
   private[graft] def spread(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sessionState.conf.numShufflePartitions
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    val conf = df.sparkSession.sessionState.conf
+    val target = conf.numShufflePartitions
+    val estSplits = df.queryExecution.optimizedPlan.collectFirst {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            math.max(1L, fs.location.sizeInBytes / math.max(1L, conf.filesMaxPartitionBytes))
+          case _ => 1L // non-file relation (e.g. JDBC): assume narrow
+        }
+    }
+    // only a file index PROVING enough splits skips the spread
+    estSplits match {
+      case Some(n) if n >= target => df
+      case _ => df.repartition(target)
+    }
   }
 
   /** Word n-gram shingle sets (distinct) per row.
