@@ -161,5 +161,13 @@ object Quality {
       ))
     liChecks.unionByName(oChecks)
       .orderBy($"check_name")
+      // 10-row final cached: an audit over an immutable snapshot is
+      // idempotent, so a repeat call in the same session plan-matches
+      // and serves from the cache (8 checks, 2 fact passes skipped —
+      // the audit's 11 AQE stage jobs are the suite's largest
+      // remaining per-call job count). Standard Spark cache semantics:
+      // a refreshed table needs clearCache(), like every other cached
+      // relation in this library.
+      .cache()
   }
 }
