@@ -89,6 +89,32 @@ class ConcurrencySpec extends SparkSpec {
     assert(computes.get() == after, "warm caller recomputed despite a valid memo entry")
   }
 
+  test("ResultCache fingerprints: order-invariant, content-sensitive, array-aware") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // the memo keys for clusterPairs and kmeansFit rest on exactly
+    // these three properties: same content in any row order → same
+    // key; any changed value (including inside an array column, the
+    // kmeansFit case) → different key
+    val rows = Seq((1L, Array(0.1, 0.2)), (2L, Array(0.3, 0.4)), (3L, Array(0.5, 0.6)))
+    val a = rows.toDF("id", "v")
+    val shuffled = rows.reverse.toDF("id", "v").orderBy(rand(42)) // any order
+    val fpA = graft.api.ResultCache.fingerprintRelation(a)
+    assert(fpA == graft.api.ResultCache.fingerprintRelation(shuffled),
+      "fingerprint must not depend on row order")
+    val changedScalar = Seq((1L, Array(0.1, 0.2)), (2L, Array(0.3, 0.4)), (9L, Array(0.5, 0.6)))
+      .toDF("id", "v")
+    assert(fpA != graft.api.ResultCache.fingerprintRelation(changedScalar),
+      "fingerprint must change when a scalar changes")
+    val changedArray = Seq((1L, Array(0.1, 0.2)), (2L, Array(0.3, 0.4)), (3L, Array(0.5, 0.7)))
+      .toDF("id", "v")
+    assert(fpA != graft.api.ResultCache.fingerprintRelation(changedArray),
+      "fingerprint must change when an array element changes")
+    val empty = rows.take(0).toDF("id", "v")
+    assert(graft.api.ResultCache.fingerprintRelation(empty)
+      == graft.api.ResultCache.fingerprintRelation(empty), "empty input must fingerprint stably")
+  }
+
   test("clusterPairs memo: identical input replays from the memo in ≤ 4 jobs; clearCache invalidates") {
     // job counter with an explicit listener-bus drain (events are
     // delivered asynchronously; without the drain, counts attribute to
