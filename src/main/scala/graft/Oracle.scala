@@ -1193,6 +1193,44 @@ object Oracle {
          |GROUP BY phrase ORDER BY phrase""".stripMargin
     },
 
+    // n-gram-overlap decontamination: the oracle rebuilds the SAME
+    // data-derived eval set (leading 12 words of docs 0-3), the same
+    // distinct 3-gram sets (the tok/sh join pattern shared with the
+    // dedup oracles), and the same exact small-integer division for
+    // the 0.5 flagging threshold
+    "q_text_decontam_ngram" ->
+      """WITH tok AS (
+        |  SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS pos,
+        |         unnest(string_split(text, ' ')) AS w FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS sh
+        |  FROM tok a
+        |  JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |  JOIN tok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+        |probes AS (
+        |  SELECT doc_id AS probe_id,
+        |         array_to_string(list_slice(string_split(text, ' '), 1, 12), ' ') AS ptext
+        |  FROM documents WHERE doc_id < 4),
+        |ptok AS (
+        |  SELECT probe_id, generate_subscripts(string_split(ptext, ' '), 1) AS pos,
+        |         unnest(string_split(ptext, ' ')) AS w FROM probes),
+        |psh AS (
+        |  SELECT DISTINCT a.probe_id, a.w || ' ' || b.w || ' ' || c.w AS sh
+        |  FROM ptok a
+        |  JOIN ptok b ON a.probe_id = b.probe_id AND b.pos = a.pos + 1
+        |  JOIN ptok c ON a.probe_id = c.probe_id AND c.pos = a.pos + 2),
+        |psz AS (SELECT probe_id, count(*) AS p_n FROM psh GROUP BY 1),
+        |shared AS (
+        |  SELECT s.doc_id, p.probe_id, count(*) AS n_shared
+        |  FROM sh s JOIN psh p ON s.sh = p.sh GROUP BY 1, 2)
+        |SELECT probe_id,
+        |       CAST(count(*) AS BIGINT) AS n_touched,
+        |       CAST(sum(CASE WHEN CAST(n_shared AS DOUBLE) / p_n >= 0.5
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+        |       round(max(CAST(n_shared AS DOUBLE) / p_n), 6) AS max_overlap
+        |FROM shared JOIN psz USING (probe_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // md5 of the id rendered as a string: same digest, same lowercase
     // hex, same string comparison in both engines (Sampling.stratifiedTopN)
     "q_sample_stratified" ->

@@ -324,6 +324,51 @@ object Text {
       .orderBy($"phrase")
   }
 
+  /** N-gram-OVERLAP decontamination — the standard eval-set method
+    * (13-gram overlap in the published recipes; 3-grams here to match
+    * the corpus's short documents), complementing [[textDecontaminate]]'s
+    * verbatim-phrase scan: a doc is contaminated when ≥ 50% of an eval
+    * document's distinct n-grams appear in it, which catches lightly
+    * edited copies that an exact `contains` misses. The eval set is
+    * DATA-DERIVED (the leading 12 words of the first four documents),
+    * so every scale factor has guaranteed hits — its own source doc at
+    * overlap 1.0 and the corpus's planted near-dups at fractional
+    * overlaps — the accidentally-shared-crawl scenario this scan
+    * exists for.
+    *
+    * Scale shape: the eval-gram relation is tiny and broadcast twice;
+    * the corpus is ONE shingle pass (reusing Dedup.shingles' lambda-
+    * bound tokenization) and the only shuffle keys on (doc, probe).
+    * The 0.5 threshold compares an exact small-integer division, so
+    * the DuckDB oracle replays flagging decisions exactly. */
+  def textDecontaminateNgram(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val probes = docs.filter($"doc_id" < 4)
+      .select($"doc_id".as("probe_id"),
+        array_join(slice(split($"text", " "), 1, 12), " ").as("ptext"))
+    val pGrams = api.Dedup.shingles(probes, "probe_id", "ptext", n = 3)
+      .select($"doc_id".as("probe_id"), explode($"shingles").as("gram"))
+    val pSizes = pGrams.groupBy($"probe_id").agg(count(lit(1)).as("p_n"))
+    val dGrams = api.Dedup.shingles(api.Dedup.spread(docs), "doc_id", "text", n = 3)
+      .select($"doc_id", explode($"shingles").as("gram"))
+    dGrams.join(broadcast(pGrams), "gram")
+      // grams are DISTINCT per doc and per probe, so the join-group
+      // count IS the intersection size
+      .groupBy($"doc_id", $"probe_id").agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(pSizes), "probe_id")
+      .withColumn("overlap", $"n_shared".cast("double") / $"p_n")
+      .groupBy($"probe_id")
+      .agg(
+        count(lit(1)).as("n_touched"),
+        sum(when($"overlap" >= 0.5, 1L).otherwise(0L)).as("n_flagged"),
+        round(max($"overlap"), 6).as("max_overlap"))
+      .orderBy($"probe_id")
+      // per-probe final cached — same steady-state contract as the
+      // dedup family
+      .cache()
+  }
+
   /** Deterministic stratified sample: exactly 20 docs per language in
     * md5(doc_id) order — graft.api.Sampling.stratifiedTopN (portable
     * digest ordering, reproducible training mixtures). */
