@@ -1318,6 +1318,19 @@ object Oracle {
         |  FROM documents) t
         |GROUP BY bucket ORDER BY bucket""".stripMargin,
 
+    // cross-corpus replay: the oracle is the PLAIN normalized-key
+    // semi-join — the bloom stage on the Spark side is a work-pruning
+    // device with exactly-zero output effect, which this row proves
+    "q_dedup_crosscorpus" ->
+      """WITH k AS (
+        |  SELECT doc_id,
+        |         array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ') AS k
+        |  FROM documents)
+        |SELECT a.doc_id FROM k a
+        |WHERE a.doc_id % 2 = 1
+        |  AND EXISTS (SELECT 1 FROM k b WHERE b.doc_id % 2 = 0 AND b.k = a.k)
+        |ORDER BY a.doc_id""".stripMargin,
+
     "q_dedup_exact" ->
       """SELECT canonical_doc, n_members FROM (
         |  SELECT min(doc_id) AS canonical_doc, count(*) AS n_members

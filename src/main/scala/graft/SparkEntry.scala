@@ -122,6 +122,7 @@ object SparkEntry {
     "q_dedup_minhash" -> Text.dedupMinhash _,
     "q_dedup_spans" -> Text.dedupSpans _,
     "q_dedup_cluster" -> Text.dedupCluster _,
+    "q_dedup_crosscorpus" -> Text.dedupCrossCorpus _,
     "q_dedup_simhash" -> Text.dedupSimhash _,
     // §2.8 similarity search / vectors
     "q_sim_knn" -> Vector.simKnn _,

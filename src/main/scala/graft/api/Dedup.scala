@@ -84,6 +84,82 @@ object Dedup {
       .select(col("canonical_doc"), col("n_members"))
       .orderBy(col("canonical_doc"))
 
+  /** Cross-corpus exact dedup — "which docs in the NEW corpus already
+    * exist in the REFERENCE corpus" (dedupe a fresh crawl against the
+    * training set you already have), with a BLOOM-FILTER prune ahead
+    * of the exact verification:
+    *
+    *  1. A bloom filter over the reference's normalized keys is built
+    *     with one aggregate job (driver traffic = the filter bits —
+    *     MODEL, not data; ~1.2 MB per million keys at 1% fpp).
+    *  2. The new corpus is filtered by broadcast `might_contain` —
+    *     rows the bloom rejects are GENUINELY absent from the
+    *     reference (no false negatives), so they skip the join
+    *     entirely.
+    *  3. Only bloom-positive rows (true dups + ~fpp of the corpus)
+    *     enter the exact semi-join that resolves false positives.
+    *
+    * The result is EXACT; the bloom only decides who pays the shuffle.
+    * At dedup-realistic dup rates the join input drops from |new| to
+    * ~|dups| + fpp·|new| — the difference between shuffling the crawl
+    * and shuffling the answer. Scale bound, documented honestly: a
+    * broadcast bloom works while the reference key count keeps the
+    * filter broadcastable (~10⁹ keys ≈ 1.2 GB at 1% — at that point
+    * shard the filter or fall back to the plain shuffled anti-join,
+    * which Spark's runtime bloom-join then accelerates with the same
+    * idea applied automatically; docs/PLANS.md's runtime-filtering
+    * section shows that path).
+    *
+    * Returns the new corpus annotated: (idCol, is_dup). Deterministic
+    * and fully oracle-checkable — the bloom affects only WORK, never
+    * output.
+    *
+    * The bloom stages are the SAME catalyst expressions Spark's
+    * runtime bloom-join injects (BloomFilterAggregate to build,
+    * codegen'd BloomFilterMightContain over xxhash64 to probe) —
+    * no UDF boundary anywhere, applied here explicitly because the
+    * operator's contract (annotate the new corpus) isn't a join shape
+    * the optimizer's automatic injection recognizes. */
+  def crossCorpus(newDf: DataFrame, refDf: DataFrame, idCol: String,
+      normKey: Column, fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.GraftExpressionBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    require(fpp > 0.0 && fpp < 1.0, s"fpp=$fpp out of range")
+    val refKeys = refDf.select(normKey.as("__k"))
+    // ONE pass sizes AND keys the memo: the content fingerprint's
+    // leading field is the row count (the expectedNumItems the bloom
+    // needs), and the trained filter bytes are memoized against it —
+    // a repeat call over the same reference pays one fingerprint job
+    // instead of rebuilding the filter (models are pure values; same
+    // pattern as kmeansFit)
+    val fp = ResultCache.fingerprintRelation(refKeys)
+    val nRef = math.max(1L, fp.takeWhile(_ != ':').toLong)
+    // optimal bit count for the target fpp: n · ln(1/fpp) / ln²2
+    val numBits = math.max(64L,
+      (nRef * math.log(1.0 / fpp) / (math.log(2) * math.log(2))).toLong)
+    def keyHash = new XxHash64(Seq(GraftExpressionBridge.eagerExpression(col("__k"))))
+    val bloomBytes = ResultCache.getOrCompute[Array[Byte]](
+      s"crossCorpusBloom:$fpp:$fp", _ => true) {
+      refKeys
+        .select(GraftExpressionBridge.column(
+          new BloomFilterAggregate(keyHash, Literal(nRef), Literal(numBits))
+            .toAggregateExpression()).as("bf"))
+        .head().getAs[Array[Byte]](0)
+    }
+    val mightContain = GraftExpressionBridge.column(new BloomFilterMightContain(
+      Literal(bloomBytes, org.apache.spark.sql.types.BinaryType), keyHash))
+    val keyed = newDf.select(col(idCol), normKey.as("__k"))
+    val maybe = keyed.filter(mightContain)
+    // exact resolution of the bloom's false positives: left-semi on the
+    // reference keys, inputs already reduced to the maybe set
+    val confirmed = maybe.join(refKeys.distinct(), Seq("__k"), "left_semi")
+      .select(col(idCol).as("__dup_id"))
+    keyed
+      .join(confirmed, col(idCol) === col("__dup_id"), "left")
+      .select(col(idCol), col("__dup_id").isNotNull.as("is_dup"))
+  }
+
   /** Exact n-gram Jaccard pairs ≥ threshold via a df-capped
     * inverted-index join. The inverted join's cost is Σ df(shingle)² —
     * ONE high-frequency shingle (boilerplate, stopword runs) makes a

@@ -458,6 +458,29 @@ object Text {
     api.Dedup.ngramJaccard(Tables.documents(spark, dir), "doc_id", "text",
       n = 3, threshold = 0.5, maxDf = 100)
 
+  /** Cross-corpus dedup — which "new-crawl" docs (odd ids) already
+    * exist, post-normalization, in the "reference corpus" (even ids):
+    * graft.api.Dedup.crossCorpus with the bloom prune ahead of the
+    * exact semi-join (catalyst BloomFilterAggregate /
+    * BloomFilterMightContain — the runtime bloom-join's own
+    * expressions, applied explicitly; see the api Scaladoc for the
+    * scale bound). The bloom affects only work, never output, so the
+    * flagged-doc list is fully oracle-checkable. */
+  def dedupCrossCorpus(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val norm = array_join(array_sort(array_distinct(split(col("text"), " "))), " ")
+    api.Dedup.crossCorpus(
+        docs.filter($"doc_id" % 2 === 1), docs.filter($"doc_id" % 2 === 0),
+        "doc_id", norm, fpp = 0.01)
+      .filter($"is_dup")
+      .select($"doc_id")
+      .orderBy($"doc_id")
+      // flagged-list final cached — repeat calls skip the bloom
+      // rebuild (same steady-state contract as the dedup family)
+      .cache()
+  }
+
   /** Duplicated-SPAN profile (the paragraph-level dedup between exact
     * and fuzzy in a real LLM pipeline — Dolma/C4-style): for each doc,
     * the fraction of its distinct 8-token spans that also occur in at

@@ -129,6 +129,31 @@ class PropertySpec extends SparkSpec {
     assert(m.forall { case (doc, canon) => canon <= doc && m(canon) == canon })
   }
 
+  test("crossCorpus: bloom prune never changes the answer; high fpp still exact") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // adversarial fixture: duplicate keys across corpora, unique keys,
+    // and a null-text row; the bloom may false-positive but the output
+    // must equal the plain semi-join at ANY fpp
+    val docs = (0L until 200L).map { i =>
+      val text = if (i % 7 == 0) s"shared text ${i % 14}" else s"unique text $i"
+      (i, text)
+    }.toDF("doc_id", "text")
+    val ref = docs.filter($"doc_id" % 2 === 0)
+    val neu = docs.filter($"doc_id" % 2 === 1)
+    val key = col("text")
+    def expected = neu.join(ref.select($"text").distinct(), Seq("text"), "left_semi")
+      .select($"doc_id").as[Long].collect().toSet
+    for (fpp <- Seq(0.5, 0.01)) { // 0.5: bloom false-positives near-certain
+      val got = graft.api.Dedup.crossCorpus(neu, ref, "doc_id", key, fpp)
+        .filter($"is_dup").select($"doc_id").as[Long].collect().toSet
+      assert(got == expected, s"fpp=$fpp: bloom changed the answer")
+    }
+    // annotation covers EVERY new-corpus row, dup or not
+    val n = graft.api.Dedup.crossCorpus(neu, ref, "doc_id", key, 0.01).count()
+    assert(n == neu.count(), "crossCorpus must annotate every input row")
+  }
+
   test("multi-probe sketch pairs are a superset of single-probe pairs") {
     import spark.implicits._
     val vecGen = Gen.listOfN(8, Gen.chooseNum(-1.0, 1.0))
