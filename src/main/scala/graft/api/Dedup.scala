@@ -37,19 +37,21 @@ object Dedup {
   private[graft] def spread(df: DataFrame): DataFrame = {
     val conf = df.sparkSession.sessionState.conf
     val target = conf.numShufflePartitions
-    val estSplits = df.queryExecution.optimizedPlan.collectFirst {
+    // ALL leaf relations count (a union/join of a small table with a
+    // large one must not be judged by whichever leaf is visited first);
+    // a non-file leaf contributes an unknown (0) so only file indexes
+    // can prove enough splits
+    val leaves = df.queryExecution.optimizedPlan.collect {
       case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
         l.relation match {
           case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
             math.max(1L, fs.location.sizeInBytes / math.max(1L, conf.filesMaxPartitionBytes))
-          case _ => 1L // non-file relation (e.g. JDBC): assume narrow
+          case _ => 0L // non-file relation (e.g. JDBC): unknown, proves nothing
         }
     }
-    // only a file index PROVING enough splits skips the spread
-    estSplits match {
-      case Some(n) if n >= target => df
-      case _ => df.repartition(target)
-    }
+    // only file indexes PROVING enough splits skip the spread
+    if (leaves.nonEmpty && leaves.sum >= target) df
+    else df.repartition(target)
   }
 
   /** Word n-gram shingle sets (distinct) per row.
@@ -108,7 +110,13 @@ object Dedup {
     * shard the filter or fall back to the plain shuffled anti-join,
     * which Spark's runtime bloom-join then accelerates with the same
     * idea applied automatically; docs/PLANS.md's runtime-filtering
-    * section shows that path).
+    * section shows that path). NOTE Spark clamps the aggregate's size
+    * parameters against `spark.sql.optimizer.runtime.bloomFilter
+    * .maxNumItems`/`maxNumBits` (defaults 4M items / 2^26 bits) — this
+    * method RAISES those for the build (restored after) so the filter
+    * actually gets the computed bit budget; without that, references
+    * past ~7M keys would silently degrade toward fpp ≈ 1 and the prune
+    * would buy nothing while the output stayed correct.
     *
     * Returns the new corpus annotated: (idCol, is_dup). Deterministic
     * and fully oracle-checkable — the bloom affects only WORK, never
@@ -139,17 +147,35 @@ object Dedup {
     val numBits = math.max(64L,
       (nRef * math.log(1.0 / fpp) / (math.log(2) * math.log(2))).toLong)
     def keyHash = new XxHash64(Seq(GraftExpressionBridge.eagerExpression(col("__k"))))
+    val spark = refDf.sparkSession
     val bloomBytes = ResultCache.getOrCompute[Array[Byte]](
       s"crossCorpusBloom:$fpp:$fp", _ => true) {
-      refKeys
-        .select(GraftExpressionBridge.column(
-          new BloomFilterAggregate(keyHash, Literal(nRef), Literal(numBits))
-            .toAggregateExpression()).as("bf"))
-        .head().getAs[Array[Byte]](0)
+      // raise the runtime-bloom clamps so the computed bit budget is
+      // honored (see Scaladoc); restored whatever the session had
+      val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.expectedNumItems"
+      val maxItemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+      val maxBitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+      val prev = Seq(maxItemsKey, maxBitsKey).map(k => k -> spark.conf.getOption(k))
+      try {
+        spark.conf.set(maxItemsKey, math.max(4000000L, nRef))
+        spark.conf.set(maxBitsKey, math.max(67108864L, numBits))
+        refKeys
+          .select(GraftExpressionBridge.column(
+            new BloomFilterAggregate(keyHash, Literal(nRef), Literal(numBits))
+              .toAggregateExpression()).as("bf"))
+          .head().getAs[Array[Byte]](0)
+      } finally prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
     }
+    val keyed = newDf.select(col(idCol), normKey.as("__k"))
+    // an EMPTY reference produces a null bloom (the aggregate over zero
+    // rows evals to null): nothing can be a duplicate — annotate
+    // everything false without building a probe
+    if (bloomBytes == null) return keyed.select(col(idCol), lit(false).as("is_dup"))
     val mightContain = GraftExpressionBridge.column(new BloomFilterMightContain(
       Literal(bloomBytes, org.apache.spark.sql.types.BinaryType), keyHash))
-    val keyed = newDf.select(col(idCol), normKey.as("__k"))
     val maybe = keyed.filter(mightContain)
     // exact resolution of the bloom's false positives: left-semi on the
     // reference keys, inputs already reduced to the maybe set
@@ -210,7 +236,8 @@ object Dedup {
     * the survivors only.
     *
     * The shared-shingle count splits as n_inter = cnt_c (shared capped
-    * shingles, exact from [[cappedIntersections]]) + shared over-cap
+    * shingles, exact from [[pairIntersections]] over the
+    * [[cappedPostings]] relation) + shared over-cap
     * shingles ≤ min(oc_a, oc_b) where oc_d = |d's shingles with df >
     * maxDf|. Jaccard is increasing in n_inter, so
     *   J ≤ (cnt_c + m) / (|A| + |B| − cnt_c − m),  m = min(oc_a, oc_b)

@@ -45,13 +45,17 @@ object ResultCache {
   private val memo = new ConcurrentHashMap[String, Any]()
 
   /** Memoized compute: returns the stored value for `key` when present
-    * and `stillValid`; otherwise computes, stores, and returns. */
+    * and `stillValid`; otherwise computes, stores, and returns. A null
+    * compute result is returned but NOT memoized (ConcurrentHashMap
+    * cannot hold null, and a null model — e.g. a bloom aggregate over
+    * zero rows — is cheap to recompute and usually signals an
+    * empty-input fast path the caller handles itself). */
   def getOrCompute[T](key: String, stillValid: T => Boolean)(compute: => T): T = {
     memo.get(key) match {
       case v if v != null && stillValid(v.asInstanceOf[T]) => v.asInstanceOf[T]
       case _ =>
         val fresh = compute
-        memo.put(key, fresh)
+        if (fresh != null) memo.put(key, fresh)
         fresh
     }
   }
@@ -64,22 +68,38 @@ object ResultCache {
   def isCached(df: DataFrame): Boolean = df.storageLevel != StorageLevel.NONE
 
   /** Content fingerprint of a relation in ONE job: row count + two
-    * independent order-free xxhash64 folds over every column (xxhash64
-    * hashes arrays/structs recursively, so vector columns fingerprint
-    * too). bit_xor (not sum) keeps the fold overflow-free under ANSI
-    * mode at any row count; two independent 64-bit folds put an
-    * accidental collision at ~2^-128 — the same trust class as the
-    * grading harness's own hash compare. As a side effect this
-    * materializes `df`'s cache if it is marked for caching — callers
-    * exploit that to fold fingerprinting into the materialization job
-    * they would run anyway. */
+    * order-free folds over (row hash, row multiplicity).
+    *
+    * MULTISET-correct by construction: a naive bit_xor over row hashes
+    * cancels any row with even multiplicity (two different relations
+    * could share a fingerprint by each holding a different duplicated
+    * row), so the fold first groups by the full-row xxhash64 — the
+    * partial aggregation collapses on well-distributed 64-bit keys —
+    * and then xors hashes of (row hash, count). Multiplicity enters
+    * the hash, nothing cancels. bit_xor keeps the fold overflow-free
+    * under ANSI mode at any row count; xxhash64 hashes arrays/structs
+    * recursively, so vector columns fingerprint too.
+    *
+    * Collision honesty: the two folds differ structurally (argument
+    * order swaps the hash-chain state), but xxhash64's seed is fixed,
+    * so they are not provably independent — treat the guarantee as
+    * "64-bit hash equality on the (hash, count) multiset", the same
+    * trust class as any single content hash, with the second fold as
+    * a structural cross-check rather than a second 64 bits.
+    *
+    * As a side effect this materializes `df`'s cache if it is marked
+    * for caching — callers exploit that to fold fingerprinting into
+    * the materialization job they would run anyway. */
   def fingerprintRelation(df: DataFrame): String = {
     val cols = df.columns.map(c => s"`$c`").mkString(", ")
-    val r = df.agg(
-      count(lit(1)).as("n"),
-      expr(s"bit_xor(xxhash64($cols))").as("h1"),
-      expr(s"bit_xor(xxhash64($cols, 42))").as("h2")).head()
-    val n = r.getLong(0)
+    val r = df
+      .selectExpr(s"xxhash64($cols) AS __h")
+      .groupBy(col("__h")).agg(count(lit(1)).as("__m"))
+      .agg(
+        expr("sum(__m)").as("n"),
+        expr("bit_xor(xxhash64(__h, __m))").as("h1"),
+        expr("bit_xor(xxhash64(__m, __h))").as("h2")).head()
+    val n = if (r.isNullAt(0)) 0L else r.getLong(0)
     val h1 = if (r.isNullAt(1)) "e" else r.getLong(1).toString
     val h2 = if (r.isNullAt(2)) "e" else r.getLong(2).toString
     s"$n:$h1:$h2"

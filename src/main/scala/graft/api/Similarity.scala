@@ -350,11 +350,17 @@ object Similarity {
     * sample), never the data; per-row work stays distributed. */
   def kmeansFit(df: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int): IndexedSeq[Seq[Double]] = {
-    // the normalized corpus stays cached for the session (evictable;
-    // same contract as sketchEmb): the fingerprint below materializes
-    // it, repeat fits read it, and ivfCandidates' identical normalize
-    // plan cache-matches it for bucketing
-    val emb = normalized(df, idCol, vecCol).cache()
+    // the normalized corpus stays cached for the session — MEMORY_ONLY
+    // deliberately, not the MEMORY_AND_DISK default: under pressure
+    // these corpus-sized entries should EVICT (recompute is one
+    // normalize pass) rather than convert to unbounded disk spill in a
+    // long-lived session fitting over many distinct corpora. One entry
+    // per distinct input; clearCache() guidance as for sketchEmb. The
+    // fingerprint below materializes it, repeat fits read it, and
+    // ivfCandidates' identical normalize plan cache-matches it for
+    // bucketing.
+    val emb = normalized(df, idCol, vecCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     // MEMOIZED per corpus fingerprint + parameters: the fit is a
     // driver-side loop (one collect job per iteration) that plan
     // caching cannot deduplicate — ResultCache turns a repeat fit over

@@ -118,9 +118,14 @@ object Relational {
       if (!tmp.renameTo(dest)) {
         // lost the publish race — keep the winner's copy if it checks out
         deleteTree(tmp)
-        require(destValid(),
-          s"publishValidated: concurrent writer left an invalid copy at $dest")
       }
+      // validate whatever now sits at dest — including OUR OWN freshly
+      // renamed copy: the winning-writer path previously skipped this,
+      // so a lossy write (the exact failure the fingerprint exists to
+      // catch, e.g. a CSV round-trip dropping precision) would have
+      // been trusted for the whole JVM lifetime in the JVM that wrote it
+      require(destValid(),
+        s"publishValidated: published copy at $dest failed content validation")
     }
   }
 

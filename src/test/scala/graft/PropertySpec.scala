@@ -152,6 +152,11 @@ class PropertySpec extends SparkSpec {
     // annotation covers EVERY new-corpus row, dup or not
     val n = graft.api.Dedup.crossCorpus(neu, ref, "doc_id", key, 0.01).count()
     assert(n == neu.count(), "crossCorpus must annotate every input row")
+    // EMPTY reference: the bloom aggregate evals to null — the API must
+    // answer "nothing is a dup", not crash
+    val vsEmpty = graft.api.Dedup.crossCorpus(neu, ref.limit(0), "doc_id", key, 0.01)
+    assert(vsEmpty.filter($"is_dup").count() == 0L
+      && vsEmpty.count() == neu.count(), "empty reference must flag nothing")
   }
 
   test("multi-probe sketch pairs are a superset of single-probe pairs") {
