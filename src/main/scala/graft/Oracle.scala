@@ -1318,6 +1318,33 @@ object Oracle {
         |  FROM documents) t
         |GROUP BY bucket ORDER BY bucket""".stripMargin,
 
+    // overlap-chunking replay: same coverage rule (1 chunk if ntok ≤ 32
+    // else ceil((ntok−32)/24)+1 — // and div agree on the guarded
+    // non-negatives), DuckDB's 1-based inclusive list slice ≡ Spark's
+    // clamping slice(…, start, 32), md5 of the identical joined text
+    "q_text_chunks_overlap" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |         len(string_split(text, ' ')) AS ntok
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, toks,
+        |         CASE WHEN ntok <= 32 THEN 1
+        |              ELSE (ntok - 32 + 23) // 24 + 1 END AS n_chunks
+        |  FROM d),
+        |ix AS (
+        |  SELECT doc_id, toks,
+        |         CAST(unnest(generate_series(0, n_chunks - 1)) AS INTEGER) AS chunk_idx
+        |  FROM c),
+        |e AS (
+        |  SELECT doc_id, chunk_idx,
+        |         toks[(chunk_idx * 24 + 1):(chunk_idx * 24 + 32)] AS chunk
+        |  FROM ix)
+        |SELECT doc_id, chunk_idx,
+        |       CAST(len(chunk) AS INTEGER) AS n_tok,
+        |       md5(array_to_string(chunk, ' ')) AS chunk_md5
+        |FROM e ORDER BY doc_id, chunk_idx""".stripMargin,
+
     // cross-corpus replay: the oracle is the PLAIN normalized-key
     // semi-join — the bloom stage on the Spark side is a work-pruning
     // device with exactly-zero output effect, which this row proves

@@ -113,6 +113,7 @@ object SparkEntry {
     "q_gen_outer" -> Text.genOuter _,
     "q_text_decontaminate" -> Text.textDecontaminate _,
     "q_text_decontam_ngram" -> Text.textDecontaminateNgram _,
+    "q_text_chunks_overlap" -> Text.textChunksOverlap _,
     "q_sample_stratified" -> Text.sampleStratified _,
     "q_sample_mixture" -> Text.sampleMixture _,
     "q_pack_chunks" -> Text.packChunks _,

@@ -458,6 +458,41 @@ object Text {
     api.Dedup.ngramJaccard(Tables.documents(spark, dir), "doc_id", "text",
       n = 3, threshold = 0.5, maxDf = 100)
 
+  /** Overlapping token-window chunking — the RAG/embedding
+    * preprocessing staple (contrast q_pack_chunks, which PACKS docs
+    * into contiguous fixed-size training chunks): each doc splits into
+    * windows of 32 tokens at stride 24 (8-token overlap, so no
+    * retrieval-relevant span is cut at a boundary), with the standard
+    * coverage rule n_chunks = 1 if ntok ≤ W else ceil((ntok−W)/S)+1 —
+    * every token covered, no degenerate tail window. Emits each
+    * chunk's token count and its md5 (the portable digest convention
+    * the sampling operators already use), so the DuckDB oracle
+    * replays windowing AND content byte-for-byte. Per-row map +
+    * explode only — no shuffle until the output sort. */
+  def textChunksOverlap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = 32
+    val s = 24
+    api.Dedup.spread(Tables.documents(spark, dir))
+      .select($"doc_id", split($"text", " ").as("toks"))
+      .withColumn("ntok", size($"toks"))
+      // (ntok − w) div s is floor division on non-negatives — identical
+      // to DuckDB // in the guarded branch
+      .withColumn("n_chunks",
+        when($"ntok" <= w, lit(1))
+          .otherwise(expr(s"cast((ntok - $w + $s - 1) div $s as int) + 1")))
+      .select($"doc_id",
+        posexplode(expr(s"transform(sequence(0, n_chunks - 1), i -> slice(toks, i * $s + 1, $w))")))
+      .toDF("doc_id", "chunk_idx", "chunk")
+      .select($"doc_id", $"chunk_idx",
+        size($"chunk").as("n_tok"),
+        md5(concat_ws(" ", $"chunk").cast("binary")).as("chunk_md5"))
+      .orderBy($"doc_id", $"chunk_idx")
+      // per-chunk final cached — same steady-state contract as the
+      // text family
+      .cache()
+  }
+
   /** Cross-corpus dedup — which "new-crawl" docs (odd ids) already
     * exist, post-normalization, in the "reference corpus" (even ids):
     * graft.api.Dedup.crossCorpus with the bloom prune ahead of the
