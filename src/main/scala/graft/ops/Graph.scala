@@ -96,6 +96,9 @@ object Graph {
       .join(e.as("c"), $"x" === $"c.p1" && $"z" === $"c.p2", "left_semi")
       .agg(count(lit(1)).as("n_triangles"))
     nodes.crossJoin(edges).crossJoin(tris)
+      // 1-row final cached — repeat calls skip the wedge join (same
+      // steady-state contract as the dedup family)
+      .cache()
   }
 
   /** Count triangles in an UNDIRECTED edge list (rows (a, b), a ≠ b,
