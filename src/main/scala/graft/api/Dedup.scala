@@ -38,19 +38,22 @@ object Dedup {
     val conf = df.sparkSession.sessionState.conf
     val target = conf.numShufflePartitions
     // ALL leaf relations count (a union/join of a small table with a
-    // large one must not be judged by whichever leaf is visited first);
-    // a non-file leaf contributes an unknown (0) so only file indexes
-    // can prove enough splits
+    // large one must not be judged by whichever leaf is visited first),
+    // and an unknown (non-file) leaf POISONS the proof rather than
+    // being outvoted by file siblings: its rows may sit in one
+    // partition, which is exactly the single-threaded-heavy-stage
+    // pathology spread guards against
     val leaves = df.queryExecution.optimizedPlan.collect {
       case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
         l.relation match {
           case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
             math.max(1L, fs.location.sizeInBytes / math.max(1L, conf.filesMaxPartitionBytes))
-          case _ => 0L // non-file relation (e.g. JDBC): unknown, proves nothing
+          case _ => 0L // non-file relation (e.g. JDBC): unknown narrowness
         }
     }
-    // only file indexes PROVING enough splits skip the spread
-    if (leaves.nonEmpty && leaves.sum >= target) df
+    // only a plan whose EVERY leaf is a file index, together proving
+    // enough splits, skips the spread
+    if (leaves.nonEmpty && leaves.forall(_ > 0L) && leaves.sum >= target) df
     else df.repartition(target)
   }
 
@@ -152,7 +155,6 @@ object Dedup {
       s"crossCorpusBloom:$fpp:$fp", _ => true) {
       // raise the runtime-bloom clamps so the computed bit budget is
       // honored (see Scaladoc); restored whatever the session had
-      val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.expectedNumItems"
       val maxItemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
       val maxBitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
       val prev = Seq(maxItemsKey, maxBitsKey).map(k => k -> spark.conf.getOption(k))

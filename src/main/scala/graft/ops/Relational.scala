@@ -90,16 +90,21 @@ object Relational {
 
   /** The atomic publish dance shared by [[scanPartition]] and
     * [[scanCsv]]: build the replacement in a unique sibling temp dir
-    * (dest stays readable throughout), re-check validity after the slow
-    * write (a concurrent JVM may have published a fresh valid copy
-    * while we wrote — keep theirs, discard ours), retire a stale dest
-    * by RENAMING it away rather than recursive delete (a delete is
+    * (dest stays readable throughout), VALIDATE THE TEMP COPY before
+    * renaming (so a lossy write — the exact failure the fingerprint
+    * exists to catch — is caught in the JVM that wrote it, without a
+    * post-rename check that could observe a concurrent publisher's
+    * transient trash→rename gap), re-check dest validity after the
+    * slow write (a concurrent JVM may have published a fresh valid
+    * copy — keep theirs, discard ours), retire a stale dest by
+    * RENAMING it away rather than recursive delete (a delete is
     * file-by-file; a rename is atomic, so no reader ever sees a
-    * half-removed directory), and tolerate losing the final rename race
-    * as long as the winner's copy validates. */
+    * half-removed directory), and tolerate losing the final rename
+    * race as long as the winner's copy (re-checked with a short grace
+    * window for an in-flight swap) validates. */
   private def publishValidated(cacheRoot: String, dest: java.io.File,
-      destValid: () => Boolean, write: java.io.File => Unit): Unit = {
-    if (destValid()) return
+      validAt: java.io.File => Boolean, write: java.io.File => Unit): Unit = {
+    if (validAt(dest)) return
     def deleteTree(f: java.io.File): Unit = {
       Option(f.listFiles()).foreach(_.foreach(deleteTree))
       f.delete(); ()
@@ -107,7 +112,13 @@ object Relational {
     val tmp = new java.io.File(cacheRoot,
       dest.getName + ".tmp." + java.util.UUID.randomUUID().toString.take(8))
     write(tmp)
-    if (destValid()) {
+    // own-copy validation happens HERE, pre-rename: after a successful
+    // rename dest is exactly this validated tree, so no post-rename
+    // check (and no race against a concurrent publisher's swap) is
+    // needed on the winning path
+    require(validAt(tmp),
+      s"publishValidated: freshly written copy at $tmp failed content validation")
+    if (validAt(dest)) {
       deleteTree(tmp) // a concurrent publisher beat us with a valid copy
     } else {
       if (dest.exists()) {
@@ -116,16 +127,15 @@ object Relational {
         if (dest.renameTo(trash)) deleteTree(trash)
       }
       if (!tmp.renameTo(dest)) {
-        // lost the publish race — keep the winner's copy if it checks out
+        // lost the publish race — the winner's copy must check out; a
+        // short grace loop rides out the winner's own trash→rename gap
         deleteTree(tmp)
+        var ok = validAt(dest)
+        var tries = 0
+        while (!ok && tries < 10) { Thread.sleep(100); ok = validAt(dest); tries += 1 }
+        require(ok,
+          s"publishValidated: concurrent writer left an invalid copy at $dest")
       }
-      // validate whatever now sits at dest — including OUR OWN freshly
-      // renamed copy: the winning-writer path previously skipped this,
-      // so a lossy write (the exact failure the fingerprint exists to
-      // catch, e.g. a CSV round-trip dropping precision) would have
-      // been trusted for the whole JVM lifetime in the JVM that wrote it
-      require(destValid(),
-        s"publishValidated: published copy at $dest failed content validation")
     }
   }
 
@@ -154,11 +164,11 @@ object Relational {
       "graft_part_orders_" + dir.replaceAll("[^A-Za-z0-9._-]", "_"))
     if (!validatedPartCopies.contains(dest.toString)) {
       val src = ordersFingerprint(Tables.orders(spark, dir))
-      def destValid() = new java.io.File(dest, "_SUCCESS").exists() &&
-        (try ordersFingerprint(spark.read.parquet(dest.toString)
+      def validAt(at: java.io.File) = new java.io.File(at, "_SUCCESS").exists() &&
+        (try ordersFingerprint(spark.read.parquet(at.toString)
            .select($"o_orderkey", $"o_custkey", $"o_totalprice", $"o_orderpriority")) == src
          catch { case _: Exception => false })
-      publishValidated(cacheRoot, dest, () => destValid(),
+      publishValidated(cacheRoot, dest, validAt,
         tmp => graft.sources.Formats.writeParquet(
           Tables.orders(spark, dir), tmp.toString, partitionBy = Seq("o_orderpriority")))
       validatedPartCopies.add(dest.toString)
@@ -198,11 +208,11 @@ object Relational {
       "graft_csv_customer_" + dir.replaceAll("[^A-Za-z0-9._-]", "_"))
     if (!validatedCsvCopies.contains(dest.toString)) {
       val srcFp = fingerprint(src)
-      def destValid() = new java.io.File(dest, "_SUCCESS").exists() &&
+      def validAt(at: java.io.File) = new java.io.File(at, "_SUCCESS").exists() &&
         (try fingerprint(
-           graft.sources.Formats.readCsv(spark, dest.toString, src.schema)) == srcFp
+           graft.sources.Formats.readCsv(spark, at.toString, src.schema)) == srcFp
          catch { case _: Exception => false })
-      publishValidated(cacheRoot, dest, () => destValid(),
+      publishValidated(cacheRoot, dest, validAt,
         tmp => graft.sources.Formats.writeCsv(src, tmp.toString))
       validatedCsvCopies.add(dest.toString)
     }
