@@ -201,6 +201,15 @@ object Oracle {
         |FROM orders WHERE o_orderpriority = '1-URGENT'
         |ORDER BY o_orderkey""".stripMargin,
 
+    // the Spark side reads a once-per-JVM JSONL copy of part; the
+    // oracle reads the parquet ORIGINAL — same format-independence
+    // contract as q_scan_csv, over the splittable JSON layout
+    "q_scan_jsonl" ->
+      """SELECT p_brand, count(*) AS n_parts,
+        |       CAST(max(p_size) AS INTEGER) AS max_size,
+        |       CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM part GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // the Spark side reads a once-per-JVM CSV copy of customer; the
     // oracle reads the parquet ORIGINAL, so a match proves the text
     // round-trip was value-exact for every aggregated column

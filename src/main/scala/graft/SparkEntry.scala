@@ -26,6 +26,7 @@ object SparkEntry {
     "q_scan_pruned" -> Relational.scanPruned _,
     "q_scan_partition" -> Relational.scanPartition _,
     "q_scan_csv" -> Relational.scanCsv _,
+    "q_scan_jsonl" -> Relational.scanJsonl _,
     "q_source_dsv2" -> graft.sources.DocsSource.dsv2Query _,
     "q_source_dsv2_agg" -> graft.sources.DocsSource.dsv2AggQuery _,
     // §2.2 projection / filter

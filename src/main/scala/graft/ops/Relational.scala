@@ -229,6 +229,52 @@ object Relational {
   private val validatedCsvCopies =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
+  /** JSONL-scan query — [[scanCsv]]'s splittable-text sibling, closing
+    * the format matrix (parquet, CSV, JSONL all graded end-to-end;
+    * ORC unit-tested): part's stable columns round-trip through a
+    * once-per-JVM JSON-Lines copy (fingerprint-validated atomic
+    * publication), are read back schema-first, and aggregate to a
+    * format-independent answer the oracle computes from the parquet
+    * original. JSONL is the splittable JSON layout — one object per
+    * line, so a 100 TB ingest parallelizes by line splits exactly like
+    * CSV, with self-describing fields instead of positional columns. */
+  def scanJsonl(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def stable(df: DataFrame) =
+      df.select($"p_partkey", $"p_brand", $"p_size", $"p_retailprice")
+    def fingerprint(df: DataFrame): (Long, Long) = {
+      import org.apache.spark.sql.functions.{bit_xor => bxor}
+      val r = df.agg(count(lit(1)), bxor(xxhash64(
+        col("p_partkey"), col("p_brand"), col("p_size"), col("p_retailprice")))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    val src = stable(Tables.part(spark, dir))
+    val cacheRoot = fixtureCacheRoot
+    val dest = new java.io.File(
+      cacheRoot,
+      "graft_jsonl_part_" + dir.replaceAll("[^A-Za-z0-9._-]", "_"))
+    if (!validatedJsonlCopies.contains(dest.toString)) {
+      val srcFp = fingerprint(src)
+      def validAt(at: java.io.File) = new java.io.File(at, "_SUCCESS").exists() &&
+        (try fingerprint(
+           graft.sources.Formats.readJsonl(spark, at.toString, src.schema)) == srcFp
+         catch { case _: Exception => false })
+      publishValidated(cacheRoot, dest, validAt,
+        tmp => graft.sources.Formats.writeJsonl(src, tmp.toString))
+      validatedJsonlCopies.add(dest.toString)
+    }
+    graft.sources.Formats.readJsonl(spark, dest.toString, src.schema)
+      .groupBy($"p_brand")
+      .agg(
+        count(lit(1)).as("n_parts"),
+        max($"p_size").as("max_size"),
+        sum($"p_retailprice".cast("decimal(18,2)")).cast("double").as("total_price"))
+      .orderBy($"p_brand")
+  }
+
+  private val validatedJsonlCopies =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   // ===========================================================================
   // §2.2 projection / filter
   // ===========================================================================
