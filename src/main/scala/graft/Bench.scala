@@ -16,7 +16,11 @@ import org.apache.spark.sql.SparkSession
   * clearCache between its two runs, and the better time is kept — so for
   * the ~10 self-caching dedup/ANN queries the reported number is the
   * warm-cache (steady-state) run, by design; caches ARE cleared between
-  * different queries. The "queries" map is sorted by descending cost and
+  * different queries. Because warm ≠ compute cost for those queries,
+  * the artifact reports BOTH: "queries" (best-of-N, the headline —
+  * comparable across rounds) and "cold" (each query's run-1,
+  * cache-empty time; "cold_total_s" in the summary). The "queries" map
+  * is sorted by descending cost and
   * each query also reports its Spark job count ("jobs") — on a contended
   * machine, cost inflates roughly per-job (each job is a fixed-latency
   * driver round-trip), so jobs × per-job latency explains a slow entry
@@ -183,18 +187,25 @@ object Bench {
       // and GC pressure onto whoever runs after them
       spark.catalog.clearCache()
       val best = runs.minBy(_._1)
-      (name, best._1 + (if (ok) 0.0 else 600.0), best._2)
+      // run 1 is the COLD (cache-empty) run — reported per query in the
+      // "cold" map so the self-caching queries' compute cost and their
+      // steady-state (warm, headline) cost are both in the artifact;
+      // best-of-N stays the headline for comparability with prior rounds
+      (name, best._1 + (if (ok) 0.0 else 600.0), best._2, runs(0)._1)
     }
     // descending cost: the expensive entries survive any artifact
     // truncation and the JSON reads as a profile without reordering
     val byCost = results.sortBy(-_._2)
-    val qs = byCost.map { case (k, v, _) => "\"" + k + "\":" + v }
+    val qs = byCost.map { case (k, v, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val js = byCost.map { case (k, _, j) => "\"" + k + "\":" + j }
+    val js = byCost.map { case (k, _, j, _) => "\"" + k + "\":" + j }
+      .mkString("{", ",", "}")
+    val colds = byCost.map { case (k, _, _, c) => "\"" + k + "\":" + c }
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val retriedJson = retried.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val coldTotal = if (results.nonEmpty) results.map(_._4).sum else 0.0
     val b73 = results.filter(r => Baseline73.contains(r._1))
     val b73Total = b73.map(_._2).sum
     val calAfter = calibrate()
@@ -202,8 +213,8 @@ object Bench {
     // pipeline stored only the TAIL of this line, losing the leading
     // "value" field and forcing a judge-side reconstruction of the
     // total. Tail-truncation now preserves the numbers that matter.
-    val summary = s"""{"total_s":$total,"n_queries":${results.size},"baseline73_s":$b73Total,"cal_before_s":$calBefore,"cal_after_s":$calAfter,"n_failed":${failed.size}}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"baseline73":{"n":${b73.size},"total_s":$b73Total},"queries":$qs,"jobs":$js,"failed":$failedJson,"retried":$retriedJson,"calibration":{"before_s":$calBefore,"after_s":$calAfter},"sf":"$sfDir","summary":$summary}""")
+    val summary = s"""{"total_s":$total,"cold_total_s":$coldTotal,"n_queries":${results.size},"baseline73_s":$b73Total,"cal_before_s":$calBefore,"cal_after_s":$calAfter,"n_failed":${failed.size}}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"baseline73":{"n":${b73.size},"total_s":$b73Total},"queries":$qs,"jobs":$js,"cold":$colds,"failed":$failedJson,"retried":$retriedJson,"calibration":{"before_s":$calBefore,"after_s":$calAfter},"sf":"$sfDir","summary":$summary}""")
     spark.stop()
   }
 }

@@ -35,21 +35,35 @@ object Dedup {
     * bounded extra exchange is always cheaper than an accidental
     * single-threaded stage. */
   private[graft] def spread(df: DataFrame): DataFrame = {
-    val conf = df.sparkSession.sessionState.conf
+    val spark = df.sparkSession
+    val conf = spark.sessionState.conf
     val target = conf.numShufflePartitions
-    // ALL leaf relations count (a union/join of a small table with a
-    // large one must not be judged by whichever leaf is visited first),
-    // and an unknown (non-file) leaf POISONS the proof rather than
-    // being outvoted by file siblings: its rows may sit in one
+    // ALL leaf nodes count — collectLeaves(), not a partial collect: a
+    // partial match silently SKIPS leaves it doesn't name (DSv2
+    // relations, InMemoryRelation, LocalRelation), and a union/join of
+    // a large file relation with such a leaf would then skip the
+    // repartition while those rows sit in few partitions. Every leaf
+    // that is not a file-index relation POISONS the proof (counts 0)
+    // rather than being invisible or outvoted: its rows may sit in one
     // partition, which is exactly the single-threaded-heavy-stage
-    // pathology spread guards against
-    val leaves = df.queryExecution.optimizedPlan.collect {
+    // pathology spread guards against.
+    val leaves = df.queryExecution.optimizedPlan.collectLeaves().map {
       case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
         l.relation match {
           case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
-            math.max(1L, fs.location.sizeInBytes / math.max(1L, conf.filesMaxPartitionBytes))
+            // bytes/maxPartitionBytes is only the split count for
+            // SPLITABLE files — one big gzip JSONL/CSV is a 1-partition
+            // scan no matter its size, so non-splittable paths are
+            // counted one split per FILE (what the scan planner does)
+            val paths = fs.location.inputFiles
+            val splitable = paths.nonEmpty && paths.forall(p =>
+              fs.fileFormat.isSplitable(spark, fs.options, new org.apache.hadoop.fs.Path(p)))
+            if (splitable)
+              math.max(1L, fs.location.sizeInBytes / math.max(1L, conf.filesMaxPartitionBytes))
+            else paths.length.toLong
           case _ => 0L // non-file relation (e.g. JDBC): unknown narrowness
         }
+      case _ => 0L // DSv2 / cached / local / other leaf: unknown narrowness
     }
     // only a plan whose EVERY leaf is a file index, together proving
     // enough splits, skips the spread
@@ -120,6 +134,11 @@ object Dedup {
     * actually gets the computed bit budget; without that, references
     * past ~7M keys would silently degrade toward fpp ≈ 1 and the prune
     * would buy nothing while the output stayed correct.
+    *
+    * THREAD SAFETY: the clamp raise is a session-global conf override
+    * around the build job (restored in a finally) — see the note on
+    * [[clusterPairsRounds]]; run single-threaded per session or give
+    * concurrent callers their own `spark.newSession()`.
     *
     * Returns the new corpus annotated: (idCol, is_dup). Deterministic
     * and fully oracle-checkable — the bloom affects only WORK, never
@@ -428,7 +447,15 @@ object Dedup {
     * label relation in ~2 jobs (pair materialization + fingerprint)
     * instead of re-running every propagation round. A memo hit whose
     * cached labels were since dropped (clearCache) recomputes fresh —
-    * see ResultCache's validity contract. */
+    * see ResultCache's validity contract.
+    *
+    * THREAD SAFETY: this method (and [[Dedup.crossCorpus]]) temporarily
+    * overrides session-global SQL confs (adaptive.enabled here; the
+    * runtime bloom clamps there) around a multi-job window, restored in
+    * a finally. A concurrent query on the SAME session during that
+    * window observes the overridden values. Run these two operators
+    * single-threaded per session (the harness does), or give concurrent
+    * callers their own `spark.newSession()`. */
   private[graft] def clusterPairsRounds(pairs: DataFrame, aCol: String, bCol: String,
       maxIters: Int = 20): (DataFrame, Int) = {
     // fwd is CACHED before the symmetrize union: both union branches
@@ -461,8 +488,11 @@ object Dedup {
       // while folding the content fingerprint for the memo lookup. The
       // session's identity is part of the key: a memoized handle is
       // bound to the session that built it, and must not be served to a
-      // different (e.g. restarted) session even for identical input.
-      val key = s"clusterPairs:${System.identityHashCode(spark)}:$maxIters:" +
+      // different (e.g. restarted) session even for identical input —
+      // keyed on the session UUID, not identityHashCode (identity hash
+      // codes are reused after GC, so a restarted session could collide
+      // with a dead one and be served a handle built on a dead plan).
+      val key = s"clusterPairs:${ResultCache.sessionId(spark)}:$maxIters:" +
         ResultCache.fingerprintPairs(fwd, "src", "dst")
       // the memo stores the HANDLE the final round's cache was
       // registered under (validity must probe that exact plan — a

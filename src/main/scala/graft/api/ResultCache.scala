@@ -60,6 +60,20 @@ object ResultCache {
     }
   }
 
+  /** Stable unique id of a session, for memo keys that bind a cached
+    * HANDLE to the session that built it. identityHashCode is NOT that:
+    * identity hashes are reused after GC, so a restarted session can
+    * collide with a dead one and be served a handle whose plan and
+    * cache entries died with it. The classic session exposes a real
+    * UUID; any other implementation falls back to identity (with the
+    * documented reuse caveat — non-classic sessions don't share this
+    * JVM-local memo's artifacts anyway). */
+  def sessionId(spark: org.apache.spark.sql.SparkSession): String = spark match {
+    case c: org.apache.spark.sql.classic.SparkSession =>
+      org.apache.spark.sql.GraftExpressionBridge.sessionUUID(c)
+    case s => s"idhash-${System.identityHashCode(s)}"
+  }
+
   /** The default validity check for memoized DataFrames: the handle's
     * storage is still registered with the CacheManager. Partial
     * eviction under memory pressure is fine (missing partitions
@@ -91,9 +105,12 @@ object ResultCache {
     * for caching — callers exploit that to fold fingerprinting into
     * the materialization job they would run anyway. */
   def fingerprintRelation(df: DataFrame): String = {
-    val cols = df.columns.map(c => s"`$c`").mkString(", ")
+    // quoted-identifier escaping (` → ``) so a column name containing
+    // a backtick (or dot) resolves as the literal top-level column
+    // instead of breaking the parse / resolving as a nested field
+    val cols = df.columns.map(c => col(s"`${c.replace("`", "``")}`"))
     val r = df
-      .selectExpr(s"xxhash64($cols) AS __h")
+      .select(xxhash64(cols: _*).as("__h"))
       .groupBy(col("__h")).agg(count(lit(1)).as("__m"))
       .agg(
         expr("sum(__m)").as("n"),

@@ -24,6 +24,13 @@ object GraftExpressionBridge {
   def eagerExpression(c: Column): Expression =
     org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
 
+  /** Stable unique id of a classic session (`sessionUUID` is
+    * private[sql]); used for memo keys that must not survive a session
+    * restart — identity hash codes are reused after GC, a real UUID is
+    * not. */
+  def sessionUUID(spark: SparkSession): String =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].sessionUUID
+
   /** Register a SQL-callable function on an existing (classic) session. */
   def registerFunction(
       spark: SparkSession,
