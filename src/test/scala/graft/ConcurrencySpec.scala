@@ -115,6 +115,41 @@ class ConcurrencySpec extends SparkSpec {
       == graft.api.ResultCache.fingerprintRelation(empty), "empty input must fingerprint stably")
   }
 
+  test("fingerprintFileMeta: stable for unchanged files, changes on rewrite, None off files") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_meta_fp").toString
+    try {
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s")
+        .write.mode("overwrite").parquet(s"$dir/t")
+      def fresh() = spark.read.parquet(s"$dir/t")
+      val fp1 = graft.api.ResultCache.fingerprintFileMeta(fresh())
+      assert(fp1.isDefined, "parquet-backed relation must metadata-fingerprint")
+      // unchanged files → same key, including through per-row
+      // transformations (the key identifies the INPUT FILES — that is
+      // the documented contract, not plan equality)
+      assert(fp1 == graft.api.ResultCache.fingerprintFileMeta(
+        fresh().filter(col("id") > 1)), "unchanged files must key identically")
+      // rewrite with different content: file set/sizes/mtimes change —
+      // a FRESH read must produce a different key (staleness test:
+      // "touch a file → recompute")
+      Seq((1L, "a"), (2L, "b"), (3L, "CHANGED")).toDF("id", "s")
+        .write.mode("overwrite").parquet(s"$dir/t")
+      val fp2 = graft.api.ResultCache.fingerprintFileMeta(fresh())
+      assert(fp2.isDefined && fp1 != fp2, s"rewrite must change the key: $fp1 vs $fp2")
+      // a non-file leaf (local relation) must refuse, and the auto
+      // variant must fall back to a content key with a distinct prefix
+      val local = Seq((1L, "a")).toDF("id", "s")
+      assert(graft.api.ResultCache.fingerprintFileMeta(local).isEmpty,
+        "local relation has no catalog metadata to key on")
+      assert(graft.api.ResultCache.fingerprintAuto(local).startsWith("content/"))
+      assert(graft.api.ResultCache.fingerprintAuto(fresh()).startsWith("meta/"))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      ()
+    }
+  }
+
   test("clusterPairs memo: identical input replays from the memo in ≤ 4 jobs; clearCache invalidates") {
     // job counter with an explicit listener-bus drain (events are
     // delivered asynchronously; without the drain, counts attribute to

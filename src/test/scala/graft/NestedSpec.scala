@@ -68,6 +68,62 @@ class NestedSpec extends SparkSpec {
     } finally rmTree(new java.io.File(base))
   }
 
+  test("VARIANT shredding round-trip: write emits typed_value subcolumns, shredded read stays exact") {
+    // closes the PLANS.md note that `allowReadingShredded` was asserted
+    // but nothing ever READ a shredded file: write variants with Spark
+    // 4's shredded writer (typed_value parquet subcolumns), prove from
+    // the FOOTER that shredding physically happened, and prove the
+    // shredded read path returns the same typed extractions as the
+    // unshredded one. At 100 TB this is the difference between
+    // variant_get parsing every row and an ordinary pruned subcolumn
+    // scan (docs/PLANS.md "VARIANT" section).
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_shred").toString
+    val confs = Seq(
+      "spark.sql.variant.writeShredding.enabled" -> "true",
+      "spark.sql.variant.inferShreddingSchema" -> "true",
+      "spark.sql.variant.allowReadingShredded" -> "true")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val rows = (0L until 100L).map(i => (i, s"""{"k": ${i * 10}, "s": "v$i"}"""))
+      rows.toDF("id", "js")
+        .select($"id", parse_json($"js").as("v"))
+        .repartition(1)
+        .write.mode("overwrite").parquet(s"$dir/t")
+      // physical evidence from the parquet footer: the variant column
+      // was written SHREDDED (typed_value subcolumns), not as one
+      // opaque binary value
+      import org.apache.parquet.hadoop.ParquetFileReader
+      import org.apache.parquet.hadoop.util.HadoopInputFile
+      import scala.jdk.CollectionConverters._
+      val pf = new java.io.File(s"$dir/t").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val r = ParquetFileReader.open(HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(pf.getAbsolutePath),
+        spark.sparkContext.hadoopConfiguration))
+      val colPaths =
+        try r.getFooter.getFileMetaData.getSchema.getColumns.asScala
+          .map(_.getPath.mkString(".")).toSeq
+        finally r.close()
+      assert(colPaths.exists(_.contains("typed_value")),
+        s"no typed_value subcolumn in the written file — shredding did not happen: $colPaths")
+      // the shredded READ must serve typed extraction exactly
+      val back = spark.read.parquet(s"$dir/t")
+        .select($"id", expr("variant_get(v, '$.k', 'int')").as("k"),
+          expr("variant_get(v, '$.s', 'string')").as("s"))
+        .collect().map(row => (row.getLong(0), row.getInt(1), row.getString(2))).toSet
+      assert(back == rows.map { case (i, _) => (i, i.toInt * 10, s"v$i") }.toSet,
+        "shredded read returned different values than the writer was given")
+    } finally {
+      prev.foreach { case (k, Some(v)) => spark.conf.set(k, v)
+                     case (k, None) => spark.conf.unset(k) }
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      ()
+    }
+  }
+
   test("from_json into struct then to_json round-trips") {
     import spark.implicits._
     val df = Seq((1L, """{"k": 87, "tag": "x"}""")).toDF("id", "js")

@@ -117,4 +117,46 @@ class PlanShapeSpec extends SparkSpec {
     // cached previous generation
     dedupPins("semantic", graft.ops.Vector.dedupSemantic(spark, dir), 7)
   }
+
+  test("crossCorpus: filter relation joins by sort-merge, never broadcasts to the driver") {
+    // the partitioned-bloom scale claim made structural: the (bucket,
+    // filter_bytes) relation must reach the probe through a sort-merge
+    // equi-join on the bucket — a BroadcastExchange over it would
+    // collect every bucket's filter to the driver, recreating exactly
+    // the single-blob driver bound the partitioning removes. The final
+    // annotate join MAY broadcast (it carries ids, not filters), so the
+    // pin is specifically: no broadcast subtree outputs a binary
+    // filter column, and at least one sort-merge join keys on the
+    // bucket.
+    import org.apache.spark.sql.functions._
+    spark.catalog.clearCache()
+    graft.api.ResultCache.clear()
+    val docs = graft.Tables.documents(spark, dir)
+    val ref = docs.filter(col("doc_id") % 2 === 0)
+    val neu = docs.filter(col("doc_id") % 2 === 1)
+    // key on n_chars, NOT text: the odd/even split of the testdata
+    // shares no duplicate text, and a zero-dup probe lets AQE's
+    // empty-relation propagation eliminate the whole join subtree from
+    // the FINAL plan (correct, and a nice zero-dup fast path — but
+    // then this test would assert against a collapsed tree). n_chars
+    // guarantees cross-corpus key overlap so the probe shape survives
+    // to the executed plan.
+    val out = graft.api.Dedup.crossCorpus(neu, ref, "doc_id",
+      col("n_chars").cast("string"))
+    out.collect()
+    val nodes = collectExecDeep(out.queryExecution.executedPlan)
+    val broadcastsWithFilterBytes = nodes
+      .filter(_.nodeName.contains("BroadcastExchange"))
+      .count(_.output.exists(a =>
+        a.dataType == org.apache.spark.sql.types.BinaryType))
+    assert(broadcastsWithFilterBytes == 0,
+      s"filter bytes found under $broadcastsWithFilterBytes BroadcastExchange node(s) — " +
+        "the bloom relation must stay distributed")
+    val smjOnBucket = nodes.exists(p =>
+      p.nodeName.contains("SortMergeJoin") && p.toString.contains("__b"))
+    assert(smjOnBucket, "expected a sort-merge join on the bucket column; join nodes: " +
+      nodes.filter(_.nodeName.toLowerCase.contains("join"))
+        .map(p => p.nodeName + ": " + p.toString.linesIterator.next().take(200))
+        .mkString("\n"))
+  }
 }

@@ -129,14 +129,42 @@ class PropertySpec extends SparkSpec {
     assert(m.forall { case (doc, canon) => canon <= doc && m(canon) == canon })
   }
 
+  test("minhash band-occupancy cap: a boilerplate clique stops being quadratic, other pairs survive") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // fixture: a 60-doc identical-text CLIQUE (60·59/2 = 1770 candidate
+    // pairs from EVERY band — the O(clique²) pathology the first x10
+    // rehearsal hit at 79 GB of spill) plus one genuine near-dup pair
+    // with unique vocabulary
+    val clique = (0L until 60L).map(i => (i, "alpha beta gamma delta epsilon zeta eta theta"))
+    val nearA = (100L, "red orange yellow green blue indigo violet umber ochre teal")
+    val nearB = (101L, "red orange yellow green blue indigo violet umber ochre navy")
+    val docs = (clique :+ nearA :+ nearB).toDF("doc_id", "text")
+    // cap 8 < 60: every band bucket the clique occupies is dropped, so
+    // the clique contributes ZERO candidates; the near-dup pair's
+    // buckets hold 2 docs and survive
+    val capped = graft.api.Dedup.minhashLsh(docs, "doc_id", "text",
+      n = 3, threshold = 0.5, maxBandOccupancy = 8)
+      .select($"a_id", $"b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((100L, 101L)),
+      s"capped banding must keep exactly the non-clique pair, got $capped")
+    // uncapped control on the same corpus: the clique pairs ARE the
+    // output (1770 of them) — the cap is what bounds the candidate set
+    val uncapped = graft.api.Dedup.minhashLsh(docs, "doc_id", "text",
+      n = 3, threshold = 0.5, maxBandOccupancy = Int.MaxValue).count()
+    assert(uncapped == 1770L + 1L, s"uncapped control should emit the clique, got $uncapped")
+  }
+
   test("crossCorpus: bloom prune never changes the answer; high fpp still exact") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
     // adversarial fixture: duplicate keys across corpora, unique keys,
     // and a null-text row; the bloom may false-positive but the output
-    // must equal the plain semi-join at ANY fpp
+    // must equal the plain semi-join at ANY fpp and ANY bucket count
     val docs = (0L until 200L).map { i =>
-      val text = if (i % 7 == 0) s"shared text ${i % 14}" else s"unique text $i"
+      val text = if (i % 13 == 12) null
+      else if (i % 7 == 0) s"shared text ${i % 14}"
+      else s"unique text $i"
       (i, text)
     }.toDF("doc_id", "text")
     val ref = docs.filter($"doc_id" % 2 === 0)
@@ -144,10 +172,15 @@ class PropertySpec extends SparkSpec {
     val key = col("text")
     def expected = neu.join(ref.select($"text").distinct(), Seq("text"), "left_semi")
       .select($"doc_id").as[Long].collect().toSet
-    for (fpp <- Seq(0.5, 0.01)) { // 0.5: bloom false-positives near-certain
-      val got = graft.api.Dedup.crossCorpus(neu, ref, "doc_id", key, fpp)
+    // fpp 0.5 makes false positives near-certain; buckets 1/16/64 span
+    // one-filter-total through more-buckets-than-matching-keys (64
+    // buckets over ~100 reference keys leaves many buckets empty, so
+    // the left-join null-filter path runs too). Every combination must
+    // reproduce the plain semi-join exactly.
+    for (fpp <- Seq(0.5, 0.01); b <- Seq(1, 16, 64)) {
+      val got = graft.api.Dedup.crossCorpus(neu, ref, "doc_id", key, fpp, buckets = b)
         .filter($"is_dup").select($"doc_id").as[Long].collect().toSet
-      assert(got == expected, s"fpp=$fpp: bloom changed the answer")
+      assert(got == expected, s"fpp=$fpp buckets=$b: bloom changed the answer")
     }
     // annotation covers EVERY new-corpus row, dup or not
     val n = graft.api.Dedup.crossCorpus(neu, ref, "doc_id", key, 0.01).count()

@@ -121,6 +121,21 @@ class ScaleJoinSpec extends SparkSpec {
       val finalPlan = j.queryExecution.executedPlan.toString
       assert(finalPlan.contains("skew=true"),
         "AQE did not mark the skewed join:\n" + finalPlan.take(1200))
+      // beyond the plan marker: the AQEShuffleRead must REPORT skewed
+      // partitions it actually split (the runtime metric, not just the
+      // node label), and the split count quantifies the salting-free
+      // mitigation — the hot key's reducer input is divided across
+      // that many tasks, the same ~1/S effect the manual salted form
+      // above engineers by hand. docs/PLANS.md "Skew" section carries
+      // the executed-plan evidence.
+      val aqeReads = collectExec(j.queryExecution.executedPlan)
+        .filter(_.nodeName.contains("AQEShuffleRead"))
+      val skewed = aqeReads.flatMap(_.metrics.get("numSkewedPartitions")).map(_.value).sum
+      val splits = aqeReads.flatMap(_.metrics.get("numSkewedSplits")).map(_.value).sum
+      assert(skewed >= 1, s"expected >=1 skewed partition reported, got $skewed")
+      assert(splits >= 2, s"expected the hot partition split >=2 ways, got $splits")
+      info(s"AQE reported $skewed skewed partition(s) split $splits ways — " +
+        "unsalted plan, same mitigation the salted test builds manually")
     } finally prev.foreach {
       case (k, Some(v)) => spark.conf.set(k, v)
       case (k, None) => spark.conf.unset(k)
