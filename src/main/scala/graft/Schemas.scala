@@ -67,8 +67,11 @@ object Schemas {
     StructField("l_shipdate", TimestampType),
   ))
 
-  /** On-disk shape: ts is TIMESTAMP(NANOS) which Spark must read as Long
-    * (see Tables.events). */
+  /** On-disk shape of the ns-INT64 events variant: ts is a nanosecond
+    * Long (plain INT64, or TIMESTAMP(NANOS) under the nanosAsLong
+    * flag). The current driver testdata is the OTHER variant — a real
+    * µs TIMESTAMP — and Tables.events sniffs the footer to pick the
+    * branch (see Tables.events). */
   val eventsRaw: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType),
@@ -78,7 +81,18 @@ object Schemas {
     StructField("props", StringType),
   ))
 
-  /** Logical shape after the reader's ns→µs conversion. */
+  /** On-disk shape of the TIMESTAMP_NTZ(MICROS) events variant (the
+    * current driver testdata: µs, isAdjustedToUTC=false). */
+  val eventsNtz: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampNTZType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType),
+  ))
+
+  /** Logical shape every branch of Tables.events converges to. */
   val events: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", TimestampType),
