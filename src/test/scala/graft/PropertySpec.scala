@@ -192,6 +192,42 @@ class PropertySpec extends SparkSpec {
       && vsEmpty.count() == neu.count(), "empty reference must flag nothing")
   }
 
+  test("crossCorpus: interpreted eval path matches codegen (BloomMightContainKeyed)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // BloomMightContainKeyed has two eval paths: doGenCode (the one every
+    // normal run exercises) and nullSafeEval with a ThreadLocal cache,
+    // which only runs when codegen is off or falls back. Force the
+    // interpreted path and assert it reproduces the plain semi-join on
+    // the same adversarial fixture as the codegen test above.
+    val docs = (0L until 200L).map { i =>
+      val text = if (i % 13 == 12) null
+      else if (i % 7 == 0) s"shared text ${i % 14}"
+      else s"unique text $i"
+      (i, text)
+    }.toDF("doc_id", "text")
+    val ref = docs.filter($"doc_id" % 2 === 0)
+    val neu = docs.filter($"doc_id" % 2 === 1)
+    val expected = neu.join(ref.select($"text").distinct(), Seq("text"), "left_semi")
+      .select($"doc_id").as[Long].collect().toSet
+    val savedWsc = spark.conf.get("spark.sql.codegen.wholeStage")
+    val savedMode = spark.conf.get("spark.sql.codegen.factoryMode")
+    try {
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      for (b <- Seq(1, 16)) {
+        val got = graft.api.Dedup.crossCorpus(neu, ref, "doc_id", col("text"),
+            fpp = 0.5, buckets = b)
+          .filter($"is_dup").select($"doc_id").as[Long].collect().toSet
+        assert(got == expected,
+          s"interpreted bloom probe diverged from semi-join at buckets=$b")
+      }
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", savedWsc)
+      spark.conf.set("spark.sql.codegen.factoryMode", savedMode)
+    }
+  }
+
   test("multi-probe sketch pairs are a superset of single-probe pairs") {
     import spark.implicits._
     val vecGen = Gen.listOfN(8, Gen.chooseNum(-1.0, 1.0))
