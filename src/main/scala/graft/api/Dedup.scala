@@ -712,10 +712,11 @@ object Dedup {
         when(col(s"b$j") * 2 > col("n"), 1).otherwise(0)): _*))
       .select(col("doc_id"), col("bits"))
       .cache() // feeds chunking + both hamming joins; see minhashLsh note
-    val chunksDf = sigs.select(col("doc_id"), posexplode(expr(
+    val chunksDf = capBuckets(sigs.select(col("doc_id"), posexplode(expr(
       s"transform(sequence(0, ${chunks - 1}), c -> " +
         s"aggregate(slice(bits, c * $chunkBits + 1, $chunkBits), 0L, (acc, x) -> acc * 2 + x))")))
-      .toDF("doc_id", "chunk_idx", "chunk_key")
+      .toDF("doc_id", "chunk_idx", "chunk_key"),
+      "chunk_idx", "chunk_key", maxChunkOccupancy)
     val cand = chunksDf.as("a")
       .join(chunksDf.as("b"),
         col("a.chunk_idx") === col("b.chunk_idx") && col("a.chunk_key") === col("b.chunk_key") &&

@@ -155,6 +155,33 @@ class PropertySpec extends SparkSpec {
     assert(uncapped == 1770L + 1L, s"uncapped control should emit the clique, got $uncapped")
   }
 
+  test("simhash chunk-occupancy cap: a boilerplate clique stops being quadratic, other pairs survive") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // same pathology as the minhash test above, via the simhash path:
+    // the round-6 x10 rehearsal found simhash's scaladoc CLAIMED the
+    // cap but the code never applied it — 1M docs × 8-bit chunk keys
+    // self-joined into ~10^10 candidate pairs, filled the disk, and
+    // took down the 13 queries scheduled after it. An identical-text
+    // clique shares all 8 chunk keys, so with cap < clique size every
+    // clique bucket drops; the near-dup pair (hamming 0 on n=3
+    // shingles is too strict for one changed word, so assert on the
+    // identical-text pair instead) survives in 2-doc buckets.
+    val clique = (0L until 60L).map(i => (i, "alpha beta gamma delta epsilon zeta eta theta"))
+    val pairA = (100L, "red orange yellow green blue indigo violet umber ochre teal")
+    val pairB = (101L, "red orange yellow green blue indigo violet umber ochre teal")
+    val docs = (clique :+ pairA :+ pairB).toDF("doc_id", "text")
+    val capped = graft.api.Dedup.simhash(docs, "doc_id", "text",
+        n = 3, maxHamming = 7, maxChunkOccupancy = 8)
+      .select($"a_id", $"b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((100L, 101L)),
+      s"capped simhash banding must keep exactly the non-clique pair, got $capped")
+    // uncapped control: the clique's 1770 pairs all come back
+    val uncapped = graft.api.Dedup.simhash(docs, "doc_id", "text",
+      n = 3, maxHamming = 7, maxChunkOccupancy = Int.MaxValue).count()
+    assert(uncapped == 1770L + 1L, s"uncapped control should emit the clique, got $uncapped")
+  }
+
   test("crossCorpus: bloom prune never changes the answer; high fpp still exact") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
