@@ -102,7 +102,7 @@ object Bench {
       cur
     }
     // warmup: JIT, codegen cache, and each table family's reader path
-    // (the events TIMESTAMP(NANOS) legacy path alone costs ~3s on first
+    // (the events reader's footer sniff + first scan alone costs ~3s on first
     // touch — without warmup that lands on whichever query happens to
     // read events first and skews its number). The dedup family warms
     // too: its wide flat-column aggregates (64 min/sum columns) are the
