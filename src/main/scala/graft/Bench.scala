@@ -209,8 +209,11 @@ object Bench {
     val byCost = results.sortBy(-_._2)
     // compact seconds: 0.1 ms resolution is below run-to-run noise and
     // roughly 3x shorter than Double.toString — line length is load-
-    // bearing here (see the tail-truncation note below)
-    def sec(v: Double): String = f"$v%.4f"
+    // bearing here (see the tail-truncation note below). Locale.ROOT
+    // pins the dot decimal separator: the default-locale formatter
+    // would emit "0,8429" on comma-decimal JVMs — invalid JSON.
+    def sec(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
     val qs = byCost.map { case (k, v, _, _) => "\"" + k + "\":" + sec(v) }
       .mkString("{", ",", "}")
     val js = byCost.map { case (k, _, j, _) => "\"" + k + "\":" + j }
@@ -244,7 +247,11 @@ object Bench {
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get("bench_full_latest.json"),
         (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    } catch { case _: Throwable => () } // bench output must not die on an unwritable cwd
+    } catch { // bench output must not die on an unwritable cwd — but
+      // fatal errors (OOME, interrupt) must still propagate
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] could not write bench_full_latest.json: $e")
+    }
     println(line)
     spark.stop()
   }

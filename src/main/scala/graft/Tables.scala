@@ -48,21 +48,32 @@ object Tables {
     * yields Longs instead of failing. Graft's own mains (Verify/Bench)
     * set the flag at session build so behavior is order-independent;
     * external callers embedding this library should do the same. */
+  /** Memo key: canonical path (so relative/absolute spellings share an
+    * entry) + the directory's lastModified (so regenerating the table
+    * in place — Spark's write commits rename into the dir and bump its
+    * mtime — invalidates the sniff instead of silently reusing a stale
+    * unit, which would be the round-5 shear bug reintroduced for
+    * long-lived sessions). */
   private val eventsTsKind =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), String]()
 
   def events(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val path = s"$dir/events.parquet"
-    val kind = eventsTsKind.computeIfAbsent(path, p =>
-      spark.read.parquet(p).schema("ts").dataType match {
-        case org.apache.spark.sql.types.TimestampType => "us"
-        case org.apache.spark.sql.types.TimestampNTZType => "ntz"
-        case org.apache.spark.sql.types.LongType => "ns"
-        case other => throw new IllegalStateException(
-          s"events.ts at $p has unsupported physical type $other " +
-            "(expected TIMESTAMP(MICROS), TIMESTAMP_NTZ(MICROS) or nanosecond INT64)")
+    val f = new java.io.File(path)
+    val kind = eventsTsKind.computeIfAbsent(
+      (f.getCanonicalPath, f.lastModified), { case (p, _) =>
+        val schema = spark.read.parquet(p).schema
+        schema.find(_.name == "ts").map(_.dataType) match {
+          case Some(org.apache.spark.sql.types.TimestampType) => "us"
+          case Some(org.apache.spark.sql.types.TimestampNTZType) => "ntz"
+          case Some(org.apache.spark.sql.types.LongType) => "ns"
+          case other => throw new IllegalStateException(
+            s"events.ts at $p has unsupported physical type " +
+              s"${other.map(_.toString).getOrElse("<no ts column>")} " +
+              "(expected TIMESTAMP(MICROS), TIMESTAMP_NTZ(MICROS) or nanosecond INT64)")
+        }
       })
     kind match {
       case "us" => read(spark, dir, "events", Schemas.events)

@@ -135,11 +135,13 @@ object Sql {
     * count) — so the check is two independent recursive-CTE executors
     * agreeing (Spark 4 UnionLoop vs DuckDB) AND the pre-aggregation
     * rewrite proving itself equivalent. The Spark side aggregates
-    * orders down to ~80 (month, n) rows FIRST and derives bounds from
-    * that same aggregate: one scan of the fact table instead of two,
-    * and the join broadcasts an always-tiny calendar-sized relation —
-    * the naive form's plan broadcasts raw orders, which stops fitting
-    * the moment the table outgrows the broadcast budget.
+    * orders down to ~80 (month, n) rows FIRST, so the join broadcasts
+    * an always-tiny calendar-sized relation — the naive form's plan
+    * broadcasts raw orders, which stops fitting the moment the table
+    * outgrows the broadcast budget. orders is still scanned twice
+    * (per_month plus the anchor's single-column min/max, which parquet
+    * footer stats make near-free); see the job-count note below for
+    * why bounds does NOT reuse per_month.
     *
     * Job count, measured at sf0.1 (MiniBench): naive form 8 jobs, this
     * form 7 — the survivors are per_month's two-stage aggregate, the

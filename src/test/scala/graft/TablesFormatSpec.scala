@@ -21,7 +21,15 @@ class TablesFormatSpec extends SparkSpec {
 
   private def tmpDir(): java.io.File = {
     val d = java.nio.file.Files.createTempDirectory("graft-tables").toFile
-    d.deleteOnExit()
+    // deleteOnExit only removes EMPTY dirs; these get parquet written
+    // into them, so clean recursively at JVM exit
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(d)
+    }))
     d
   }
 
