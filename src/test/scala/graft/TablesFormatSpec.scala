@@ -89,6 +89,32 @@ class TablesFormatSpec extends SparkSpec {
     assert(years.forall(y => y >= 2024 && y <= 2025), s"got years ${years.toSeq}")
   }
 
+  test("events reader: in-place regeneration with a different unit re-sniffs (no stale memo)") {
+    import spark.implicits._
+    val d = tmpDir()
+    val baseUs = 1705276800000000L
+    def rows = Seq((1L, baseUs, 5L, "view", 1.0, "{}"))
+      .toDF("event_id", "us", "user_id", "event_type", "value", "props")
+    // generation 1: ns INT64
+    rows.select($"event_id", ($"us" * 1000L).as("ts"), $"user_id",
+        $"event_type", $"value", $"props")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val first = Tables.events(spark, d.toString).select($"ts").head().getTimestamp(0)
+    // regenerate IN PLACE as µs NTZ, with a different value; the
+    // memoized sniff must invalidate (dir mtime changes on commit) or
+    // the old ns branch would shear the new µs data 1000x
+    val dir = new java.io.File(s"$d/events.parquet")
+    val before = dir.lastModified
+    rows.select($"event_id",
+        timestamp_micros($"us" + 86400000000L).cast("timestamp_ntz").as("ts"),
+        $"user_id", $"event_type", $"value", $"props")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    if (dir.lastModified == before) dir.setLastModified(before + 1000) // FS mtime granularity guard
+    val second = Tables.events(spark, d.toString).select($"ts").head().getTimestamp(0)
+    assert(second.getTime == first.getTime + 86400000L,
+      s"stale unit memo: expected first+1d, got $second vs $first")
+  }
+
   test("events reader: rejects an unsupported ts physical type loudly") {
     import spark.implicits._
     val d = tmpDir()
