@@ -169,7 +169,7 @@ object Oracle {
 
   val sql: Map[String, String] = Map(
 
-    "q_dedup_simhash" -> simhashOracle(7),
+    "q_dedup_simhash" -> simhashOracle(3),
 
     // ANN: the axis-aligned LSH family and the sign-bucket inverted file
     // are pure sign tests + integer arithmetic — fully replayable.

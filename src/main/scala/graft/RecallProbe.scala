@@ -22,9 +22,16 @@ import org.apache.spark.sql.functions._
   * Any sub-threshold planted pair in the output would be a PRECISION
   * bug (the verify join is exact), reported separately as fp_below.
   *
+  * A simhash twin (round 7) asks the same question for the graded
+  * 4×16-bit chunk configuration: of the planted pairs whose pairwise
+  * signature hamming is ≤ 3, what fraction does the banded+capped
+  * simhash path emit? (Pigeonhole makes banding exhaustive at this
+  * config; any miss is cap-induced.)
+  *
   * Usage: runMain graft.RecallProbe <scaleGenDir>
   * Output: one JSON line {planted_exact, found_exact, planted_near_ge08,
-  * found_near_ge08, fp_below, recall_exact, recall_near}.
+  * found_near_ge08, fp_below, recall_exact, recall_near,
+  * simhash_planted_ham_le3, simhash_found, recall_simhash}.
   */
 object RecallProbe {
   def main(args: Array[String]): Unit = {
@@ -49,15 +56,21 @@ object RecallProbe {
 
     // exact 3-shingle Jaccard of each planted pair, computed
     // independently of the minhash pipeline (ground truth, not the
-    // system under test): J = |A∩B| / |A∪B| over distinct shingles
+    // system under test): J = |A∩B| / |A∪B| over distinct shingles.
+    // Texts shorter than 3 words get an EMPTY set — mirroring the
+    // pipeline's shingles() guard — so a short-text planted pair scores
+    // j = 0 (counted in planted_below) rather than j = 1 on a single
+    // truncated shingle, which would register an ineligible miss.
     def shingleSet(c: String): org.apache.spark.sql.Column = expr(
-      s"array_distinct(transform(sequence(0, greatest(size(split($c, ' ')) - 3, 0)), " +
-        s"i -> concat_ws(' ', slice(split($c, ' '), i + 1, 3))))")
+      s"CASE WHEN size(split($c, ' ')) < 3 THEN array() " +
+        s"ELSE array_distinct(transform(sequence(0, size(split($c, ' ')) - 3), " +
+        s"i -> concat_ws(' ', slice(split($c, ' '), i + 1, 3)))) END")
     val withJ = planted
       .join(docs.select(id.as("a_id"), col("text").as("ta")), "a_id")
       .join(docs.select(id.as("b_id"), col("text").as("tb")), "b_id")
-      .withColumn("j", size(array_intersect(shingleSet("ta"), shingleSet("tb"))).cast("double") /
-        size(array_union(shingleSet("ta"), shingleSet("tb"))))
+      .withColumn("j_union", size(array_union(shingleSet("ta"), shingleSet("tb"))))
+      .withColumn("j", when(col("j_union") === 0, lit(0.0)).otherwise(
+        size(array_intersect(shingleSet("ta"), shingleSet("tb"))).cast("double") / col("j_union")))
       .select("a_id", "b_id", "is_exact", "j")
       .cache()
 
@@ -83,13 +96,40 @@ object RecallProbe {
     val nearFound = nearEligible.filter(col("emitted")).count()
     val fpBelow = joined.filter(col("j") < 0.8 && col("emitted")).count()
 
+    // ---- simhash twin (§17.3's question for the round-7 graded
+    // config): of the planted pairs whose GROUND-TRUTH signature
+    // hamming is ≤ 3 (signatures shared with the pipeline —
+    // deterministic, oracle-pinned — but the hamming here is a direct
+    // pairwise join, independent of banding), what fraction does the
+    // banded+capped simhash path emit? With 4×16-bit chunks the
+    // pigeonhole guarantees every hamming ≤ 3 pair shares an intact
+    // chunk, so any miss is cap-induced — expected 0 on ScaleGen's
+    // scaled-vocabulary corpus at every x.
+    val sigs = api.Dedup.simhashSignatures(docs, "doc_id", "text", n = 3)
+    val pairHamming = planted.select("a_id", "b_id")
+      .join(sigs.select(col("doc_id").as("a_id"), col("bits").as("bits_a")), "a_id")
+      .join(sigs.select(col("doc_id").as("b_id"), col("bits").as("bits_b")), "b_id")
+      .withColumn("hamming", expr(
+        "aggregate(zip_with(bits_a, bits_b, (x, y) -> CASE WHEN x = y THEN 0 ELSE 1 END), 0, (acc, v) -> acc + v)"))
+      .select("a_id", "b_id", "hamming")
+    val shFound = api.Dedup.simhash(docs, "doc_id", "text", n = 3, maxHamming = 3)
+      .select(col("a_id"), col("b_id"), lit(true).as("sh_emitted"))
+    val shJoined = pairHamming.join(shFound, Seq("a_id", "b_id"), "left")
+      .select(col("hamming"), coalesce(col("sh_emitted"), lit(false)).as("sh_emitted"))
+      .cache()
+    val shEligible = shJoined.filter(col("hamming") <= 3)
+    val shTotal = shEligible.count()
+    val shFoundN = shEligible.filter(col("sh_emitted")).count()
+
     def ratio(n: Long, d: Long): String =
       if (d == 0) "null" else String.format(java.util.Locale.ROOT, "%.4f", Double.box(n.toDouble / d))
     println(s"""{"planted_exact_ge08":$exactTotal,"found_exact":$exactFound,""" +
       s""""planted_near_ge08":$nearTotal,"found_near_ge08":$nearFound,""" +
       s""""planted_below_thresh":$plantedBelow,"fp_below":$fpBelow,""" +
       s""""recall_exact":${ratio(exactFound, exactTotal)},""" +
-      s""""recall_near":${ratio(nearFound, nearTotal)},"dir":"$dir"}""")
+      s""""recall_near":${ratio(nearFound, nearTotal)},""" +
+      s""""simhash_planted_ham_le3":$shTotal,"simhash_found":$shFoundN,""" +
+      s""""recall_simhash":${ratio(shFoundN, shTotal)},"dir":"$dir"}""")
     spark.stop()
   }
 }

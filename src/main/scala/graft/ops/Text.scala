@@ -233,20 +233,32 @@ object Text {
       .orderBy($"bucket")
   }
 
-  /** TF-IDF top-3 terms per document: tf from one (doc, token) groupBy,
-    * df from a vocab-sized token groupBy (partial agg ⇒ the shuffle
-    * carries per-task vocab counts, not corpus rows), the doc count as a
-    * 1-row broadcast, smooth idf = ln((N+1)/(df+1)) + 1. Ranking uses
-    * the ROUNDED score (+ token tiebreak) in both engines so a 1-ulp
-    * libm difference in ln cannot flip a rank. */
+  /** TF-IDF top-3 terms per document: tf per-row with array HOFs (every
+    * token of a doc lives in ONE row, so counting within the row needs
+    * NO shuffle — the former (doc, token) explode→groupBy carried the
+    * whole tokenized corpus through an exchange, 69.6 s cold at 1M docs
+    * in the round-6 rehearsal, and partial agg couldn't help because
+    * (doc, token) keys are near-unique), df from a vocab-sized token
+    * groupBy (partial agg ⇒ the shuffle carries per-task vocab counts,
+    * not corpus rows), the doc count as a 1-row broadcast, smooth
+    * idf = ln((N+1)/(df+1)) + 1. Ranking uses the ROUNDED score
+    * (+ token tiebreak) in both engines so a 1-ulp libm difference in
+    * ln cannot flip a rank. */
   def textTfidf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
     // cached: tf feeds BOTH the df aggregate and the score join — without
-    // the cache the explode+groupBy subplan executes twice, and the
-    // cached relation's exact statistics keep the token join broadcast
-    val tf = docs.select($"doc_id", explode(toks($"text")).as("token"))
-      .groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
+    // the cache the tokenize subplan executes twice, and the cached
+    // relation's exact statistics keep the token join broadcast.
+    // Per-row cost is O(distinct·len) (filter-count per distinct token):
+    // fine for document-shaped rows; a row holding a whole book would
+    // prefer the sort-based aggregate(array_sort(t), ...) single pass.
+    val tf = docs
+      .withColumn("t", toks($"text"))
+      .select($"doc_id", explode(expr(
+        "transform(array_distinct(t), w -> struct(w AS token, " +
+          "CAST(size(filter(t, x -> x = w)) AS BIGINT) AS tf))")).as("e"))
+      .select($"doc_id", $"e.token".as("token"), $"e.tf".as("tf"))
       .cache()
     val dfreq = tf.groupBy($"token").agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
@@ -523,14 +535,23 @@ object Text {
     * corpus boilerplate even when no single whole-doc pair clears a
     * Jaccard threshold. Plan: per-doc distinct spans (reusing
     * Dedup.shingles' lambda-bound tokenization), one groupBy on the
-    * span for corpus df, join back, per-doc aggregate — two shuffles,
-    * both on well-distributed keys (span text, doc_id), nothing
-    * O(pairs). Spans are distinct per doc, so df = document frequency
-    * directly and "duplicated" = df ≥ 2. */
+    * span for corpus df, per-doc aggregate — nothing O(pairs).
+    *
+    * Spans are distinct per doc, so df = document frequency directly,
+    * "duplicated" = df ≥ 2, and — the round-7 shuffle cut — a df = 1
+    * span has exactly ONE (doc, span) row, so min(doc_id) inside the
+    * df aggregate identifies its owner and n_dup = n_spans − n_unique
+    * EXACTLY. The former formulation joined the df relation back onto
+    * the full span stream (a second corpus-sized exchange + sort-merge
+    * on long span strings — 54.8 s cold at 1M docs in the round-6
+    * rehearsal); this one never shuffles the span stream again: the
+    * unique-span aggregate collapses to per-(task, doc) counts before
+    * its exchange, and the doc-keyed join joins two per-doc-sized
+    * relations. */
   def dedupSpans(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     // spans cached: it feeds BOTH the corpus-df aggregate and the
-    // join-back probe side — un-cached, the shingle tokenization (the
+    // per-doc span counts — un-cached, the shingle tokenization (the
     // expensive per-row stage) executes twice per run. Final relation
     // cached too (per-doc sized, evictable): repeat calls plan-match
     // and serve wholesale — the same session caching contract as
@@ -539,11 +560,15 @@ object Text {
         graft.api.Dedup.spread(Tables.documents(spark, dir)), "doc_id", "text", n = 8)
       .select($"doc_id", explode($"shingles").as("sh"))
       .cache()
-    val df = spans.groupBy($"sh").agg(count(lit(1)).as("df"))
-    spans.join(df, "sh")
-      .groupBy($"doc_id")
-      .agg(count(lit(1)).as("n_spans"),
-        sum(when($"df" >= 2, 1L).otherwise(0L)).as("n_dup"))
+    val nUniq = spans.groupBy($"sh")
+      .agg(count(lit(1)).as("df"), min($"doc_id").as("only_doc"))
+      .filter($"df" === 1)
+      .groupBy($"only_doc").agg(count(lit(1)).as("n_uniq"))
+      .select($"only_doc".as("doc_id"), $"n_uniq")
+    spans.groupBy($"doc_id").agg(count(lit(1)).as("n_spans"))
+      .join(nUniq, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_spans",
+        ($"n_spans" - coalesce($"n_uniq", lit(0L))).as("n_dup"))
       .select($"doc_id", $"n_spans", $"n_dup",
         when($"n_spans" === 0, 0.0d)
           .otherwise(round($"n_dup".cast("double") / $"n_spans", 6)).as("dup_frac"),
@@ -580,11 +605,15 @@ object Text {
         n = 3, bands = 16, rowsPerBand = 4, threshold = 0.8),
       "a_id", "b_id")
 
-  /** SimHash(64) with 8×8-bit chunk banding, hamming ≤ 7 — see
-    * graft.api.Dedup.simhash. The hash family is portable polynomial
-    * arithmetic, so the ENTIRE pipeline (signatures, banding, hamming
-    * verification) is replayed by the DuckDB oracle and hash-checked —
-    * upgraded from the rows-only check the xxhash64 family allowed. */
+  /** SimHash(64) with 4×16-bit chunk banding, hamming ≤ 3 — the
+    * web-scale configuration (Manku et al. WWW'07; 16-bit chunk keys
+    * keep banding discriminating into the 10⁷-doc range, where the
+    * former 8-bit/hamming-7 grading hit a measured occupancy cliff at
+    * 10⁵ docs — see graft.api.Dedup.simhash's scale note). The hash
+    * family is portable polynomial arithmetic, so the ENTIRE pipeline
+    * (signatures, banding, hamming verification) is replayed by the
+    * DuckDB oracle and hash-checked — upgraded from the rows-only
+    * check the xxhash64 family allowed. */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
-    api.Dedup.simhash(Tables.documents(spark, dir), "doc_id", "text", n = 3, maxHamming = 7)
+    api.Dedup.simhash(Tables.documents(spark, dir), "doc_id", "text", n = 3, maxHamming = 3)
 }
