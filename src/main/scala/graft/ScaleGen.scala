@@ -27,11 +27,21 @@ import org.apache.spark.sql.functions._
   *     (the IVF/LSH structure); row i ≡ 0 (mod 40) is row (i-20)'s
   *     vector plus 0.5% jitter (the cosine near-dup pairs).
   *
-  * Usage: runMain graft.ScaleGen <outDir> <mult> [docsMult] [embMult]
+  * Usage: runMain graft.ScaleGen <outDir> <mult> [docsMult] [embMult] [skew]
   * where mult scales the sf0.1-equivalent base counts (600k lineitem,
   * 150k orders, 100k events, 15k customer, …); docsMult/embMult default
   * to mult but are separately amplifiable (the rehearsal runs docs at
   * 200× = 1M and embeddings at 50× = 100k per the round-4 verdict).
+  *
+  * The literal 5th arg `skew` (round-7 rehearsal) plants ONE hot key in
+  * each fact table's join column — ~20% of orders land on custkey 0 and
+  * ~20% of events on user_id 0 — leaving every other content statistic
+  * identical, so a skewed-vs-uniform ratio at the same mult isolates
+  * what the hot key costs, and a skewed x1 → x10 ratio shows whether
+  * AQE/salting keeps the skewed plans linear. This is the planted-skew
+  * twin of the uniform rehearsal: uniform scaling never fires AQE's
+  * skew handling, so without it the skew-join machinery is only ever
+  * exercised at sf0.1 fixture scale.
   */
 object ScaleGen {
 
@@ -70,11 +80,13 @@ object ScaleGen {
     round(lit(lo) + hmod(seed, ((hi - lo) * 100).toLong + 1, id) / 100.0, 2)
 
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: ScaleGen <outDir> <mult> [docsMult] [embMult]")
+    require(args.length >= 2,
+      "usage: ScaleGen <outDir> <mult> [docsMult] [embMult] [skew]")
     val outDir = args(0)
     val mult = args(1).toDouble
     val docsMult = if (args.length > 2) args(2).toDouble else mult
     val embMult = if (args.length > 3) args(3).toDouble else mult
+    val skew = args.length > 4 && args(4) == "skew"
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -82,12 +94,12 @@ object ScaleGen {
       .config("spark.ui.enabled", "false")
       .appName("graft-scalegen").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    write(spark, outDir, mult, docsMult, embMult)
+    write(spark, outDir, mult, docsMult, embMult, skew)
     spark.stop()
   }
 
   def write(spark: SparkSession, outDir: String, mult: Double,
-      docsMult: Double, embMult: Double): Unit = {
+      docsMult: Double, embMult: Double, skew: Boolean = false): Unit = {
     def n(base: Long, m: Double): Long = math.max(1L, (base * m).toLong)
     val nLi = n(BaseLineitem, mult); val nOrd = n(BaseOrders, mult)
     val nCust = n(BaseCustomer, mult); val nPart = n(BasePart, mult)
@@ -146,9 +158,16 @@ object ScaleGen {
       money("pr", 900.0, 999.9, id).as("p_retailprice")),
       "part", parts(nPart))
 
+    // skew mode: rows whose "sk" hash lands in 1 of 5 buckets (~20%)
+    // redirect their foreign key to key 0 — one hot customer / user
+    // holding a fifth of the fact table, the shape AQE's skew-join
+    // split and the salted-join rewrite exist for
+    def hot(seed: String, normal: Column): Column =
+      if (!skew) normal else when(hmod(seed, 5, id) === 0, lit(0L)).otherwise(normal)
+
     save(spark.range(nOrd).select(
       id.as("o_orderkey"),
-      hmod("oc", nCust, id).as("o_custkey"),
+      hot("sk", hmod("oc", nCust, id)).as("o_custkey"),
       // ~45% O / 45% F / 10% P, like the testdata's 3-valued status
       element_at(array(lit("O"), lit("F"), lit("P")),
         when(hmod("os", 20, id) < 9, 1).when(hmod("os", 20, id) < 18, 2)
@@ -193,7 +212,7 @@ object ScaleGen {
     save(spark.range(nEv).select(
       id.as("event_id"),
       timestamp_micros(evUs).cast("timestamp_ntz").as("ts"),
-      hmod("eu", nUsers, id).as("user_id"),
+      hot("sku", hmod("eu", nUsers, id)).as("user_id"),
       element_at(array(Seq("view", "click", "purchase", "signup",
         "error").map(lit): _*), hmod("ev", 5, id).cast("int") + 1)
         .as("event_type"),
@@ -270,6 +289,7 @@ object ScaleGen {
       "embeddings", math.max(1, (nEmb * 280 / (256L << 20)).toInt))
 
     println(s"SCALEGEN_DONE $outDir lineitem=$nLi orders=$nOrd customer=$nCust " +
-      s"part=$nPart supplier=$nSupp events=$nEv documents=$nDocs embeddings=$nEmb")
+      s"part=$nPart supplier=$nSupp events=$nEv documents=$nDocs embeddings=$nEmb " +
+      s"skew=$skew")
   }
 }

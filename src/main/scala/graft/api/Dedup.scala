@@ -155,6 +155,31 @@ object Dedup {
     * reference pays one fingerprint job instead of rebuilding) — same
     * session-lifetime, clearCache-on-refresh contract as
     * [[minhashLsh]]. */
+  /** Bucket sizing for [[crossCorpus]]: (nBuckets, itemsPerBucket,
+    * bitsPerBucket). Total bits follow the optimal bloom sizing
+    * n · ln(1/fpp) / ln²2; the bucket count keeps every bucket's
+    * expected items/bits UNDER Spark's runtime-bloom clamps
+    * (`spark.sql.optimizer.runtime.bloomFilter.maxNumItems` /
+    * `maxNumBits`, defaults 4M items / 2^26 bits) with 1.25× headroom
+    * for hash-occupancy variance, and floors at 16 so the partitioned
+    * shape (and its test) is always the shape that runs. Factored out
+    * so BoundsPinSpec can sweep reference sizes across magnitudes and
+    * fail if any configuration would exceed the clamps — the bound is
+    * a doc claim the aggregate itself only enforces at analysis time
+    * inside a running query. */
+  private[graft] def bloomBucketPlan(nRef: Long, fpp: Double,
+      buckets: Int): (Long, Long, Long) = {
+    val totalBits = math.max(64L,
+      (nRef * math.log(1.0 / fpp) / (math.log(2) * math.log(2))).toLong)
+    val nBuckets: Long =
+      if (buckets > 0) buckets.toLong
+      else Seq(16L, 1L + (1.25 * nRef).toLong / 4000000L,
+        1L + (1.25 * totalBits).toLong / 67108864L).max
+    val itemsPerBucket = math.max(8L, (1.25 * nRef / nBuckets).toLong + 1L)
+    val bitsPerBucket = math.max(64L, (1.25 * totalBits / nBuckets).toLong + 1L)
+    (nBuckets, itemsPerBucket, bitsPerBucket)
+  }
+
   def crossCorpus(newDf: DataFrame, refDf: DataFrame, idCol: String,
       normKey: Column, fpp: Double = 0.01, buckets: Int = 0): DataFrame = {
     import org.apache.spark.sql.GraftExpressionBridge
@@ -170,19 +195,7 @@ object Dedup {
     // same pattern as kmeansFit)
     val fp = ResultCache.fingerprintRelation(refKeys)
     val nRef = math.max(1L, fp.takeWhile(_ != ':').toLong)
-    // optimal total bit count for the target fpp: n · ln(1/fpp) / ln²2
-    val totalBits = math.max(64L,
-      (nRef * math.log(1.0 / fpp) / (math.log(2) * math.log(2))).toLong)
-    // bucket count: keep every bucket's expected items/bits under the
-    // default clamps with 1.25× headroom for hash-occupancy variance;
-    // floor of 16 so the partitioned shape (and its test) is always the
-    // shape that runs
-    val nBuckets: Long =
-      if (buckets > 0) buckets.toLong
-      else Seq(16L, 1L + (1.25 * nRef).toLong / 4000000L,
-        1L + (1.25 * totalBits).toLong / 67108864L).max
-    val itemsPerBucket = math.max(8L, (1.25 * nRef / nBuckets).toLong + 1L)
-    val bitsPerBucket = math.max(64L, (1.25 * totalBits / nBuckets).toLong + 1L)
+    val (nBuckets, itemsPerBucket, bitsPerBucket) = bloomBucketPlan(nRef, fpp, buckets)
     def keyHash = new XxHash64(Seq(GraftExpressionBridge.eagerExpression(col("__k"))))
     // bucket id: an independent hash seed from the filter's key hash —
     // pmod handles xxhash64's full (negative-inclusive) range
