@@ -1534,9 +1534,16 @@ object Relational {
     * distinct() before it was a second full fact shuffle buying
     * nothing, measured ~0.5 s of the query at sf0.1), and generate
     * operators expand the ordered pairs per row — the expansion is
-    * bounded by per-order basket size k (k ≤ 7 here, k² tiny at any
-    * corpus scale), where the self-join formulation shuffles the fact
-    * table twice. The oracle replays it relationally (DuckDB
+    * bounded by per-order basket size k: C(k,2) output rows per order.
+    * MEASURED on the graded testdata: max k = 11/13/17 at
+    * sf0.001/0.01/0.1 (≈4 lines/order average, but parts are drawn
+    * with replacement so the tail order carries more distinct parts).
+    * The documented envelope is k ≤ 32 — C(32,2) = 496 rows/order,
+    * still trivially bounded vs the self-join formulation, which
+    * shuffles the fact table twice and whose worst order costs the
+    * same k² anyway. BoundsPinSpec pins the k ≤ 32 envelope on the
+    * real data so a testdata regeneration that grows the quadratic
+    * term fails loudly. The oracle replays it relationally (DuckDB
     * self-join) — same semantics, independently derived. */
   def basketPairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
