@@ -40,16 +40,28 @@ object SkewProbe {
   def main(args: Array[String]): Unit = {
     require(args.length == 1, "usage: SkewProbe <skewScaleGenDir>")
     val dir = args(0)
-    val spark = SparkSession.builder().master("local[32]")
+    val builder = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // proportionate-to-the-miniature skew bars (see scaladoc): the
-      // planted hot partition is ~7 MB at x10 vs ~1 MB median
-      .config("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "4MB")
+      // planted hot partition MEASURED 3.8 MB at x10 (orders join-side
+      // shuffle = 18.8 MB total across 32 → the ~20% hot key) vs
+      // ~1.1 MB median — the first probe run used 4 MB and missed the
+      // bar by 0.2 MB, so the threshold sits at 2 MB: above the median
+      // (no false fire on uniform data, which the factor=2 guard also
+      // blocks), well under the hot partition
+      .config("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "2MB")
       .config("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1MB")
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.ui.enabled", "false")
+    // same override hook as Verify: "k=v;k=v" applied after defaults
+    sys.env.get("SPARK_GRAFT_EXTRA_CONFS").foreach(_.split(";")
+      .map(_.trim).filter(_.contains("=")).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        builder.config(k, v)
+      })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
@@ -57,6 +69,14 @@ object SkewProbe {
     val orders = Tables.orders(spark, dir)
     val events = Tables.events(spark, dir)
     val nOrd = orders.count()
+    // scale floor BEFORE anything else: the 4MB/1MB thresholds above
+    // assume the x10 skew dir's ~7MB hot partition — on a smaller dir
+    // the hot partition never crosses the bar and AQE legitimately
+    // doesn't fire, which would read as a probe failure. Fail with a
+    // scale diagnostic instead (ADVICE round-7).
+    require(nOrd >= 1000000L,
+      s"SkewProbe needs the x10-scale skew dir (>=1M orders; got $nOrd at $dir) — " +
+        "generate it with: runMain graft.ScaleGen <dir> 10 200 50 skew")
     val hotCust = orders.filter($"o_custkey" === 0).count()
     val hotUser = events.filter($"user_id" === 0).count().toDouble / events.count()
     val hotFrac = hotCust.toDouble / nOrd
@@ -65,13 +85,13 @@ object SkewProbe {
 
     // reference answer: broadcast join (no skew exposure at all)
     val cust = Tables.customer(spark, dir).select($"c_custkey", $"c_mktsegment")
-    def agg(j: org.apache.spark.sql.DataFrame) =
+    def aggOf(j: org.apache.spark.sql.DataFrame) =
       j.groupBy($"c_mktsegment")
         .agg(count(lit(1)).as("n_orders"),
           sum($"o_totalprice".cast("decimal(18,2)")).cast("string").as("revenue"))
         .orderBy($"c_mktsegment")
-        .collect().map(_.toSeq).toSeq
-    val reference = agg(orders.join(broadcast(cust), $"o_custkey" === $"c_custkey"))
+    val reference = aggOf(orders.join(broadcast(cust), $"o_custkey" === $"c_custkey"))
+      .collect().map(_.toSeq).toSeq
 
     // 1. unsalted sort-merge join under AQE: broadcast disabled so the
     // exchange actually carries the hot key
@@ -79,10 +99,41 @@ object SkewProbe {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
     val (aqeAnswer, skewedParts, skewedSplits) = try {
-      val j = orders.join(cust, $"o_custkey" === $"c_custkey")
-      val answer = agg(j)
-      val reads = collectExec(j.queryExecution.executedPlan)
-        .filter(_.nodeName.contains("AQEShuffleRead"))
+      // metrics must come from the EXECUTED QueryExecution: materialize
+      // the aggregated Dataset once and walk ITS executedPlan — the
+      // join sub-Dataset's own QueryExecution is never executed, its
+      // AdaptiveSparkPlanExec stays at the initial plan with no query
+      // stages, and every skew metric would read 0 (ADVICE round-7).
+      //
+      // repartition(32) first: AQE can only split a skewed reduce
+      // partition along MAP-output boundaries, and the x10 orders table
+      // is one ~25 MB parquet file = one row group = ONE map task — the
+      // hot partition is then one indivisible map range and the rule
+      // detects but cannot act (measured: numSkewedPartitions stayed 0;
+      // a 2 MB maxPartitionBytes didn't help because parquet assigns a
+      // row group to the single split containing its midpoint). A real
+      // cluster's fact scan has thousands of map tasks feeding every
+      // reduce partition; the round-robin repartition recreates that
+      // map-side shape in miniature, which is the scale-invariant
+      // property the probe exists to exercise
+      val aggDf = aggOf(orders.repartition(32)
+        .join(cust, $"o_custkey" === $"c_custkey"))
+      val answer = aggDf.collect().map(_.toSeq).toSeq
+      val execed = collectExec(aggDf.queryExecution.executedPlan)
+      val reads = execed.filter(_.nodeName.contains("AQEShuffleRead"))
+      if (sys.env.contains("SKEWPROBE_DEBUG")) {
+        System.err.println(aggDf.queryExecution.executedPlan.toString)
+        reads.foreach(r => System.err.println(
+          s"READ ${r.simpleStringWithNodeId()} metrics=${r.metrics.map { case (k, m) => s"$k=${m.value}" }}"))
+        execed.collect {
+          case s: org.apache.spark.sql.execution.adaptive.ShuffleQueryStageExec =>
+            s.mapStats.foreach { ms =>
+              val sizes = ms.bytesByPartitionId.sorted.reverse
+              System.err.println(s"STAGE ${s.id} top5=${sizes.take(5).mkString(",")} " +
+                s"median=${sizes(sizes.length / 2)} n=${sizes.length}")
+            }
+        }
+      }
       (answer,
         reads.flatMap(_.metrics.get("numSkewedPartitions")).map(_.value).sum,
         reads.flatMap(_.metrics.get("numSkewedSplits")).map(_.value).sum)
