@@ -201,4 +201,74 @@ class ConcurrencySpec extends SparkSpec {
       rm(new java.io.File(tmp))
     }
   }
+
+  test("two concurrent newSession()s: dedup memo + bucketed tables, no cross-session contamination") {
+    // clusterPairsRounds' documented concurrency contract is
+    // "concurrent callers get their own spark.newSession()" (it toggles
+    // the session-global AQE conf around its loop window). This test
+    // IS that contract: two sessions, each hammering the memoized
+    // dedup loop and the shared bucketed-table join at the same time,
+    // with divergent session confs so any cross-session bleed — a conf
+    // observed from the wrong session, a memoized handle served across
+    // sessions, a torn catalog write — changes an assertion below.
+    val s1 = spark.newSession()
+    val s2 = spark.newSession()
+    assert(graft.api.ResultCache.sessionId(s1) != graft.api.ResultCache.sessionId(s2),
+      "newSession()s must have distinct memo identities")
+    s1.conf.set("spark.sql.shuffle.partitions", "3")
+    s2.conf.set("spark.sql.shuffle.partitions", "11")
+    val parentShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+
+    // identical parquet content read from BOTH sessions: the
+    // clusterPairs memo keys then differ ONLY by session id, so a
+    // session-identity collision would cross-serve handles right here
+    val tmp = java.nio.file.Files.createTempDirectory("graft_xsession").toString
+    try {
+      import spark.implicits._
+      Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 21L), (21L, 22L))
+        .toDF("a_id", "b_id").write.mode("overwrite").parquet(tmp)
+      val expectLabels = Map(
+        1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+        10L -> 10L, 11L -> 10L,
+        20L -> 20L, 21L -> 20L, 22L -> 20L)
+      val expectJoin = graft.ops.Relational.joinBucketed(spark, dir).collect().toSeq
+
+      def hammer(s: org.apache.spark.sql.SparkSession): Unit = {
+        (1 to 3).foreach { i =>
+          val labels = graft.api.Dedup.clusterPairs(s.read.parquet(tmp), "a_id", "b_id")
+            .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+          assert(labels == expectLabels, s"iter $i: wrong components: $labels")
+          val rows = graft.ops.Relational.joinBucketed(s, dir).collect().toSeq
+          assert(rows == expectJoin, s"iter $i: bucketed join disagrees with the parent session's")
+        }
+      }
+      val pool = Executors.newFixedThreadPool(2)
+      val gate = new CountDownLatch(1)
+      try {
+        val futs = Seq(s1, s2).map { s =>
+          pool.submit(new java.util.concurrent.Callable[Unit] {
+            override def call(): Unit = { gate.await(); hammer(s) }
+          })
+        }
+        gate.countDown()
+        futs.foreach(_.get(300, TimeUnit.SECONDS))
+      } finally { pool.shutdownNow(); () }
+
+      // no conf bleed: each session keeps its own setting, the parent
+      // is untouched, and clusterPairs restored the AQE toggle in BOTH
+      // sessions despite the concurrent loop windows
+      assert(s1.conf.get("spark.sql.shuffle.partitions") == "3")
+      assert(s2.conf.get("spark.sql.shuffle.partitions") == "11")
+      assert(spark.conf.get("spark.sql.shuffle.partitions") == parentShuffle)
+      assert(s1.conf.get("spark.sql.adaptive.enabled") == "true",
+        "s1's AQE toggle was not restored after the loop window")
+      assert(s2.conf.get("spark.sql.adaptive.enabled") == "true",
+        "s2's AQE toggle was not restored after the loop window")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(tmp))
+    }
+  }
 }
