@@ -244,13 +244,18 @@ object Bench {
     // "summary" stays the LAST key so it survives any truncation depth
     val summary = s"""{"total_s":$total,"cold_total_s":$coldTotal,"n_queries":${results.size},"baseline73_s":$b73Total,"cal_before_s":$calBefore,"cal_after_s":$calAfter,"n_failed":${failed.size}}"""
     val line = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"baseline73":{"n":${b73.size},"total_s":$b73Total},"queries":$qs,"jobs":$js,"cold":$colds,"warm_top":$warmTop,"cold_top":$coldTop,"failed":$failedJson,"retried":$retriedJson,"calibration":{"before_s":$calBefore,"after_s":$calAfter},"sf":"$sfDir","summary":$summary}"""
+    // bench_full_latest.json is the FULL-SUITE record README/BASELINE
+    // comparisons cite; a SPARK_GRAFT_QUERIES subset run (the scale
+    // rehearsal) must not clobber it — it gets its own file
+    val outName =
+      if (subset.isEmpty) "bench_full_latest.json" else "bench_subset_latest.json"
     try {
-      java.nio.file.Files.write(java.nio.file.Paths.get("bench_full_latest.json"),
+      java.nio.file.Files.write(java.nio.file.Paths.get(outName),
         (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { // bench output must not die on an unwritable cwd — but
       // fatal errors (OOME, interrupt) must still propagate
       case scala.util.control.NonFatal(e) =>
-        System.err.println(s"[bench] could not write bench_full_latest.json: $e")
+        System.err.println(s"[bench] could not write $outName: $e")
     }
     println(line)
     spark.stop()
