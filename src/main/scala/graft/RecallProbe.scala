@@ -107,10 +107,9 @@ object RecallProbe {
     // scaled-vocabulary corpus at every x.
     val sigs = api.Dedup.simhashSignatures(docs, "doc_id", "text", n = 3)
     val pairHamming = planted.select("a_id", "b_id")
-      .join(sigs.select(col("doc_id").as("a_id"), col("bits").as("bits_a")), "a_id")
-      .join(sigs.select(col("doc_id").as("b_id"), col("bits").as("bits_b")), "b_id")
-      .withColumn("hamming", expr(
-        "aggregate(zip_with(bits_a, bits_b, (x, y) -> CASE WHEN x = y THEN 0 ELSE 1 END), 0, (acc, v) -> acc + v)"))
+      .join(sigs.select(col("doc_id").as("a_id"), col("sig").as("sig_a")), "a_id")
+      .join(sigs.select(col("doc_id").as("b_id"), col("sig").as("sig_b")), "b_id")
+      .withColumn("hamming", expr("bit_count(sig_a ^ sig_b)"))
       .select("a_id", "b_id", "hamming")
     val shFound = api.Dedup.simhash(docs, "doc_id", "text", n = 3, maxHamming = 3)
       .select(col("a_id"), col("b_id"), lit(true).as("sh_emitted"))

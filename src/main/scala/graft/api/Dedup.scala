@@ -687,12 +687,13 @@ object Dedup {
       ((Similarity.splitmix64(j.toLong) & 0x3FFFFFFFL) | 1L,
         (Similarity.splitmix64(j + 4096L) & 0x3FFFFFFFL) | 1L))
 
-  /** 64-bit majority-vote SimHash signatures: (doc_id, bits) with bits
-    * an array of 64 0/1 ints. Shared by [[simhash]] (banding path) and
+  /** 64-bit majority-vote SimHash signatures: (doc_id, sig) with sig
+    * the signature PACKED into one long (bit j = majority vote of
+    * plane j). Shared by [[simhash]] (banding path) and
     * graft.RecallProbe (ground-truth pairwise hamming over planted
     * pairs — same deterministic signatures, independent of banding).
-    * Cached: feeds chunking + both hamming joins; see [[minhashLsh]]'s
-    * caching note. */
+    * Cached: feeds chunking and the banding self-join; see
+    * [[minhashLsh]]'s caching note. */
   private[graft] def simhashSignatures(df: DataFrame, idCol: String,
       textCol: String, n: Int): DataFrame = {
     val hex = md5(col("sh").cast("binary"))
@@ -707,9 +708,16 @@ object Dedup {
     }
     docTok.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n"), bitSums: _*)
-      .withColumn("bits", array((0 until 64).map(j =>
-        when(col(s"b$j") * 2 > col("n"), 1).otherwise(0)): _*))
-      .select(col("doc_id"), col("bits"))
+      // majority vote PACKED into one long (bit j = plane j) instead of
+      // a 64-int array: downstream hamming becomes a codegen'd
+      // bit_count(a ^ b) on 16-byte rows, vs the interpreted
+      // zip_with/aggregate lambda over 64-element arrays the array
+      // representation forced (HOF lambdas never enter whole-stage
+      // codegen — the q_text_tfidf lesson, round 7)
+      .withColumn("sig", (0 until 64).map(j =>
+        when(col(s"b$j") * 2 > col("n"), shiftleft(lit(1L), j)).otherwise(lit(0L)))
+        .reduce(_.bitwiseOR(_)))
+      .select(col("doc_id"), col("sig"))
       .cache()
   }
 
@@ -758,35 +766,47 @@ object Dedup {
     val sigs = simhashSignatures(df, idCol, textCol, n)
     val chunksDf = capBuckets(simhashChunkBuckets(sigs, maxHamming),
       "chunk_idx", "chunk_key", maxChunkOccupancy)
-    val cand = chunksDf.as("a")
+    // the chunk relation CARRIES the packed signature through the
+    // banding self-join, so hamming is evaluated inline on the
+    // candidate stream — no join-back of the signature relation (the
+    // old bits-array plan paid two candidate⋈sigs shuffles plus an
+    // interpreted zip_with/aggregate per pair), and the hamming filter
+    // runs BEFORE the pair-dedup distinct, so the distinct exchange
+    // sees only matching pairs instead of every banding candidate
+    // (duplicates arise per shared chunk; hamming is a function of the
+    // pair, so duplicates pass or fail together — filter-then-distinct
+    // is exact)
+    chunksDf.as("a")
       .join(chunksDf.as("b"),
         col("a.chunk_idx") === col("b.chunk_idx") && col("a.chunk_key") === col("b.chunk_key") &&
         col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-      .distinct()
-    cand
-      .join(sigs.select(col("doc_id").as("a_id"), col("bits").as("bits_a")), "a_id")
-      .join(sigs.select(col("doc_id").as("b_id"), col("bits").as("bits_b")), "b_id")
-      .withColumn("hamming", expr(
-        "aggregate(zip_with(bits_a, bits_b, (x, y) -> CASE WHEN x = y THEN 0 ELSE 1 END), 0, (acc, v) -> acc + v)"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        expr("bit_count(a.sig ^ b.sig)").as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .select(col("a_id"), col("b_id"), col("hamming"))
+      .distinct()
       .orderBy(col("a_id"), col("b_id"))
       // final pair relation cached — same steady-state rationale as
       // [[jaccardPairs]]
       .cache()
   }
 
-  /** The UNCAPPED chunk-bucket relation (doc_id, chunk_idx, chunk_key)
-    * [[simhash]] feeds to [[capBuckets]] — exposed for the
-    * occupancy-margin pin (ChunkOccupancySpec). */
+  /** The UNCAPPED chunk-bucket relation (doc_id, sig, chunk_idx,
+    * chunk_key) [[simhash]] feeds to [[capBuckets]] — exposed for the
+    * occupancy-margin pin (ChunkOccupancySpec). Chunk c's key is the
+    * chunkBits-wide field at bit position c·chunkBits of the packed
+    * signature — the SAME plane partition as the old bits-array slice
+    * derivation (chunk c ⊇ planes c·chunkBits … c·chunkBits+chunkBits−1),
+    * so bucket contents are identical under a per-chunk bijective key
+    * remap and the uncapped DuckDB banding replay still groups the
+    * same document sets. */
   private[graft] def simhashChunkBuckets(sigs: DataFrame, maxHamming: Int): DataFrame = {
     val chunks = maxHamming + 1
     require(64 % chunks == 0, s"chunks=$chunks must divide 64")
     val chunkBits = 64 / chunks
-    sigs.select(col("doc_id"), posexplode(expr(
-      s"transform(sequence(0, ${chunks - 1}), c -> " +
-        s"aggregate(slice(bits, c * $chunkBits + 1, $chunkBits), 0L, (acc, x) -> acc * 2 + x))")))
-      .toDF("doc_id", "chunk_idx", "chunk_key")
+    val mask = (1L << chunkBits) - 1
+    sigs.select(col("doc_id"), col("sig"), posexplode(array(
+        (0 until chunks).map(c =>
+          shiftrightunsigned(col("sig"), c * chunkBits).bitwiseAND(lit(mask))): _*)))
+      .toDF("doc_id", "sig", "chunk_idx", "chunk_key")
   }
 }
