@@ -201,6 +201,16 @@ object Oracle {
         |FROM orders WHERE o_orderpriority = '1-URGENT'
         |ORDER BY o_orderkey""".stripMargin,
 
+    // the Spark side lands this aggregate in an embedded-Derby JDBC
+    // table and reads it back through the 4-range partitioned JDBC
+    // scan; the oracle computes the aggregate directly, so a match
+    // proves the store roundtrip (type mapping, decimal scale,
+    // varchar) was value-exact
+    "q_sink_jdbc" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // the Spark side reads a once-per-JVM JSONL copy of part; the
     // oracle reads the parquet ORIGINAL — same format-independence
     // contract as q_scan_csv, over the splittable JSON layout
