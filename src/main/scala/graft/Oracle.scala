@@ -211,6 +211,17 @@ object Oracle {
         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // the Spark side PRODUCES orders-derived records into a fresh
+    // 4-partition graft-log (key-hash routing), batch-reads them back
+    // through the DSv2 log scan, and re-aggregates; the oracle
+    // computes the aggregate from the original table, so loss,
+    // duplication or corruption anywhere in the produce→scan path
+    // fails the hash compare
+    "q_source_log" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // the Spark side reads a once-per-JVM JSONL copy of part; the
     // oracle reads the parquet ORIGINAL — same format-independence
     // contract as q_scan_csv, over the splittable JSON layout

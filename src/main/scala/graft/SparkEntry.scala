@@ -30,6 +30,7 @@ object SparkEntry {
     "q_source_dsv2" -> graft.sources.DocsSource.dsv2Query _,
     "q_source_dsv2_agg" -> graft.sources.DocsSource.dsv2AggQuery _,
     "q_sink_jdbc" -> graft.sources.Jdbc.sinkRoundtrip _,
+    "q_source_log" -> graft.sources.LogStream.sourceLogQuery _,
     // §2.2 projection / filter
     "q_project_expr" -> Relational.projectExpr _,
     "q_filter_pred" -> Relational.filterPred _,
