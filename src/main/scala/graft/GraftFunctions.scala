@@ -17,14 +17,20 @@ import org.apache.spark.sql.{GraftExpressionBridge => B}
   *    `--conf spark.sql.extensions=graft.GraftExtensions`.
   */
 object GraftFunctions {
-  val names: Seq[String] = Seq("double_array_dot")
+  val names: Seq[String] = Seq("double_array_dot", "hamming_distance")
 
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     B.registerFunction(spark, "double_array_dot",
       args => {
         require(args.length == 2, "double_array_dot(a, b) takes exactly 2 arguments")
         DoubleArrayDot(args(0), args(1))
       })
+    B.registerFunction(spark, "hamming_distance",
+      args => {
+        require(args.length == 2, "hamming_distance(a, b) takes exactly 2 arguments")
+        graft.plans.HammingDistance(args(0), args(1))
+      })
+  }
 }
 
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
@@ -34,6 +40,12 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         require(args.length == 2, "double_array_dot(a, b) takes exactly 2 arguments")
         DoubleArrayDot(args(0), args(1))
       })
+    B.injectFunction(ext, "hamming_distance",
+      args => {
+        require(args.length == 2, "hamming_distance(a, b) takes exactly 2 arguments")
+        graft.plans.HammingDistance(args(0), args(1))
+      },
+      className = "graft.plans.HammingDistance")
     // naive abs(a-b) <= w joins become banded equi joins automatically
     ext.injectOptimizerRule(_ => graft.plans.BandJoinRewrite)
   }

@@ -364,6 +364,21 @@ object Oracle {
         |GROUP BY a.user_id
         |ORDER BY a.user_id""".stripMargin,
 
+    // independent brute force (NOT a replay of the segment blocking):
+    // the gate re-proves hammingJoin's pigeonhole completeness on every
+    // run. CASE guards the length so DuckDB's hamming (which errors on
+    // unequal lengths, where Spark's returns null) never sees one.
+    "q_join_fuzzy" ->
+      """WITH c AS (SELECT c_custkey, c_name FROM customer)
+        |SELECT a.c_custkey AS a_id, b.c_custkey AS b_id,
+        |       CAST(hamming(a.c_name, b.c_name) AS INTEGER) AS hamming
+        |FROM c a JOIN c b
+        |  ON a.c_custkey < b.c_custkey
+        | AND length(a.c_name) = length(b.c_name)
+        |WHERE CASE WHEN length(a.c_name) = length(b.c_name)
+        |           THEN hamming(a.c_name, b.c_name) <= 1 ELSE FALSE END
+        |ORDER BY a_id, b_id""".stripMargin,
+
     // §2.4 aggregations ------------------------------------------------------
     "q_agg_groupby" ->
       """SELECT l_returnflag, l_linestatus,

@@ -47,6 +47,7 @@ object SparkEntry {
     "q_join_asof" -> Relational.joinAsof _,
     "q_join_self" -> Relational.joinSelf _,
     "q_join_interval" -> Relational.joinInterval _,
+    "q_join_fuzzy" -> Relational.joinFuzzy _,
     // §2.4 aggregations
     "q_agg_groupby" -> Relational.aggGroupBy _,
     "q_agg_distinct" -> Relational.aggDistinct _,

@@ -510,6 +510,23 @@ object Relational {
       .orderBy($"user_id")
   }
 
+  /** Fuzzy-key self-join (entity resolution): customer-name pairs within
+    * Hamming distance 1 — a typo'd digit in an id-suffixed name. Exact
+    * via graft.api.Fuzzy.hammingJoin's pigeonhole segment blocking
+    * (d+1 disjoint tail segments; complete for equal-length keys, no
+    * recall caveat), candidates verified by the codegen'd
+    * HammingDistance expression. The DuckDB oracle brute-forces the
+    * all-pairs join independently, so the gate re-proves the blocking's
+    * completeness on every run instead of replaying the blocks. */
+  def joinFuzzy(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.api.Fuzzy.hammingJoin(
+        Tables.customer(spark, dir), idCol = "c_custkey", strCol = "c_name",
+        maxDist = 1, segLen = 2)
+      .select($"a_id", $"b_id", $"hamming")
+      .orderBy($"a_id", $"b_id")
+  }
+
   // ===========================================================================
   // §2.4 aggregations
   // ===========================================================================

@@ -54,12 +54,13 @@ object GraftExpressionBridge {
   def injectFunction(
       ext: SparkSessionExtensions,
       name: String,
-      builder: Seq[Expression] => Expression): Unit = {
+      builder: Seq[Expression] => Expression,
+      className: String = "graft.plans.DoubleArrayDot"): Unit = {
     import org.apache.spark.sql.catalyst.FunctionIdentifier
     import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
     ext.injectFunction((
       FunctionIdentifier(name),
-      new ExpressionInfo("graft.plans.DoubleArrayDot", name),
+      new ExpressionInfo(className, name),
       builder))
   }
 }
