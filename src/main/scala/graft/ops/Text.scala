@@ -561,9 +561,10 @@ object Text {
     * "duplicated" = df ≥ 2.
     *
     * Plan rationale (round-8, with the failed alternatives measured):
-    * the span stream is the expensive thing — ~43 spans/doc × ~78-byte
-    * span strings — so the plan shuffles it exactly ONCE (the df
-    * aggregate). The DUPLICATED span set is tiny by comparison (~1.3%
+    * the span stream is the expensive thing — ~43 spans/doc, digested
+    * to 128 bits at the map side so the one exchange carries 16-byte
+    * keys instead of ~78-byte span strings — and the plan shuffles it
+    * exactly ONCE (the df aggregate). The DUPLICATED span set is tiny by comparison (~1.3%
     * of spans on this corpus: the planted near/exact-dup density), so
     * n_dup comes from a broadcast LEFT SEMI join of the cached span
     * stream against the df ≥ 2 keys — no second corpus-sized exchange,
@@ -588,13 +589,23 @@ object Text {
     // per run. Final relation cached too (per-doc sized, evictable):
     // repeat calls plan-match and serve wholesale — the same session
     // caching contract as minhashLsh.
+    // spans carry a 128-bit digest (two independently-seeded codegen'd
+    // xxhash64 passes — the q_dedup_exact round-8 pattern), NOT the
+    // ~50-byte span string: the df groupBy's keys are near-unique, so
+    // its exchange is corpus-sized no matter what, but 16-byte keys
+    // make it (and the dup-span broadcast, and this cache) ~3× narrower
+    // than span text. Exact up to a 128-bit collision (~1e-24 at 1e8
+    // distinct spans); the DuckDB oracle keeps grouping by the span
+    // STRING, so the gate also re-proves collision-freedom on the
+    // graded corpus every run.
     val spans = api.Dedup.shingles(
         graft.api.Dedup.spread(Tables.documents(spark, dir)), "doc_id", "text", n = 8)
       .select($"doc_id", explode($"shingles").as("sh"))
+      .select($"doc_id", xxhash64($"sh").as("h1"), xxhash64(lit(7), $"sh").as("h2"))
       .cache()
-    val dupSpans = spans.groupBy($"sh").agg(count(lit(1)).as("df"))
-      .filter($"df" >= 2).select($"sh")
-    val nDup = spans.join(broadcast(dupSpans), Seq("sh"), "left_semi")
+    val dupSpans = spans.groupBy($"h1", $"h2").agg(count(lit(1)).as("df"))
+      .filter($"df" >= 2).select($"h1", $"h2")
+    val nDup = spans.join(broadcast(dupSpans), Seq("h1", "h2"), "left_semi")
       .groupBy($"doc_id").agg(count(lit(1)).as("n_dup"))
     spans.groupBy($"doc_id").agg(count(lit(1)).as("n_spans"))
       .join(nDup, Seq("doc_id"), "left")
