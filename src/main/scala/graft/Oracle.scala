@@ -56,6 +56,52 @@ object Oracle {
        |  FROM b JOIN c ON b.base = c.base)""".stripMargin
   }
 
+  /** Multi-level sign-LSH bucket CTE mirroring signLshBuckets'
+    * levels > 1 path (Similarity.signLshBucketsDeep) bit-for-bit. Kept
+    * LINEAR deliberately: each count CTE references only the base
+    * relation b (a level's prefix-group population among rows that
+    * reached it equals its population among ALL rows — reaching depends
+    * only on the shared prefix), so the final key is one CASE cascade
+    * over independent per-level counts and the SQL never nests CTEs
+    * recursively (a chained formulation inlines the scan 2^levels
+    * times). Closed-form key: key_j = off_j + p0·2^(j·extraBits)
+    * + Σ e_i·2^((j−i)·extraBits), same constants as the Spark side. */
+  private def signBucketCteDeep(nBits: Int, extraBits: Int,
+      maxOccupancy: Int, levels: Int): String = {
+    def bits(start: Int, n: Int): String =
+      (0 until n).map(j =>
+        s"CASE WHEN embedding[${start + j}] > 0 THEN ${1L << (n - 1 - j)} ELSE 0 END")
+        .mkString(" + ")
+    val offAt = (0 to levels).scanLeft(0L) { case (o, j) =>
+      o + (1L << nBits) * (1L << (extraBits * j)) }
+    def prefixCols(j: Int): Seq[String] = "p0" +: (1 to j).map(i => s"e$i")
+    def keyAt(j: Int): String =
+      (s"${offAt(j)} + p0 * ${1L << (extraBits * j)}" +:
+        (1 to j).map(i => s"e$i * ${1L << (extraBits * (j - i))}")).mkString(" + ")
+    val eCols = (1 to levels).map(l =>
+      s"CAST(${bits(nBits + (l - 1) * extraBits + 1, extraBits)} AS BIGINT) AS e$l")
+    val countCtes = (0 until levels).map { j =>
+      val p = prefixCols(j).mkString(", ")
+      s"c$j AS (SELECT $p, count(*) AS cnt$j FROM b GROUP BY $p)"
+    }
+    val joins = (0 until levels).map(j =>
+      s"JOIN c$j USING (${prefixCols(j).mkString(", ")})").mkString("\n       |  ")
+    val cascade = ((0 until levels).map(j =>
+      s"WHEN cnt$j <= $maxOccupancy THEN ${keyAt(j)}") :+
+      s"ELSE ${keyAt(levels)}").mkString("\n       |                   ")
+    s"""b AS (
+       |  SELECT vec_id, embedding,
+       |         CAST(${bits(1, nBits)} AS BIGINT) AS p0,
+       |         ${eCols.mkString(",\n       |         ")}
+       |  FROM embeddings),
+       |${countCtes.mkString(",\n       |")},
+       |k AS (
+       |  SELECT b.vec_id, b.embedding,
+       |         CAST(CASE $cascade END AS BIGINT) AS bucket
+       |  FROM b
+       |  $joins)""".stripMargin
+  }
+
   /** Full simhash replay (mirrors graft.api.Dedup.simhash for n=3):
     * 3-gram shingles → per-shingle MD5, two 8-hex-char windows parsed
     * to 32-bit ints → 64 multiply-shift bit votes (plane constants
@@ -1517,7 +1563,7 @@ object Oracle {
     // blocked by the sign-LSH sketch bucket (mirrors signLshBuckets) —
     // same-bucket candidates, exact cosine, hash-checked output
     "q_sim_pairs" ->
-      s"""WITH ${signBucketCte(6, 4, 32)}
+      s"""WITH ${signBucketCteDeep(6, 4, 32, 14)}
         |SELECT a_id, b_id, bucket, cos_sim FROM (
         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.bucket AS bucket,
         |         round(list_cosine_similarity(
@@ -1527,7 +1573,7 @@ object Oracle {
         |ORDER BY a_id, b_id""".stripMargin,
 
     "q_dedup_embed" ->
-      s"""WITH ${signBucketCte(6, 4, 32)},
+      s"""WITH ${signBucketCteDeep(6, 4, 32, 14)},
         |pairs AS (
         |  SELECT a.vec_id AS vec_id, b.vec_id AS nbr
         |  FROM k a JOIN k b
@@ -1547,7 +1593,7 @@ object Oracle {
     // transitively (recursive reachability) and collapsed to min-id
     // components — the embedding twin of q_dedup_cluster's oracle
     "q_dedup_semantic" ->
-      s"""WITH RECURSIVE ${signBucketCte(6, 4, 32)},
+      s"""WITH RECURSIVE ${signBucketCteDeep(6, 4, 32, 14)},
         |p AS (
         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id
         |  FROM k a JOIN k b ON a.bucket = b.bucket AND a.vec_id < b.vec_id

@@ -584,22 +584,37 @@ object Dedup {
     val aqePrev = spark.conf.get("spark.sql.adaptive.enabled", "true")
     try {
       spark.conf.set("spark.sql.adaptive.enabled", "false")
-      // ONE job: materializes fwd's cache (the loop needs it anyway)
-      // while folding the content fingerprint for the memo lookup. The
-      // session's identity is part of the key: a memoized handle is
-      // bound to the session that built it, and must not be served to a
-      // different (e.g. restarted) session even for identical input —
-      // keyed on the session UUID, not identityHashCode (identity hash
-      // codes are reused after GC, so a restarted session could collide
-      // with a dead one and be served a handle built on a dead plan).
+      // LINEAGE TRUNCATION first (round-8, measured): every downstream
+      // plan — the fingerprint, and every loop round — would otherwise
+      // embed the caller's whole pair-generation tree, and for a wide
+      // plan the DRIVER-side analysis/optimization of that tree per
+      // reference dwarfs the executed jobs (q_dedup_semantic's 14-level
+      // sketch plan spent ~33 s of a 37 s cluster call in planning;
+      // jobs totaled 4.6 s). localCheckpoint materializes the cached
+      // edge list into a LogicalRDD leaf in ONE pass (it reads fwd's
+      // cache entry, which stays live so a REPEAT call's fwd.cache()
+      // still plan-matches and re-materializes cheaply), after which
+      // the fingerprint job and the rounds plan over a leaf-sized tree.
+      // Trade: a localCheckpoint does not survive executor loss (the
+      // query fails rather than recomputes) — the standard iterative-
+      // loop trade; the next call simply recomputes fresh.
+      val fwdT = fwd.localCheckpoint()
+      // ONE cheap job folds the content fingerprint for the memo
+      // lookup. The session's identity is part of the key: a memoized
+      // handle is bound to the session that built it, and must not be
+      // served to a different (e.g. restarted) session even for
+      // identical input — keyed on the session UUID, not
+      // identityHashCode (identity hash codes are reused after GC, so a
+      // restarted session could collide with a dead one and be served a
+      // handle built on a dead plan).
       val key = s"clusterPairs:${ResultCache.sessionId(spark)}:$maxIters:" +
-        ResultCache.fingerprintPairs(fwd, "src", "dst")
+        ResultCache.fingerprintPairs(fwdT, "src", "dst")
       // the memo stores the HANDLE the final round's cache was
       // registered under (validity must probe that exact plan — a
       // projection of it reports StorageLevel.NONE), so the public
       // column shape is derived after retrieval
       val (gen, rounds) = ResultCache.getOrCompute[(DataFrame, Int)](key,
-        { case (g, _) => ResultCache.isCached(g) })(propagateLabels(fwd, maxIters))
+        { case (g, _) => ResultCache.isCached(g) })(propagateLabels(fwdT, maxIters))
       (gen.select(col("id").as("doc_id"), col("comp").as("canonical_doc"))
         .orderBy(col("doc_id")), rounds)
     } finally {

@@ -69,15 +69,103 @@ object Similarity {
     * outputs are exact over the candidate set, and the oracle mirrors
     * the bucket definition, so correctness checks stay exact. */
   def signLshBuckets(df: DataFrame, idCol: String, vecCol: String,
-      nBits: Int = 6, extraBits: Int = 4, maxOccupancy: Int = 32): DataFrame = {
-    val (based, counts) = signBased(df, vecCol, nBits, extraBits, maxOccupancy)
-    based
-      .join(broadcast(counts), "__base")
-      .withColumn("bucket",
-        when(col("__cnt") > maxOccupancy,
-          lit(1L << nBits) + col("__base") * (1L << extraBits) + col("__extra"))
-          .otherwise(col("__base")))
-      .drop("__base", "__extra", "__cnt")
+      nBits: Int = 6, extraBits: Int = 4, maxOccupancy: Int = 32,
+      levels: Int = 1): DataFrame = {
+    require(levels >= 1 && nBits + levels * extraBits <= 62,
+      s"levels=$levels: key coords/bits exceed a 63-bit bucket id")
+    if (levels == 1) {
+      val (based, counts) = signBased(df, vecCol, nBits, extraBits, maxOccupancy)
+      based
+        .join(broadcast(counts), "__base")
+        .withColumn("bucket",
+          when(col("__cnt") > maxOccupancy,
+            lit(1L << nBits) + col("__base") * (1L << extraBits) + col("__extra"))
+            .otherwise(col("__base")))
+        .drop("__base", "__extra", "__cnt")
+    } else signLshBucketsDeep(df, vecCol, nBits, extraBits, maxOccupancy, levels)
+  }
+
+  /** Multi-level occupancy refinement (levels > 1): keep splitting
+    * over-cap buckets by the next extraBits sign coords until every
+    * bucket fits the cap or the coords run out. Motivation (round-8,
+    * measured on the x10 rehearsal corpus): clustered embeddings share
+    * their high-|coordinate| signs, so ONE refinement level stops
+    * discriminating — 100k vectors left a 3,517-member bucket and ~53M
+    * candidate pairs, a QUADRATIC 100× for 10× rows. Fourteen levels
+    * converge to the cap (max occupancy 32, 784k pairs, linear growth);
+    * the price is standard LSH recall — a near-pair straddling a
+    * refinement coord's sign splits apart (planted-pair recall 92.4% →
+    * 81.9% at x10; multi-probe is the recovery knob).
+    *
+    * KEY ENCODING (shared with the DuckDB oracle, so it is
+    * correctness-critical): level-0 key = the nBits base signs k0;
+    * refining a level-(j−1) key appends the next extraBits signs:
+    * key_j = off_j + (key_{j−1} − off_{j−1})·2^extraBits + e_j, with
+    * off_j the cumulative key-space offset that keeps levels disjoint.
+    * Expanded, key_j = off_j + k0·2^(j·extraBits) + Σᵢ e_i·2^((j−i)·extraBits)
+    * — a closed form over the row's own sign bits, so the final key
+    * needs only per-level over-cap FLAGS, not a recursive join chain.
+    * Level 1 reproduces the single-level encoding bit-for-bit
+    * (off_1 = 2^nBits).
+    *
+    * A row's final level is the FIRST j whose prefix-group population
+    * is ≤ cap (populations are monotone non-increasing in j). The
+    * population of a prefix group among rows that reached level j
+    * equals its population among ALL rows — whether a row reaches j
+    * depends only on its own prefix ancestors, which every member of
+    * the group shares — so each level's over-cap set is one independent
+    * aggregate of the base relation, not a sequential dependency.
+    *
+    * Plan shape: one cached pass computing all sign bits, then `levels`
+    * tiny over-cap aggregates (each ≤ rows/cap keys — the capBuckets
+    * bad-list bound) joined back as flags, then the closed-form CASE.
+    * No corpus-sized shuffle anywhere; the aggregates' exchanges carry
+    * per-task prefix counts. */
+  private def signLshBucketsDeep(df: DataFrame, vecCol: String, nBits: Int,
+      extraBits: Int, maxOccupancy: Int, levels: Int): DataFrame = {
+    def signBits(startCoord: Int, bits: Int): Column =
+      (0 until bits).map { j =>
+        when(try_element_at(col(vecCol), lit(startCoord + j)).cast("double") > 0.0,
+          lit(1L << (bits - 1 - j))).otherwise(lit(0L))
+      }.reduce(_ + _)
+    val based = (1 to levels).foldLeft(
+        df.withColumn("__k0", signBits(1, nBits))) { (d, l) =>
+        d.withColumn(s"__e$l", signBits(nBits + (l - 1) * extraBits + 1, extraBits))
+      }
+      // cached: levels+1 aggregates and the final projection all read it;
+      // un-cached each would rescan the source (session-lifetime entry,
+      // same contract as sketchEmb which caches the final relation anyway)
+      .cache()
+    var off = 0L
+    val offAt = (0 to levels).map { j =>
+      val cur = off
+      off += (1L << nBits) * (1L << (extraBits * (j))) // off_{j+1} increment: 2^nBits * 16^j
+      cur
+    }
+    def keyAt(j: Int): Column =
+      (1 to j).foldLeft(lit(offAt(j)) + col("__k0") * (1L << (extraBits * j))) {
+        (acc, i) => acc + col(s"__e$i") * (1L << (extraBits * (j - i)))
+      }
+    val flagged = (0 until levels).foldLeft(based) { (cur, j) =>
+      val prefix = "__k0" +: (1 to j).map(i => s"__e$i")
+      val bad = based.groupBy(prefix.map(col): _*).agg(count(lit(1)).as("__cnt"))
+        .filter(col("__cnt") > maxOccupancy)
+        .select(prefix.map(col) :+ lit(1).as(s"__m$j"): _*)
+      // the bad-list is ≤ rows/cap keys by construction — broadcastable
+      // at any corpus size (the capBuckets argument). A ONE-aggregate
+      // rollup formulation (all prefix counts in one exchange) was
+      // tried and REVERTED on measurement: the rollup relation's plan
+      // does not canonicalize stably across calls, so the sketchEmb
+      // cache stopped matching and warm runs re-derived everything
+      // (warm 2.4 s/4 jobs → 5.7 s/32 jobs at x10).
+      cur.join(broadcast(bad), prefix, "left")
+    }
+    val key = (0 until levels).foldRight(keyAt(levels)) { (j, els) =>
+      when(col(s"__m$j").isNull, keyAt(j)).otherwise(els)
+    }
+    flagged.withColumn("bucket", key)
+      .drop("__k0" +: (1 to levels).map(i => s"__e$i") ++:
+        (0 until levels).map(j => s"__m$j"): _*)
   }
 
   /** The (__base, __extra) sign-bit columns + base-bucket occupancy
@@ -222,9 +310,23 @@ object Similarity {
     * sf0.1); cached it runs once (5 jobs). On a contended machine each
     * job is a fixed-latency driver round-trip, so jobs ≈ cost. */
   private def sketchEmb(df: DataFrame, idCol: String, vecCol: String,
-      nBits: Int, extraBits: Int, maxOccupancy: Int): DataFrame =
-    normalized(signLshBuckets(df, idCol, vecCol, nBits, extraBits, maxOccupancy),
-      idCol, vecCol, keep = Seq("bucket")).cache()
+      nBits: Int, extraBits: Int, maxOccupancy: Int, levels: Int = 1): DataFrame = {
+    // the HANDLE is memoized, not just the cache entry: at levels > 1
+    // the bucket plan is ~15 aggregate/join branches wide, and ANALYZING
+    // a freshly-built copy of that tree costs ~0.5-1 s of driver time
+    // per call even when every byte comes from the cache (measured on
+    // the round-8 sf0.1 warm path). Keyed on the session + parameters +
+    // the INPUT plan's semantic hash (analyzing the input — a bare scan
+    // — is cheap); validity probes the cached storage level, so a
+    // clearCache() forces a fresh build exactly like the clusterPairs
+    // memo. A miss races at worst into two identical plan-matching
+    // cache() registrations — harmless (CacheManager dedups).
+    val key = s"sketchEmb:${ResultCache.sessionId(df.sparkSession)}:$idCol:$vecCol:" +
+      s"$nBits:$extraBits:$maxOccupancy:$levels:${df.queryExecution.analyzed.semanticHash()}"
+    ResultCache.getOrCompute[DataFrame](key, ResultCache.isCached)(
+      normalized(signLshBuckets(df, idCol, vecCol, nBits, extraBits, maxOccupancy, levels),
+        idCol, vecCol, keep = Seq("bucket")).cache())
+  }
 
   /** All near-pairs ≥ threshold under sign-LSH blocking: assign buckets
     * with [[signLshBuckets]], then exact cosine within each bucket. The
@@ -232,16 +334,16 @@ object Similarity {
     * of an attribute block whose size grows with the corpus. */
   def allPairsSketch(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nBits: Int = 6, extraBits: Int = 4,
-      maxOccupancy: Int = 32): DataFrame =
-    allPairsOn(sketchEmb(df, idCol, vecCol, nBits, extraBits, maxOccupancy),
+      maxOccupancy: Int = 32, levels: Int = 1): DataFrame =
+    allPairsOn(sketchEmb(df, idCol, vecCol, nBits, extraBits, maxOccupancy, levels),
       "bucket", threshold)
 
   /** Near-dup canonicalization under sign-LSH blocking — [[nearDupCanonical]]
     * with the [[signLshBuckets]] key instead of an attribute block. */
   def nearDupCanonicalSketch(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nBits: Int = 6, extraBits: Int = 4,
-      maxOccupancy: Int = 32): DataFrame =
-    nearDupCanonicalOn(sketchEmb(df, idCol, vecCol, nBits, extraBits, maxOccupancy),
+      maxOccupancy: Int = 32, levels: Int = 1): DataFrame =
+    nearDupCanonicalOn(sketchEmb(df, idCol, vecCol, nBits, extraBits, maxOccupancy, levels),
       "bucket", threshold)
 
   /** All pairs ≥ threshold within blocks: equi join on the block key —

@@ -22,15 +22,19 @@ object Vector {
       probeId = 0L, k = 10, keep = Seq("label"))
 
   /** All near-pairs with cosine ≥ 0.25, blocked by the sign-LSH sketch
-    * bucket (graft.api.Similarity.signLshBuckets: 6 base sign bits, 4
-    * refinement bits, occupancy cap 32) — the 100 TB shape: bucket
-    * occupancy is bounded, so per-block work doesn't grow with the
-    * corpus the way the old `label` block did. The DuckDB oracle
-    * replicates the bucket arithmetic exactly (sign tests + integer
-    * counts), so the output is hash-checked despite the sketch. */
+    * bucket (graft.api.Similarity.signLshBuckets: 6 base sign bits,
+    * 4-bit refinement to occupancy cap 32, recursively up to 14 levels)
+    * — the 100 TB shape: over-cap buckets keep splitting on further
+    * sign coords until every bucket fits the cap, so per-block work is
+    * BOUNDED and candidate growth stays linear (one refinement level
+    * left 3,517-member buckets and ~53M quadratic candidates at the x10
+    * rehearsal — round-8 numbers in BASELINE.md). The DuckDB oracle
+    * replicates the multi-level bucket arithmetic exactly (sign tests +
+    * integer counts), so the output is hash-checked despite the
+    * sketch. */
   def simPairs(spark: SparkSession, dir: String): DataFrame =
     Similarity.allPairsSketch(Tables.embeddings(spark, dir), "vec_id", "embedding",
-      threshold = 0.25, nBits = 6, extraBits = 4, maxOccupancy = 32)
+      threshold = 0.25, nBits = 6, extraBits = 4, maxOccupancy = 32, levels = 14)
 
   /** Per-label centroid via the VecSumAgg typed Aggregator (element-wise
     * double sum, one pass, partial-merge) — output is scalar summaries
@@ -57,7 +61,7 @@ object Vector {
     * parameters (and the same oracle-portability argument) as simPairs. */
   def dedupEmbed(spark: SparkSession, dir: String): DataFrame =
     Similarity.nearDupCanonicalSketch(Tables.embeddings(spark, dir), "vec_id", "embedding",
-      threshold = 0.4, nBits = 6, extraBits = 4, maxOccupancy = 32)
+      threshold = 0.4, nBits = 6, extraBits = 4, maxOccupancy = 32, levels = 14)
 
   /** Semantic dedup: the transitive closure of the embedding near-dup
     * graph — [[simPairs]]' sign-LSH-blocked exact-cosine pairs at the
@@ -75,7 +79,7 @@ object Vector {
   def dedupSemantic(spark: SparkSession, dir: String): DataFrame =
     graft.api.Dedup.clusterPairs(
       Similarity.allPairsSketch(Tables.embeddings(spark, dir), "vec_id", "embedding",
-        threshold = 0.4, nBits = 6, extraBits = 4, maxOccupancy = 32),
+        threshold = 0.4, nBits = 6, extraBits = 4, maxOccupancy = 32, levels = 14),
       "a_id", "b_id")
       .select(col("doc_id").as("vec_id"), col("canonical_doc").as("canonical_vec"))
       .orderBy(col("vec_id"))

@@ -185,10 +185,11 @@ class ConcurrencySpec extends SparkSpec {
       val warm = graft.api.Dedup.clusterPairs(pairs, "a_id", "b_id").collect().toSeq
       val warmJobs = drained() - before
       assert(warm == cold, "memoized result differs from the computed one")
-      // fingerprint job + result collect (+ a stage Spark may split off
-      // re-materializing fwd's cache) — the propagation rounds must NOT
-      // re-run (they alone would exceed this bound)
-      assert(warmJobs <= 4, s"warm clusterPairs ran $warmJobs jobs — memo did not serve")
+      // localCheckpoint materialization + fingerprint job + result
+      // collect (+ a stage Spark may split off re-materializing fwd's
+      // cache) — the propagation rounds must NOT re-run (they alone
+      // would exceed this bound)
+      assert(warmJobs <= 5, s"warm clusterPairs ran $warmJobs jobs — memo did not serve")
       // invalidation: dropping the cached labels must force a correct
       // recompute, never a stale or broken replay
       spark.catalog.clearCache()
