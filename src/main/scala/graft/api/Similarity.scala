@@ -17,12 +17,13 @@ object Similarity {
   def normalized(df: DataFrame, idCol: String, vecCol: String,
       keep: Seq[String] = Nil): DataFrame = {
     val kept = keep.map(col)
-    df.withColumn("__nrm", V.l2Norm(col(vecCol)))
-      .select((col(idCol).as("vec_id") +:
-        transform(col(vecCol), x =>
-          when(col("__nrm") =!= 0.0, x.cast("double") / col("__nrm"))
-            .otherwise(lit(0.0))).as("nemb") +:
-        kept): _*)
+    // one codegen'd pass (DoubleArrayNormalize) — the HOF two-lambda
+    // form cost ~1.0 s per pass over 100k×64 vectors at x10 (the scan
+    // is 0.17 s); every query in the vector family pays this at least
+    // once, annLsh twice. Same accumulation order, so bit-identical.
+    df.select((col(idCol).as("vec_id") +:
+      V.normalizeFast(col(vecCol)).as("nemb") +:
+      kept): _*)
   }
 
   /** Exact cosine top-k against one probe row (by id): 1-row broadcast,

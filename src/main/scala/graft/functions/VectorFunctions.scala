@@ -40,4 +40,14 @@ object VectorFunctions {
       graft.plans.DoubleArrayDot(
         org.apache.spark.sql.GraftExpressionBridge.expression(a),
         org.apache.spark.sql.GraftExpressionBridge.expression(b)))
+
+  /** Codegen'd unit L2-normalization (graft.plans.DoubleArrayNormalize)
+    * — one tight pass per row replacing two interpreted per-element
+    * HOF lambdas (square-sum + divide). Accepts array<float> or
+    * array<double>; zero vector → zeros; bit-identical accumulation
+    * order to the HOF formulation. */
+  def normalizeFast(a: Column): Column =
+    org.apache.spark.sql.GraftExpressionBridge.column(
+      graft.plans.DoubleArrayNormalize(
+        org.apache.spark.sql.GraftExpressionBridge.expression(a)))
 }

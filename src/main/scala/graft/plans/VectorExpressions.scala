@@ -61,3 +61,86 @@ case class DoubleArrayDot(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): DoubleArrayDot =
     copy(left = newLeft, right = newRight)
 }
+
+/** L2-normalize a dense float/double array to a unit double array in
+  * ONE codegen'd pass — the vector family's single hottest per-row
+  * operation. The HOF formulation this replaces
+  * (`sqrt(aggregate(transform(v, x -> x*x), 0.0, +))` then
+  * `transform(v, x -> x / nrm)`) evaluates an interpreted lambda per
+  * ELEMENT — 128+ closure calls per 64-dim row, measured ~1.0 s per
+  * pass over 100k vectors at x10 where the scan itself is 0.17 s, and
+  * every ANN/similarity/dedup-embed query pays it at least once.
+  *
+  * Semantics (bit-identical to the HOF formulation): squared-norm
+  * accumulates left-to-right in double precision (floats widened per
+  * element); zero norm yields an all-zeros array (never NaN); null
+  * array → null. Element-dense inputs assumed (no null elements —
+  * true of the embeddings table and any normalization output), the
+  * same contract as [[DoubleArrayDot]].
+  */
+case class DoubleArrayNormalize(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  private def elemIsFloat: Boolean = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.FloatType, _) |
+         ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"double_array_normalize requires array<float> or array<double> input, got $t")
+  }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "double_array_normalize"
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    val out = new Array[Double](n)
+    var s = 0.0
+    var i = 0
+    val isF = elemIsFloat
+    while (i < n) {
+      val v = if (isF) x.getFloat(i).toDouble else x.getDouble(i)
+      out(i) = v
+      s += v * v
+      i += 1
+    }
+    val nrm = math.sqrt(s)
+    if (nrm != 0.0) { i = 0; while (i < n) { out(i) /= nrm; i += 1 } }
+    else java.util.Arrays.fill(out, 0.0)
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("sum")
+      val out = ctx.freshName("out")
+      val nrm = ctx.freshName("nrm")
+      val get = if (elemIsFloat) s"(double) $a.getFloat" else s"$a.getDouble"
+      s"""
+         |int $n = $a.numElements();
+         |double[] $out = new double[$n];
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double v = $get($i);
+         |  $out[$i] = v;
+         |  $s += v * v;
+         |}
+         |double $nrm = java.lang.Math.sqrt($s);
+         |if ($nrm != 0.0) {
+         |  for (int $i = 0; $i < $n; $i++) { $out[$i] /= $nrm; }
+         |} else {
+         |  java.util.Arrays.fill($out, 0.0);
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): DoubleArrayNormalize = copy(child = newChild)
+}

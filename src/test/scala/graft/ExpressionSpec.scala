@@ -46,6 +46,49 @@ class ExpressionSpec extends SparkSpec {
     assert(df.select(V.dotFast($"a", $"b")).head.getDouble(0) == 50.0)
   }
 
+  test("normalizeFast equals the HOF normalize bit-for-bit (float and double inputs)") {
+    import spark.implicits._
+    val rowsF = (1 to 100).map { i =>
+      (i.toLong, Array.tabulate(64)(j => math.sin(i * 64 + j).toFloat))
+    }
+    val dfF = rowsF.toDF("id", "v")
+    val hof = dfF
+      .withColumn("__nrm", V.l2Norm($"v"))
+      .select(transform($"v", x =>
+        when($"__nrm" =!= 0.0, x.cast("double") / $"__nrm")
+          .otherwise(lit(0.0))).as("nemb"))
+    val fast = dfF.select(V.normalizeFast($"v").as("nemb"))
+    val drift = hof.select(explode($"nemb").as("x")).withColumn("rid", monotonically_increasing_id())
+      .join(fast.select(explode($"nemb").as("y")).withColumn("rid", monotonically_increasing_id()), "rid")
+      .agg(max(abs($"x" - $"y"))).head.getDouble(0)
+    assert(drift == 0.0, s"codegen vs interpreted normalize drift: $drift")
+    // double input path too
+    val dfD = Seq((1L, Array(3.0, 4.0))).toDF("id", "v")
+    val r = dfD.select(V.normalizeFast($"v")).head.getSeq[Double](0)
+    assert(r == Seq(0.6, 0.8))
+  }
+
+  test("normalizeFast: zero vector → zeros; null array → null") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some(Array(0.0f, 0.0f, 0.0f))),
+      (2L, Option.empty[Array[Float]])
+    ).toDF("id", "v")
+    val rows = df.select($"id", V.normalizeFast($"v").as("n")).orderBy($"id").collect()
+    assert(rows(0).getSeq[Double](1) == Seq(0.0, 0.0, 0.0))
+    assert(rows(1).isNullAt(1))
+  }
+
+  test("normalizeFast rejects non-numeric-array input at analysis time") {
+    import spark.implicits._
+    val df = Seq((Array("a", "b"))).toDF("v")
+    val e = intercept[Exception] {
+      df.select(V.normalizeFast($"v")).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("double_array_normalize") ||
+      e.getMessage.toLowerCase.contains("datatype_mismatch"), e.getMessage)
+  }
+
   test("double_array_dot is SQL-callable after GraftFunctions.register") {
     import spark.implicits._
     GraftFunctions.register(spark)
