@@ -434,12 +434,17 @@ object Similarity {
       .toDF("vec_id", "nemb", "table_id", "bucket")
     val probeBuckets = bucketed.filter(col("vec_id") === probeId)
       .select(col("nemb").as("probe_nemb"), col("table_id"), col("bucket"))
+    // the dot is computed BEFORE the candidate dedup: a vector matched
+    // in m tables pays m codegen'd 64-mult dots (trivial CPU) so the
+    // dedup exchange carries (vec_id, cos_sim) = 16 bytes/row instead
+    // of the two 512-byte vectors — at corpus scale the difference
+    // between shuffling candidate VECTORS and shuffling candidate ids.
+    // Identical output: every duplicate computes the same rounded score.
     bucketed
       .join(broadcast(probeBuckets), Seq("table_id", "bucket"))
       .filter(col("vec_id") =!= probeId)
-      .select(col("vec_id"), col("nemb"), col("probe_nemb"))
-      .dropDuplicates("vec_id")
       .select(col("vec_id"), round(V.dotFast(col("nemb"), col("probe_nemb")), 6).as("cos_sim"))
+      .dropDuplicates("vec_id")
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(k)
   }
