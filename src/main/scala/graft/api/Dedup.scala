@@ -479,19 +479,19 @@ object Dedup {
     * sig an array of numHashes 32-bit min-hashes. Extracted from
     * [[minhashLsh]] so ChunkOccupancySpec can measure UNCAPPED band
     * occupancy with the exact production key derivation. */
-  private[graft] def minhashSignatures(shingled: DataFrame, numHashes: Int): DataFrame = {
-    val numSeeds = (numHashes + 1) / 2
-    val post = shingled.select(col("doc_id"), explode(col("shingles")).as("sh"))
-    val withH = post.select(col("doc_id") +:
-      (0 until numSeeds).map(i => xxhash64(col("sh"), lit(i)).as(s"h$i")): _*)
-    val minAggs = (0 until numSeeds).flatMap(i => Seq(
-      min(shiftright(col(s"h$i"), 32).bitwiseAND(lit(4294967295L))).as(s"f${2 * i}"),
-      min(col(s"h$i").bitwiseAND(lit(4294967295L))).as(s"f${2 * i + 1}")))
-      .take(numHashes)
-    withH.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
-      .withColumn("sig", array((0 until numHashes).map(j => col(s"f$j")): _*))
-      .select(col("doc_id"), col("sig"))
-  }
+  private[graft] def minhashSignatures(shingled: DataFrame, numHashes: Int): DataFrame =
+    // one per-row codegen'd pass (graft.plans.MinhashSignature) — no
+    // explode, no 64-column min exchange; bit-identical signatures to
+    // the old explode → xxhash64(sh, lit(i)) → min-groupBy plan (the
+    // expression's scaladoc carries the measured x10 decomposition).
+    // isNotNull preserves the old exclusion of shingle-less docs
+    // (they produced no exploded rows, hence no signature row).
+    shingled.select(col("doc_id"),
+      org.apache.spark.sql.GraftExpressionBridge.column(
+        graft.plans.MinhashSignature(
+          org.apache.spark.sql.GraftExpressionBridge.expression(col("shingles")),
+          numHashes)).as("sig"))
+      .filter(col("sig").isNotNull)
 
   /** The UNCAPPED band-bucket relation (doc_id, band_idx, band_key)
     * [[minhashLsh]] feeds to [[capBuckets]] — exposed for the

@@ -89,6 +89,41 @@ class ExpressionSpec extends SparkSpec {
       e.getMessage.toLowerCase.contains("datatype_mismatch"), e.getMessage)
   }
 
+  test("MinhashSignature equals the old explode→xxhash64→min-groupBy plan bit-for-bit") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val shingled = graft.api.Dedup.shingles(docs, "doc_id", "text", 3)
+    val numHashes = 64
+    val numSeeds = numHashes / 2
+    // the pre-round-8 formulation, reconstructed verbatim
+    val post = shingled.select($"doc_id", explode($"shingles").as("sh"))
+    val withH = post.select($"doc_id" +:
+      (0 until numSeeds).map(i => xxhash64($"sh", lit(i)).as(s"h$i")): _*)
+    val minAggs = (0 until numSeeds).flatMap(i => Seq(
+      min(shiftright(col(s"h$i"), 32).bitwiseAND(lit(4294967295L))).as(s"f${2 * i}"),
+      min(col(s"h$i").bitwiseAND(lit(4294967295L))).as(s"f${2 * i + 1}")))
+    val old = withH.groupBy($"doc_id").agg(minAggs.head, minAggs.tail: _*)
+      .withColumn("old_sig", array((0 until numHashes).map(j => col(s"f$j")): _*))
+      .select($"doc_id", $"old_sig")
+    val neu = graft.api.Dedup.minhashSignatures(shingled, numHashes)
+    assert(neu.count() == old.count(), "row counts differ (shingle-less doc exclusion?)")
+    val mismatches = neu.join(old, "doc_id")
+      .filter($"sig" =!= $"old_sig").count()
+    assert(mismatches == 0L, s"$mismatches docs with differing signatures")
+  }
+
+  test("MinhashSignature: empty shingle array → null; null array → null") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some(Seq("a b c", "b c d"))),
+      (2L, Some(Seq.empty[String])),
+      (3L, Option.empty[Seq[String]])
+    ).toDF("doc_id", "shingles")
+    val out = graft.api.Dedup.minhashSignatures(df, 8)
+    assert(out.select($"doc_id").as[Long].collect().toSeq == Seq(1L))
+    assert(out.head.getSeq[Long](1).length == 8)
+  }
+
   test("double_array_dot is SQL-callable after GraftFunctions.register") {
     import spark.implicits._
     GraftFunctions.register(spark)
