@@ -484,14 +484,19 @@ object Dedup {
     // explode, no 64-column min exchange; bit-identical signatures to
     // the old explode → xxhash64(sh, lit(i)) → min-groupBy plan (the
     // expression's scaladoc carries the measured x10 decomposition).
-    // isNotNull preserves the old exclusion of shingle-less docs
-    // (they produced no exploded rows, hence no signature row).
-    shingled.select(col("doc_id"),
-      org.apache.spark.sql.GraftExpressionBridge.column(
-        graft.plans.MinhashSignature(
-          org.apache.spark.sql.GraftExpressionBridge.expression(col("shingles")),
-          numHashes)).as("sig"))
-      .filter(col("sig").isNotNull)
+    // The shingle-less-doc exclusion (they produced no exploded rows,
+    // hence no signature row) filters on size(shingles) BELOW the
+    // projection, never on the signature itself: a filter on the
+    // computed column gets pushed under the project by substitution
+    // and the signature expression is then evaluated once per USE —
+    // measured 6× the honest cost on the simhash twin (BASELINE.md
+    // round-8 "signature re-evaluation" note).
+    shingled.filter(size(col("shingles")) >= 1)
+      .select(col("doc_id"),
+        org.apache.spark.sql.GraftExpressionBridge.column(
+          graft.plans.MinhashSignature(
+            org.apache.spark.sql.GraftExpressionBridge.expression(col("shingles")),
+            numHashes)).as("sig"))
 
   /** The UNCAPPED band-bucket relation (doc_id, band_idx, band_key)
     * [[minhashLsh]] feeds to [[capBuckets]] — exposed for the
@@ -761,31 +766,30 @@ object Dedup {
     * Cached: feeds chunking and the banding self-join; see
     * [[minhashLsh]]'s caching note. */
   private[graft] def simhashSignatures(df: DataFrame, idCol: String,
-      textCol: String, n: Int): DataFrame = {
-    val hex = md5(col("sh").cast("binary"))
-    val docTok = shingles(spread(df), idCol, textCol, n)
-      .select(col("doc_id"), explode(col("shingles")).as("sh"))
-      .withColumn("h1", conv(substring(hex, 1, 8), 16, 10).cast("long"))
-      .withColumn("h2", conv(substring(hex, 9, 8), 16, 10).cast("long"))
-    val bitSums = (0 until 64).map { j =>
-      val (pa, pb) = simhashPlanes(j)
-      sum(shiftright(col("h1") * lit(pa) + col("h2") * lit(pb), 15)
-        .bitwiseAND(lit(1L))).as(s"b$j")
-    }
-    docTok.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n"), bitSums: _*)
-      // majority vote PACKED into one long (bit j = plane j) instead of
-      // a 64-int array: downstream hamming becomes a codegen'd
-      // bit_count(a ^ b) on 16-byte rows, vs the interpreted
-      // zip_with/aggregate lambda over 64-element arrays the array
-      // representation forced (HOF lambdas never enter whole-stage
-      // codegen — the q_text_tfidf lesson, round 7)
-      .withColumn("sig", (0 until 64).map(j =>
-        when(col(s"b$j") * 2 > col("n"), shiftleft(lit(1L), j)).otherwise(lit(0L)))
-        .reduce(_.bitwiseOR(_)))
-      .select(col("doc_id"), col("sig"))
+      textCol: String, n: Int): DataFrame =
+    // one per-row codegen'd pass (graft.plans.SimhashSignature): no
+    // shingle explode, no 64-column vote exchange — the signature is
+    // computed where the doc's shingle array already lives, packed
+    // into one long (bit j = plane j majority) so downstream hamming
+    // stays a codegen'd bit_count(a ^ b) on 16-byte rows. The md5
+    // plane family and the vote arithmetic are bit-identical to the
+    // old explode → md5/conv → 64-column vote groupBy (pinned in
+    // ExpressionSpec). The shingle-less-doc exclusion (< n tokens ⟺
+    // empty shingle set ⟺ no exploded rows in the old plan) is a
+    // CHEAP text-side pre-filter, deliberately NOT an isNotNull on
+    // the signature column: a filter on the computed column is pushed
+    // under the project by substitution and the signature (with the
+    // inlined shingle lambda) is then re-evaluated per use — measured
+    // 5.8 → 35.1 s at x10 (BASELINE.md round-8).
+    shingles(
+      spread(df.filter(size(split(col(textCol), " ")) >= n)),
+      idCol, textCol, n)
+      .select(col("doc_id"),
+        org.apache.spark.sql.GraftExpressionBridge.column(
+          graft.plans.SimhashSignature(
+            org.apache.spark.sql.GraftExpressionBridge.expression(col("shingles"))))
+          .as("sig"))
       .cache()
-  }
 
   /** SimHash near-dup pairs: 64-bit majority-vote signature over shingle
     * hashes, chunk banding (pigeonhole: hamming ≤ chunks-1 guaranteed

@@ -124,6 +124,37 @@ class ExpressionSpec extends SparkSpec {
     assert(out.head.getSeq[Long](1).length == 8)
   }
 
+  test("SimhashSignature equals the old explode→md5→vote-groupBy plan bit-for-bit") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val shingled = graft.api.Dedup.shingles(docs, "doc_id", "text", 3)
+    // the pre-round-8 formulation, reconstructed verbatim
+    val hex = md5($"sh".cast("binary"))
+    val docTok = shingled
+      .select($"doc_id", explode($"shingles").as("sh"))
+      .withColumn("h1", conv(substring(hex, 1, 8), 16, 10).cast("long"))
+      .withColumn("h2", conv(substring(hex, 9, 8), 16, 10).cast("long"))
+    val bitSums = (0 until 64).map { j =>
+      val (pa, pb) = graft.api.Dedup.simhashPlanes(j)
+      sum(shiftright($"h1" * lit(pa) + $"h2" * lit(pb), 15)
+        .bitwiseAND(lit(1L))).as(s"b$j")
+    }
+    val old = docTok.groupBy($"doc_id")
+      .agg(count(lit(1)).as("n"), bitSums: _*)
+      .withColumn("old_sig", (0 until 64).map(j =>
+        when(col(s"b$j") * 2 > $"n", shiftleft(lit(1L), j)).otherwise(lit(0L)))
+        .reduce(_.bitwiseOR(_)))
+      .select($"doc_id", $"old_sig")
+    val neu = shingled.select($"doc_id",
+      org.apache.spark.sql.GraftExpressionBridge.column(
+        graft.plans.SimhashSignature(
+          org.apache.spark.sql.GraftExpressionBridge.expression($"shingles"))).as("sig"))
+      .filter($"sig".isNotNull)
+    assert(neu.count() == old.count(), "row counts differ (shingle-less doc exclusion?)")
+    val mismatches = neu.join(old, "doc_id").filter($"sig" =!= $"old_sig").count()
+    assert(mismatches == 0L, s"$mismatches docs with differing simhash signatures")
+  }
+
   test("double_array_dot is SQL-callable after GraftFunctions.register") {
     import spark.implicits._
     GraftFunctions.register(spark)
