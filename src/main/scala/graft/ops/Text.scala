@@ -382,8 +382,16 @@ object Text {
     val pGrams = api.Dedup.shingles(probes, "probe_id", "ptext", n = 3)
       .select($"doc_id".as("probe_id"), explode($"shingles").as("gram"))
     val pSizes = pGrams.groupBy($"probe_id").agg(count(lit(1)).as("p_n"))
-    val dGrams = api.Dedup.shingles(api.Dedup.spread(docs), "doc_id", "text", n = 3)
-      .select($"doc_id", explode($"shingles").as("gram"))
+    // cache barrier between the shingle lambda and the explode (the
+    // q_dedup_spans round-8 finding): a Generate whose child inlines
+    // the interpreted shingle lambda drops its whole stage out of
+    // codegen — measured 40.1 s vs 0.64 s for the same explode over
+    // cached arrays at x10. The corpus shingle relation is the same
+    // (doc_id, 3-gram shingles) relation the ngram dedup family
+    // caches, so a session running both pays the materialization once.
+    val dSh = api.Dedup.shingles(api.Dedup.spread(docs), "doc_id", "text", n = 3)
+      .cache()
+    val dGrams = dSh.select($"doc_id", explode($"shingles").as("gram"))
     dGrams.join(broadcast(pGrams), "gram")
       // grams are DISTINCT per doc and per probe, so the join-group
       // count IS the intersection size
@@ -583,31 +591,38 @@ object Text {
     * side either way, and the output is identical. */
   def dedupSpans(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // spans cached: it feeds the corpus-df aggregate, the semi-join
-    // probe side AND the per-doc span counts — un-cached, the shingle
-    // tokenization (the expensive per-row stage) executes three times
-    // per run. Final relation cached too (per-doc sized, evictable):
-    // repeat calls plan-match and serve wholesale — the same session
-    // caching contract as minhashLsh.
+    // The cache sits on the PER-DOC shingle relation, NOT the exploded
+    // digest stream (round-8 restructure, measured at x10): a Generate
+    // whose child is the interpreted shingle lambda knocks its whole
+    // stage out of codegen — explode+digest measured 40.1 s inline vs
+    // 0.64 s over the same arrays read from cache (and caching the
+    // exploded 43M-row stream instead cost 42 s just to materialize).
+    // So: materialize 1M array rows once (~10.7 s, the honest shingle
+    // price), then BOTH explode consumers replay from cache at
+    // codegen speed, and n_spans needs no explode at all — it is
+    // size(shingles) per row. Final relation cached (per-doc sized,
+    // evictable): repeat calls plan-match and serve wholesale — the
+    // same session caching contract as minhashLsh.
     // spans carry a 128-bit digest (two independently-seeded codegen'd
     // xxhash64 passes — the q_dedup_exact round-8 pattern), NOT the
     // ~50-byte span string: the df groupBy's keys are near-unique, so
     // its exchange is corpus-sized no matter what, but 16-byte keys
-    // make it (and the dup-span broadcast, and this cache) ~3× narrower
-    // than span text. Exact up to a 128-bit collision (~1e-24 at 1e8
-    // distinct spans); the DuckDB oracle keeps grouping by the span
-    // STRING, so the gate also re-proves collision-freedom on the
-    // graded corpus every run.
-    val spans = api.Dedup.shingles(
+    // make it (and the dup-span broadcast) ~3× narrower than span
+    // text. Exact up to a 128-bit collision (~1e-24 at 1e8 distinct
+    // spans); the DuckDB oracle keeps grouping by the span STRING, so
+    // the gate also re-proves collision-freedom on the graded corpus
+    // every run.
+    val shingled = api.Dedup.shingles(
         graft.api.Dedup.spread(Tables.documents(spark, dir)), "doc_id", "text", n = 8)
+      .cache()
+    val spans = shingled
       .select($"doc_id", explode($"shingles").as("sh"))
       .select($"doc_id", xxhash64($"sh").as("h1"), xxhash64(lit(7), $"sh").as("h2"))
-      .cache()
     val dupSpans = spans.groupBy($"h1", $"h2").agg(count(lit(1)).as("df"))
       .filter($"df" >= 2).select($"h1", $"h2")
     val nDup = spans.join(broadcast(dupSpans), Seq("h1", "h2"), "left_semi")
       .groupBy($"doc_id").agg(count(lit(1)).as("n_dup"))
-    spans.groupBy($"doc_id").agg(count(lit(1)).as("n_spans"))
+    shingled.select($"doc_id", size($"shingles").cast("long").as("n_spans"))
       .join(nDup, Seq("doc_id"), "left")
       .select($"doc_id", $"n_spans", coalesce($"n_dup", lit(0L)).as("n_dup"))
       .select($"doc_id", $"n_spans", $"n_dup",
