@@ -71,27 +71,24 @@ object Dedup {
     else df.repartition(target)
   }
 
-  /** Word n-gram shingle sets (distinct) per row.
-    *
-    * The token array is bound as a LAMBDA VARIABLE (single-element
-    * transform) rather than a projected column: CollapseProject inlines
-    * a projected column's defining expression into EVERY use site, and
-    * inside the interpreted shingle lambda that meant the full
-    * split(text) re-ran for each of the 3·shingles array accesses per
-    * row — O(tokens²) per doc, measured as ~95% of the whole dedup
-    * family's cold runtime. A lambda variable is evaluated once per row
-    * and merely looked up thereafter.
-    *
-    * Guard: sequence(1, 0) in Spark is the DESCENDING [1, 0], so a row
-    * shorter than n tokens must yield an empty shingle set explicitly. */
+  /** Word n-gram shingle sets (distinct) per row — one codegen'd pass
+    * ([[graft.plans.WordShingles]]: the same UTF8String.split the
+    * built-in `split(text, ' ')` evaluates, sliding concatWs windows,
+    * first-occurrence distinct; < n tokens or null text → empty
+    * array). Replaces the interpreted HOF lambda formulation, whose
+    * two round-8-measured costs were ~7-8 s per forced pass at x10
+    * AND — the worse one — knocking any Generate/filter stage that
+    * inlined it out of whole-stage codegen entirely (40.1 s vs 0.64 s
+    * for the same explode; BASELINE.md round-8). ExpressionSpec pins
+    * bit-equality against the lambda formulation over the full real
+    * documents table. */
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
     require(n >= 1)
-    df.select(col(idCol).as("doc_id"), expr(
-      s"""transform(array(split($textCol, ' ')), t ->
-         |  CASE WHEN size(t) >= $n THEN
-         |    array_distinct(transform(sequence(1, size(t) - ${n - 1}), i ->
-         |      concat_ws(' ', ${(0 until n).map(j => s"t[i-1+$j]").mkString(", ")})))
-         |  ELSE array() END)[0]""".stripMargin).as("shingles"))
+    df.select(col(idCol).as("doc_id"),
+      org.apache.spark.sql.GraftExpressionBridge.column(
+        graft.plans.WordShingles(
+          org.apache.spark.sql.GraftExpressionBridge.expression(col(textCol)), n))
+        .as("shingles"))
   }
 
   /** Exact dedup after normalization: groups rows whose normalized key

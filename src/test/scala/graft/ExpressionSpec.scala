@@ -155,6 +155,42 @@ class ExpressionSpec extends SparkSpec {
     assert(mismatches == 0L, s"$mismatches docs with differing simhash signatures")
   }
 
+  test("WordShingles equals the old HOF lambda formulation bit-for-bit on real data") {
+    import spark.implicits._
+    for (n <- Seq(3, 8); sf <- Seq("sf0.001", "sf0.01")) {
+      val docs = Tables.documents(spark, s"/root/testdata/$sf")
+      // the pre-round-8 lambda formulation, reconstructed verbatim
+      val old = docs.select($"doc_id", expr(
+        s"""transform(array(split(text, ' ')), t ->
+           |  CASE WHEN size(t) >= $n THEN
+           |    array_distinct(transform(sequence(1, size(t) - ${n - 1}), i ->
+           |      concat_ws(' ', ${(0 until n).map(j => s"t[i-1+$j]").mkString(", ")})))
+           |  ELSE array() END)[0]""".stripMargin).as("old_sh"))
+      val neu = graft.api.Dedup.shingles(docs, "doc_id", "text", n)
+      val bad = neu.join(old, "doc_id")
+        .filter(not($"shingles" <=> $"old_sh")).count()
+      assert(bad == 0L, s"$bad docs with differing shingle sets at $sf n=$n")
+    }
+  }
+
+  test("WordShingles edge semantics: null text, short text, repeats, multi-space") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some("a b c d")),           // 2 shingles at n=3
+      (2L, Some("a b")),               // shorter than n → empty
+      (3L, Option.empty[String]),      // null → empty (old CASE semantics)
+      (4L, Some("x y x y x y x y")),   // repeated shingles → distinct
+      (5L, Some("a  b c"))             // double space → empty token kept
+    ).toDF("doc_id", "text")
+    val out = graft.api.Dedup.shingles(df, "doc_id", "text", 3)
+      .orderBy($"doc_id").collect()
+    assert(out(0).getSeq[String](1) == Seq("a b c", "b c d"))
+    assert(out(1).getSeq[String](1).isEmpty)
+    assert(out(2).getSeq[String](1).isEmpty)
+    assert(out(3).getSeq[String](1) == Seq("x y x", "y x y"))
+    assert(out(4).getSeq[String](1) == Seq("a  b", " b c"))
+  }
+
   test("double_array_dot is SQL-callable after GraftFunctions.register") {
     import spark.implicits._
     GraftFunctions.register(spark)
