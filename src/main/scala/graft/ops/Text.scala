@@ -382,13 +382,13 @@ object Text {
     val pGrams = api.Dedup.shingles(probes, "probe_id", "ptext", n = 3)
       .select($"doc_id".as("probe_id"), explode($"shingles").as("gram"))
     val pSizes = pGrams.groupBy($"probe_id").agg(count(lit(1)).as("p_n"))
-    // cache barrier between the shingle lambda and the explode (the
-    // q_dedup_spans round-8 finding): a Generate whose child inlines
-    // the interpreted shingle lambda drops its whole stage out of
-    // codegen — measured 40.1 s vs 0.64 s for the same explode over
-    // cached arrays at x10. The corpus shingle relation is the same
-    // (doc_id, 3-gram shingles) relation the ngram dedup family
-    // caches, so a session running both pays the materialization once.
+    // cache barrier between the shingle pass and the explode: kept
+    // even after WordShingles made the shingle child codegen'd —
+    // re-measured at x10 (15.8 s uncached vs 10.8 s cached): the
+    // materialized-arrays explode still beats recomputing shingles
+    // inside the generate stage, and the relation is the same
+    // (doc_id, 3-gram shingles) the ngram dedup family caches, so a
+    // session running both pays the materialization once.
     val dSh = api.Dedup.shingles(api.Dedup.spread(docs), "doc_id", "text", n = 3)
       .cache()
     val dGrams = dSh.select($"doc_id", explode($"shingles").as("gram"))
