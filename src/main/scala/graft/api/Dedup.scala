@@ -304,33 +304,52 @@ object Dedup {
       n: Int = 3, threshold: Double = 0.5, maxDf: Int = Int.MaxValue): DataFrame =
     jaccardPairs(shingles(spread(df), idCol, textCol, n), threshold, maxDf)
 
-  /** The posting relation restricted to shingles with df ≤ maxDf, so
-    * each posting list is ≤ maxDf long and the downstream self-join is
-    * ≤ maxDf² per key — bounded, never corpus². */
-  private def cappedPostings(shingled: DataFrame, maxDf: Int): DataFrame = {
-    val post = shingled.select(col("doc_id"), explode(col("shingles")).as("sh"))
-    if (maxDf == Int.MaxValue) post
-    else {
-      val dfOk = post.groupBy(col("sh")).agg(count(lit(1)).as("__df"))
-        .filter(col("__df") <= maxDf).select(col("sh"))
-      post.join(dfOk, "sh")
-    }
-  }
+  /** The MULTI-doc grouped posting relation — (sh, ds = list of doc
+    * ids holding sh) for shingles held by ≥ 2 docs. One corpus-sized
+    * exchange, then the df = 1 tail — measured 47.3M of 48M groups at
+    * x10 — is dropped BEFORE any caching or downstream work: df = 1
+    * shingles can join no pair, and their per-doc counts are
+    * recoverable as sz − (over-cap count), both available from this
+    * tiny (~1.5% of groups) relation. The df cap is a size() filter
+    * on the grouped row at the use sites (pair lists ≤ maxDf ⇒
+    * expansion ≤ C(maxDf, 2) per shingle — bounded, never corpus²;
+    * over-cap lists feed the oc counts). */
+  private def multiPostings(shingled: DataFrame): DataFrame =
+    shingled
+      .select(col("doc_id"), explode(col("shingles")).as("sh"))
+      .groupBy(col("sh")).agg(collect_list(col("doc_id")).as("ds"))
+      .filter(size(col("ds")) >= 2)
 
-  /** Per-pair shared-capped-shingle counts from a [[cappedPostings]]
-    * relation: both self-join inputs share the `sh` partitioning, and
-    * the count falls out of the join's groupBy (no per-pair array
-    * work). Returns (a_id, b_id, cnt_c ≥ 1). */
-  private def pairIntersections(capped: DataFrame): DataFrame =
-    capped.as("a")
-      .join(capped.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+  /** All in-bucket pairs (a_id < b_id) of a grouped bucket→doc-list
+    * relation — the round-8 replacement for bucket-key self-joins
+    * (shared by [[jaccardPairs]] and [[minhashLsh]]): the self-join's
+    * two sides each rebuilt the bucket exchange (ReuseExchange does
+    * not fire across the a/b subtrees), where this shape pays ONE
+    * exchange and expands pairs on the collapsed ≥2-doc stream.
+    * Pair order compares VALUES (y > x), so the output is independent
+    * of collect_list's partition-dependent ordering. One row per
+    * (bucket, pair) — callers dedup or count as needed. */
+  private def inBucketPairs(grouped: DataFrame, listCol: String): DataFrame =
+    grouped.filter(size(col(listCol)) >= 2)
+      .select(explode(expr(
+        s"""flatten(transform($listCol, x ->
+           |  transform(filter($listCol, y -> y > x), y -> struct(x AS a_id, y AS b_id))))""".stripMargin))
+        .as("p"))
+      .select(col("p.a_id"), col("p.b_id"))
+
+  /** Per-pair shared-capped-shingle counts from a [[multiPostings]]
+    * relation (df cap applied here). Returns (a_id, b_id, cnt_c ≥ 1). */
+  private def pairIntersections(multi: DataFrame, maxDf: Int): DataFrame =
+    inBucketPairs(
+      if (maxDf == Int.MaxValue) multi else multi.filter(size(col("ds")) <= maxDf),
+      "ds")
+      .groupBy(col("a_id"), col("b_id"))
       .agg(count(lit(1)).as("cnt_c"))
 
   /** Candidate pairs sharing ≥1 shingle with df ≤ maxDf (exposed to
     * tests so the df² bound is assertable). */
   private[graft] def jaccardCandidates(shingled: DataFrame, maxDf: Int): DataFrame =
-    pairIntersections(cappedPostings(shingled, maxDf)).select(col("a_id"), col("b_id"))
+    pairIntersections(multiPostings(shingled), maxDf).select(col("a_id"), col("b_id"))
 
   /** Jaccard over precomputed (doc_id, shingles): df-capped candidate
     * counts, a LOSSLESS upper-bound prune, then exact verification of
@@ -353,7 +372,7 @@ object Dedup {
     * CACHING CONTRACT: caches up to THREE relations for the session
     * lifetime — the shingle relation (feeds ~7 plan branches; its exact
     * statistics keep the df/size/verify joins broadcast-shaped,
-    * measured 5x slower without), the capped POSTING relation (feeds
+    * measured 5x slower without), the MULTI-doc grouped posting relation (feeds
     * both self-join sides AND the per-doc capped counts; capped path
     * only), and the per-doc stats relation (size + over-cap count,
     * joined per pair side; capped path only — uncapped it is derived
@@ -362,34 +381,41 @@ object Dedup {
   private[graft] def jaccardPairs(shingled0: DataFrame, thr: Double, maxDf: Int): DataFrame = {
     val shingled = shingled0.cache()
     val sizes = shingled.select(col("doc_id"), size(col("shingles")).as("sz"))
-    // The capped posting relation is built ONCE and cached: it feeds
-    // the candidate self-join (both sides) and the per-doc capped
-    // counts below. Caching postings instead of the old vocab-sized
-    // df table trades a larger (still evictable) entry for one fewer
-    // full pass over the exploded postings — the over-cap counts now
-    // fall out of relations the candidate path materializes anyway
-    // (22 → 15 cold jobs measured at sf0.1).
-    val capped0 = cappedPostings(shingled, maxDf)
-    val capped = if (maxDf == Int.MaxValue) capped0 else capped0.cache()
-    // ONE per-doc stats relation (size + over-cap count) joined per pair
-    // side, not four separate joins: each broadcast build is its own
-    // Spark job, and on a contended driver jobs ≈ cost. The over-cap
-    // count is DERIVED: oc_d = sz_d − |d's capped shingles| (shingle
-    // sets are distinct per doc, so the two partition each doc's
-    // shingles exactly). Cached in the capped path: without the cache
-    // each pair side re-executes the join build as its own broadcast
-    // job. Uncapped (oc = 0 by construction) it is a constant-0 column
-    // over the already-cached shingle relation — no join, no extra cache.
+    // The MULTI-doc grouped posting relation is built ONCE and cached:
+    // it feeds the in-bucket pair expansion AND the per-doc over-cap
+    // counts below. Three round-8 measurements shaped it: grouped
+    // (sh → doc list) rather than exploded rows collapses the df cap
+    // into a size() filter and the old posting self-join's two
+    // corpus-sized exchanges into one aggregate exchange (see
+    // inBucketPairs); dropping the df = 1 tail BEFORE the cache
+    // matters more than either — 47.3M of 48M groups at x10 were
+    // single-doc, and caching them cost 22.8 s for rows no consumer
+    // needs as rows (their only use, per-doc capped counts, is
+    // recoverable as sz − oc).
+    val multi0 = multiPostings(shingled)
+    val multi = multi0.cache()
+    // ONE per-doc stats relation (size + over-cap count) joined per
+    // pair side, not four separate joins: each broadcast build is its
+    // own Spark job, and on a contended driver jobs ≈ cost. The
+    // over-cap count oc_d comes DIRECTLY from the over-cap groups of
+    // the tiny multi relation (shingle sets are distinct per doc, so
+    // |d's shingles with df > maxDf| is one explode + count over
+    // lists longer than maxDf). Uncapped, oc = 0 by construction —
+    // a constant-0 column, no join. The capped-path stats stay cached:
+    // each pair side otherwise re-executes the join build as its own
+    // broadcast job.
     val docStats =
       if (maxDf == Int.MaxValue) sizes.withColumn("oc", lit(0L))
       else {
-        val cappedCnt = capped.groupBy(col("doc_id")).agg(count(lit(1)).as("__cc"))
-        sizes.join(cappedCnt, Seq("doc_id"), "left")
+        val ocCnt = multi.filter(size(col("ds")) > maxDf)
+          .select(explode(col("ds")).as("doc_id"))
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("__oc"))
+        sizes.join(ocCnt, Seq("doc_id"), "left")
           .select(col("doc_id"), col("sz"),
-            (col("sz").cast("long") - coalesce(col("__cc"), lit(0L))).as("oc"))
+            coalesce(col("__oc"), lit(0L)).as("oc"))
           .cache()
       }
-    val bounded = pairIntersections(capped)
+    val bounded = pairIntersections(multi, maxDf)
       .join(docStats.select(col("doc_id").as("a_id"), col("sz").as("sz_a"),
         col("oc").as("oc_a")), "a_id")
       .join(docStats.select(col("doc_id").as("b_id"), col("sz").as("sz_b"),
@@ -518,13 +544,26 @@ object Dedup {
     // spark.catalog.clearCache().
     val shingled = shingles(spread(df), idCol, textCol, n).cache()
     val sigs = minhashSignatures(shingled, numHashes)
-    val bandsDf = capBuckets(minhashBandBuckets(sigs, bands, rowsPerBand),
-      "band_idx", "band_key", maxBandOccupancy)
-    val cand = bandsDf.as("a")
-      .join(bandsDf.as("b"),
-        col("a.band_idx") === col("b.band_idx") && col("a.band_key") === col("b.band_key") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+    // Candidate generation is ONE grouped aggregate over the band
+    // relation, not a bucket-key self-join (round-8 restructure,
+    // measured at x10): the self-join's two sides each rebuilt the
+    // 16M-row band exchange (ReuseExchange does NOT fire across the
+    // a/b subtrees) and capBuckets' occupancy aggregate added a third
+    // — ~21 s for 16k candidates. Grouping once to doc LISTS per
+    // bucket carries the same 16M rows through ONE exchange, the
+    // occupancy cap becomes a size() filter on the grouped row (same
+    // drop-over-cap semantics as capBuckets), and in-bucket pair
+    // expansion runs on the collapsed stream (buckets with ≥ 2 docs —
+    // thousands, not millions). Pairs compare VALUES (y > x), so the
+    // result is independent of collect_list's partition-dependent
+    // order: same (a < b) pair set as the join, measured 21.4 →
+    // 11.1 s end-to-end with identical candidate counts.
+    val cand = inBucketPairs(
+      minhashBandBuckets(sigs, bands, rowsPerBand)
+        .groupBy(col("band_idx"), col("band_key"))
+        .agg(collect_list(col("doc_id")).as("ds"))
+        .filter(size(col("ds")) <= maxBandOccupancy),
+      "ds")
       .distinct()
     cand
       .join(shingled.select(col("doc_id").as("a_id"), col("shingles").as("sh_a")), "a_id")
