@@ -444,41 +444,23 @@ object Dedup {
       .cache()
   }
 
-  /** Candidate-side occupancy cap shared by [[minhashLsh]] and
-    * [[simhash]]: a bucket (band key / chunk key) holding k docs yields
-    * k·(k−1)/2 candidate pairs, so ONE corpus-wide boilerplate clique
-    * makes banding O(clique²) at any corpus size — the first x10 scale
-    * rehearsal measured exactly this (a synthetic corpus with an
-    * unrealistically dense shingle universe spilled 79 GB in the band
-    * self-join before filling the disk). Buckets over the cap are
-    * excluded from CANDIDATE GENERATION — the same ppjoin-style
-    * philosophy as [[ngramJaccard]]'s shingle df cap: a pair is lost
-    * only if EVERY bucket it shares is over-occupied, i.e. its
-    * similarity is carried entirely by band minima it shares with >cap
-    * other docs (boilerplate cliques, which exact-verify O(clique²)
-    * anyway and belong to [[exact]]/[[clusterPairs]] treatment). The
-    * default cap (1024) is far above any real band occupancy on a
-    * near-dup corpus; Int.MaxValue recovers uncapped banding. */
-  private def capBuckets(buckets: DataFrame, idxCol: String, keyCol: String,
-      maxOccupancy: Int): DataFrame =
-    if (maxOccupancy == Int.MaxValue) buckets
-    else {
-      // INVERTED filter: materialize the OVER-occupied bucket keys and
-      // broadcast-anti-join them away. The bad-bucket list is bounded
-      // by construction — each bad bucket holds > cap members, so
-      // |bad| ≤ rows/cap (≤ ~1000 keys per million docs at the default
-      // cap) — always broadcastable, at any corpus size. Cost on the
-      // executed plan: ONE added exchange (the occupancy aggregate;
-      // its input subtree is shared with the probe side via
-      // ReuseExchange) and no shuffle on the probe side at all — the
-      // keep-side join/window formulations both measured +2/+3
-      // exchanges (PlanShapeSpec pins the bound).
-      val bad = buckets.groupBy(col(idxCol), col(keyCol))
-        .agg(count(lit(1)).as("__occ"))
-        .filter(col("__occ") > maxOccupancy)
-        .select(col(idxCol), col(keyCol))
-      buckets.join(broadcast(bad), Seq(idxCol, keyCol), "left_anti")
-    }
+  // The candidate-side occupancy cap that used to live in a dedicated
+  // capBuckets anti-join is now a size() filter on the grouped bucket
+  // row at each banding call site (§18.22). The RATIONALE is
+  // unchanged and worth keeping here: a bucket (band key / chunk key)
+  // holding k docs yields k·(k−1)/2 candidate pairs, so ONE
+  // corpus-wide boilerplate clique makes banding O(clique²) at any
+  // corpus size — the first x10 scale rehearsal measured exactly this
+  // (a synthetic corpus with an unrealistically dense shingle universe
+  // spilled 79 GB in the band self-join before filling the disk).
+  // Buckets over the cap are excluded from CANDIDATE GENERATION — the
+  // same ppjoin-style philosophy as ngramJaccard's shingle df cap: a
+  // pair is lost only if EVERY bucket it shares is over-occupied,
+  // i.e. its similarity is carried entirely by band minima it shares
+  // with >cap other docs (boilerplate cliques, which exact-verify
+  // O(clique²) anyway and belong to exact/clusterPairs treatment).
+  // The default cap (1024) is far above any real band occupancy on a
+  // near-dup corpus; Int.MaxValue recovers uncapped banding.
 
   /** MinHash + banded LSH near-dup pairs with exact-Jaccard verification
     * of candidates: output is exact for thresholds where banding recall
@@ -489,7 +471,7 @@ object Dedup {
     * h1+i·h2 family measurably loses recall). Signatures are flat
     * codegen'd min() columns (whole-stage codegen; ~4× over an
     * array-UDAF formulation). Band buckets over maxBandOccupancy are
-    * dropped from candidate generation (see [[capBuckets]] — the
+    * dropped from candidate generation (the occupancy-cap note above [[inBucketPairs]] — the
     * O(clique²) guard a 100 TB corpus needs).
     *
     * CACHING CONTRACT: each call `.cache()`s its shingle relation and —
@@ -522,7 +504,7 @@ object Dedup {
             numHashes)).as("sig"))
 
   /** The UNCAPPED band-bucket relation (doc_id, band_idx, band_key)
-    * [[minhashLsh]] feeds to [[capBuckets]] — exposed for the
+    * [[minhashLsh]] groups for candidate generation — exposed for the
     * occupancy-margin pin. */
   private[graft] def minhashBandBuckets(sigs: DataFrame, bands: Int,
       rowsPerBand: Int): DataFrame =
@@ -842,7 +824,7 @@ object Dedup {
     * char-fold formulation (interpreted HOF over every character) was
     * measured 100x slower on the pre-shuffle single-partition stage.
     * Chunk buckets over maxChunkOccupancy are dropped from candidate
-    * generation (see [[capBuckets]]; the simhash oracle replays
+    * generation (occupancy-cap note above [[inBucketPairs]]; the simhash oracle replays
     * banding UNCAPPED, so the equivalence holds exactly on corpora
     * where no bucket exceeds the cap — ChunkOccupancySpec asserts the
     * graded testdata's max occupancy stays far below the 1024 default,
@@ -870,24 +852,32 @@ object Dedup {
   def simhash(df: DataFrame, idCol: String, textCol: String, n: Int = 3,
       maxHamming: Int = 3, maxChunkOccupancy: Int = 1024): DataFrame = {
     val sigs = simhashSignatures(df, idCol, textCol, n)
-    val chunksDf = capBuckets(simhashChunkBuckets(sigs, maxHamming),
-      "chunk_idx", "chunk_key", maxChunkOccupancy)
-    // the chunk relation CARRIES the packed signature through the
-    // banding self-join, so hamming is evaluated inline on the
-    // candidate stream — no join-back of the signature relation (the
-    // old bits-array plan paid two candidate⋈sigs shuffles plus an
-    // interpreted zip_with/aggregate per pair), and the hamming filter
-    // runs BEFORE the pair-dedup distinct, so the distinct exchange
-    // sees only matching pairs instead of every banding candidate
-    // (duplicates arise per shared chunk; hamming is a function of the
-    // pair, so duplicates pass or fail together — filter-then-distinct
-    // is exact)
-    chunksDf.as("a")
-      .join(chunksDf.as("b"),
-        col("a.chunk_idx") === col("b.chunk_idx") && col("a.chunk_key") === col("b.chunk_key") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-        expr("bit_count(a.sig ^ b.sig)").as("hamming"))
+    // Candidate generation is one grouped aggregate over the chunk
+    // relation (the §18.22 shape — a chunk-key self-join pays its
+    // bucket exchange once per side because ReuseExchange does not
+    // fire across the a/b subtrees, plus a third for the occupancy
+    // cap). The doc LIST per chunk bucket carries (doc_id, sig)
+    // structs, so hamming is evaluated inline during in-bucket pair
+    // expansion — still no join-back of the signature relation — and
+    // the occupancy cap is a size() filter on the grouped row (same
+    // drop-over-cap semantics as the old capBuckets anti-join). The
+    // hamming filter runs inside the expansion, BEFORE the pair-dedup
+    // distinct, so the distinct exchange sees only matching pairs
+    // (duplicates arise per shared chunk; hamming is a function of
+    // the pair, so duplicates pass or fail together — filter-then-
+    // distinct is exact). Pairs compare doc-id VALUES (y > x), so the
+    // result is independent of collect_list's partition order.
+    simhashChunkBuckets(sigs, maxHamming)
+      .groupBy(col("chunk_idx"), col("chunk_key"))
+      .agg(collect_list(struct(col("doc_id"), col("sig"))).as("ds"))
+      .filter(size(col("ds")) >= 2 && size(col("ds")) <= maxChunkOccupancy)
+      .select(explode(expr(
+        s"""flatten(transform(ds, x ->
+           |  transform(filter(ds, y -> y.doc_id > x.doc_id), y -> struct(
+           |    x.doc_id AS a_id, y.doc_id AS b_id,
+           |    bit_count(x.sig ^ y.sig) AS hamming))))""".stripMargin))
+        .as("p"))
+      .select(col("p.a_id"), col("p.b_id"), col("p.hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
       .orderBy(col("a_id"), col("b_id"))
@@ -897,7 +887,7 @@ object Dedup {
   }
 
   /** The UNCAPPED chunk-bucket relation (doc_id, sig, chunk_idx,
-    * chunk_key) [[simhash]] feeds to [[capBuckets]] — exposed for the
+    * chunk_key) [[simhash]] groups for candidate generation — exposed for the
     * occupancy-margin pin (ChunkOccupancySpec). Chunk c's key is the
     * chunkBits-wide field at bit position c·chunkBits of the packed
     * signature — the SAME plane partition as the old bits-array slice
