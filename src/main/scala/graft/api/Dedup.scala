@@ -106,7 +106,13 @@ object Dedup {
     * cross-corpus path already accepts for its verify join, and far
     * below any real cluster's bit-flip rate. */
   def exact(df: DataFrame, idCol: String, normKey: Column): DataFrame =
-    df.withColumn("__norm", struct(xxhash64(normKey), xxhash64(lit(7), normKey)))
+    // spread: the normalization is the heaviest per-row stage in the
+    // query and runs BEFORE the first exchange — on a raw scan it
+    // inherits the file split count (3 splits at x10 = 3 of 32 cores;
+    // measured 14.5 s vs 4.9 s spread, compiled key). No-op when the
+    // source already has enough splits.
+    spread(df)
+      .withColumn("__norm", struct(xxhash64(normKey), xxhash64(lit(7), normKey)))
       .groupBy(col("__norm"))
       .agg(min(col(idCol)).as("canonical_doc"), count(lit(1)).as("n_members"))
       .select(col("canonical_doc"), col("n_members"))
@@ -195,7 +201,9 @@ object Dedup {
     import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     require(fpp > 0.0 && fpp < 1.0, s"fpp=$fpp out of range")
-    val refKeys = refDf.select(normKey.as("__k"))
+    // spread both corpus sides: normalization is the heaviest per-row
+    // stage and runs pre-exchange (the Dedup.exact split-count note)
+    val refKeys = spread(refDf).select(normKey.as("__k"))
     // Memo key + bloom sizing WITHOUT a per-call scan when the
     // reference is file-backed (round-8; the warm path previously paid
     // a full normalization pass per call just to fingerprint — ~9 s at
@@ -246,7 +254,7 @@ object Dedup {
       f.count() // materialize the cache so the memoized handle is warm
       f
     }
-    val keyed = newDf.select(col(idCol), normKey.as("__k"))
+    val keyed = spread(newDf).select(col(idCol), normKey.as("__k"))
     // LEFT join: a probe row whose bucket holds no reference keys (or
     // whose key is null — null buckets never equi-match) gets a null
     // filter, and the null-safe probe answers "not present". MERGE

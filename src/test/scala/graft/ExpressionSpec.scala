@@ -191,6 +191,33 @@ class ExpressionSpec extends SparkSpec {
     assert(out(4).getSeq[String](1) == Seq("a  b", " b c"))
   }
 
+  test("SortedTokenSetKey equals the native sort/distinct/join chain on real data") {
+    import spark.implicits._
+    for (sf <- Seq("sf0.001", "sf0.01")) {
+      val docs = Tables.documents(spark, s"/root/testdata/$sf")
+      val native = array_join(array_sort(array_distinct(split($"text", " "))), " ")
+      val fast = org.apache.spark.sql.GraftExpressionBridge.column(
+        graft.plans.SortedTokenSetKey(
+          org.apache.spark.sql.GraftExpressionBridge.expression($"text")))
+      val bad = docs.select($"doc_id", native.as("a"), fast.as("b"))
+        .filter(not($"a" <=> $"b")).count()
+      assert(bad == 0L, s"$bad docs with differing normalization keys at $sf")
+    }
+    // edge rows: null text → null; empty → ""; dup/unsorted tokens
+    val df = Seq(
+      (1L, Some("b a b c a")),
+      (2L, Some("")),
+      (3L, Option.empty[String])
+    ).toDF("doc_id", "text")
+    val fast = org.apache.spark.sql.GraftExpressionBridge.column(
+      graft.plans.SortedTokenSetKey(
+        org.apache.spark.sql.GraftExpressionBridge.expression(col("text"))))
+    val rows = df.select(fast).collect()
+    assert(rows(0).getString(0) == "a b c")
+    assert(rows(1).getString(0) == "")
+    assert(rows(2).isNullAt(0))
+  }
+
   test("double_array_dot is SQL-callable after GraftFunctions.register") {
     import spark.implicits._
     GraftFunctions.register(spark)
