@@ -276,20 +276,23 @@ object Text {
     // cached: tf feeds BOTH the df aggregate and the score join — without
     // the cache the tokenize subplan executes twice, and the cached
     // relation's exact statistics keep the token join broadcast.
-    val runLengths = expr(
-      """transform(array(sort_array(split(text, ' '))), s ->
-        |  transform(array(filter(sequence(1, size(s)),
-        |                         i -> i = 1 OR element_at(s, i) != element_at(s, i - 1))), st ->
-        |    transform(sequence(1, size(st)), j -> struct(
-        |      element_at(s, element_at(st, j)) AS token,
-        |      CAST(coalesce(try_element_at(st, j + 1), size(s) + 1)
-        |           - element_at(st, j) AS BIGINT) AS tf))
-        |  )[0]
-        |)[0]""".stripMargin)
-    val tf = api.Dedup.spread(docs)
-      .select($"doc_id", explode(runLengths).as("e"))
-      .select($"doc_id", $"e.token".as("token"), $"e.tf".as("tf"))
+    // per-row (token, tf) pairs via the compiled TokenRunLengths pass
+    // (round-8: replaces the three-pass interpreted run-length lambda
+    // — shape unchanged, compiled speed; equality pinned in
+    // ExpressionSpec). The cache sits on the PER-DOC run arrays, not
+    // the exploded (doc, token, tf) stream — the §18.20 lesson: both
+    // consumers (df aggregate + score join) explode from the cache at
+    // codegen speed, and the materialized entry is 1M array rows
+    // rather than ~35M exploded rows.
+    val runs = api.Dedup.spread(docs)
+      .select($"doc_id",
+        org.apache.spark.sql.GraftExpressionBridge.column(
+          graft.plans.TokenRunLengths(
+            org.apache.spark.sql.GraftExpressionBridge.expression($"text"))).as("rl"))
       .cache()
+    val tf = runs
+      .select($"doc_id", explode($"rl").as("e"))
+      .select($"doc_id", $"e.token".as("token"), $"e.tf".as("tf"))
     val dfreq = tf.groupBy($"token").agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val scored = tf.join(dfreq, "token")

@@ -124,6 +124,63 @@ object SortedTokenSetKey {
   }
 }
 
+/** Per-row term frequencies — (token, tf) for each distinct token of
+  * the text — as one compiled pass: split (the same UTF8String.split
+  * as the built-in), binary sort (= sort_array's UTF8_BINARY order),
+  * run-length count of equal adjacents. Replaces q_text_tfidf's
+  * three-pass interpreted run-length lambda (the round-8 fix of the
+  * round-7 regression kept the shuffle-free SHAPE but still paid
+  * interpreted per-element lambdas; this keeps the shape at compiled
+  * speed). Null text → null (the lambda's null propagation — the row
+  * then drops out of the explode). ExpressionSpec pins equality
+  * against the lambda formulation over the full real table. */
+case class TokenRunLengths(child: Expression)
+  extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"token_run_lengths requires a string input, got $t")
+  }
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("token", StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("tf",
+        org.apache.spark.sql.types.LongType, nullable = false))),
+      containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "token_run_lengths"
+
+  override def nullSafeEval(a: Any): Any =
+    TokenRunLengths.compute(a.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.plans.TokenRunLengths.compute($a);")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): TokenRunLengths = copy(child = newChild)
+}
+
+object TokenRunLengths {
+  private val SPACE = UTF8String.fromString(" ")
+
+  def compute(text: UTF8String): ArrayData = {
+    val toks = text.split(SPACE, -1)
+    java.util.Arrays.sort(toks, (x: UTF8String, y: UTF8String) => x.compareTo(y))
+    val out = new java.util.ArrayList[Any](math.min(toks.length, 64))
+    var i = 0
+    while (i < toks.length) {
+      var j = i + 1
+      while (j < toks.length && toks(j).equals(toks(i))) j += 1
+      out.add(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](toks(i), (j - i).toLong)))
+      i = j
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
 object WordShingles {
   private val SPACE = UTF8String.fromString(" ")
   private val emptyArray = new GenericArrayData(new Array[Any](0))

@@ -218,6 +218,33 @@ class ExpressionSpec extends SparkSpec {
     assert(rows(2).isNullAt(0))
   }
 
+  test("TokenRunLengths equals the interpreted run-length lambda on real data") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    val lambda = expr(
+      """transform(array(sort_array(split(text, ' '))), s ->
+        |  transform(array(filter(sequence(1, size(s)),
+        |                         i -> i = 1 OR element_at(s, i) != element_at(s, i - 1))), st ->
+        |    transform(sequence(1, size(st)), j -> struct(
+        |      element_at(s, element_at(st, j)) AS token,
+        |      CAST(coalesce(try_element_at(st, j + 1), size(s) + 1)
+        |           - element_at(st, j) AS BIGINT) AS tf))
+        |  )[0]
+        |)[0]""".stripMargin)
+    val fast = org.apache.spark.sql.GraftExpressionBridge.column(
+      graft.plans.TokenRunLengths(
+        org.apache.spark.sql.GraftExpressionBridge.expression($"text")))
+    val bad = docs.select($"doc_id", lambda.as("a"), fast.as("b"))
+      .filter(not($"a" <=> $"b")).count()
+    assert(bad == 0L, s"$bad docs with differing run-length sets")
+    // null text → null
+    val r = Seq((1L, Option.empty[String])).toDF("doc_id", "text")
+      .select(org.apache.spark.sql.GraftExpressionBridge.column(
+        graft.plans.TokenRunLengths(
+          org.apache.spark.sql.GraftExpressionBridge.expression(col("text"))))).head
+    assert(r.isNullAt(0))
+  }
+
   test("double_array_dot is SQL-callable after GraftFunctions.register") {
     import spark.implicits._
     GraftFunctions.register(spark)
