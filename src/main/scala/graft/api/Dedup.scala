@@ -322,11 +322,26 @@ object Dedup {
     * on the grouped row at the use sites (pair lists ≤ maxDf ⇒
     * expansion ≤ C(maxDf, 2) per shingle — bounded, never corpus²;
     * over-cap lists feed the oc counts). */
-  private def multiPostings(shingled: DataFrame): DataFrame =
-    shingled
+  /** Bounded collect_list when a cap is in force; plain collect_list
+    * when the caller explicitly accepted unbounded occupancy
+    * (cap == Int.MaxValue — every group's list must then be complete
+    * because every group's pairs are expanded). */
+  private def boundedList(child: Column, cap: Int): Column =
+    if (cap == Int.MaxValue) collect_list(child)
+    else graft.plans.BoundedCollectList.agg(child, cap)
+
+  private def multiPostings(shingled: DataFrame, maxDf: Int): DataFrame = {
+    val g = shingled
       .select(col("doc_id"), explode(col("shingles")).as("sh"))
-      .groupBy(col("sh")).agg(collect_list(col("doc_id")).as("ds"))
-      .filter(size(col("ds")) >= 2)
+      .groupBy(col("sh"))
+    // capped: BOUNDED lists (memory contract in BoundedCollectList's
+    // scaladoc) + the true df as a count column — kept groups
+    // (df ≤ maxDf) have complete lists by construction. Uncapped:
+    // every group's pairs are expanded, so lists must be complete —
+    // plain collect_list (the caller accepted unbounded occupancy).
+    g.agg(boundedList(col("doc_id"), maxDf).as("ds"), count(lit(1)).as("__df"))
+      .filter(col("__df") >= 2)
+  }
 
   /** All in-bucket pairs (a_id < b_id) of a grouped bucket→doc-list
     * relation — the round-8 replacement for bucket-key self-joins
@@ -349,7 +364,7 @@ object Dedup {
     * relation (df cap applied here). Returns (a_id, b_id, cnt_c ≥ 1). */
   private def pairIntersections(multi: DataFrame, maxDf: Int): DataFrame =
     inBucketPairs(
-      if (maxDf == Int.MaxValue) multi else multi.filter(size(col("ds")) <= maxDf),
+      if (maxDf == Int.MaxValue) multi else multi.filter(col("__df") <= maxDf),
       "ds")
       .groupBy(col("a_id"), col("b_id"))
       .agg(count(lit(1)).as("cnt_c"))
@@ -357,7 +372,7 @@ object Dedup {
   /** Candidate pairs sharing ≥1 shingle with df ≤ maxDf (exposed to
     * tests so the df² bound is assertable). */
   private[graft] def jaccardCandidates(shingled: DataFrame, maxDf: Int): DataFrame =
-    pairIntersections(multiPostings(shingled), maxDf).select(col("a_id"), col("b_id"))
+    pairIntersections(multiPostings(shingled, maxDf), maxDf).select(col("a_id"), col("b_id"))
 
   /** Jaccard over precomputed (doc_id, shingles): df-capped candidate
     * counts, a LOSSLESS upper-bound prune, then exact verification of
@@ -400,8 +415,7 @@ object Dedup {
     // single-doc, and caching them cost 22.8 s for rows no consumer
     // needs as rows (their only use, per-doc capped counts, is
     // recoverable as sz − oc).
-    val multi0 = multiPostings(shingled)
-    val multi = multi0.cache()
+    val multi = multiPostings(shingled, maxDf).cache()
     // ONE per-doc stats relation (size + over-cap count) joined per
     // pair side, not four separate joins: each broadcast build is its
     // own Spark job, and on a contended driver jobs ≈ cost. The
@@ -415,8 +429,17 @@ object Dedup {
     val docStats =
       if (maxDf == Int.MaxValue) sizes.withColumn("oc", lit(0L))
       else {
-        val ocCnt = multi.filter(size(col("ds")) > maxDf)
-          .select(explode(col("ds")).as("doc_id"))
+        // over-cap MEMBERSHIP cannot come from the bounded lists (they
+        // are truncated for exactly these groups) — it is a semi-join
+        // of the posting stream against the over-cap KEY set, which is
+        // bounded by construction (|bad| ≤ postings/maxDf) and
+        // broadcastable at any corpus size. When no group is over-cap
+        // the empty broadcast side lets AQE collapse the join (and the
+        // posting re-derivation above it) to an empty relation.
+        val badKeys = multi.filter(col("__df") > maxDf).select(col("sh"))
+        val ocCnt = shingled
+          .select(col("doc_id"), explode(col("shingles")).as("sh"))
+          .join(broadcast(badKeys), Seq("sh"), "left_semi")
           .groupBy(col("doc_id")).agg(count(lit(1)).as("__oc"))
         sizes.join(ocCnt, Seq("doc_id"), "left")
           .select(col("doc_id"), col("sz"),
@@ -548,11 +571,17 @@ object Dedup {
     // result is independent of collect_list's partition-dependent
     // order: same (a < b) pair set as the join, measured 21.4 →
     // 11.1 s end-to-end with identical candidate counts.
+    // BOUNDED list + true count (graft.plans.BoundedCollectList): a
+    // degenerate band key must never materialize its full membership
+    // as one buffer row — the occupancy filter reads the COUNT column
+    // (exact even when the list is truncated at cap+1), and kept
+    // buckets' lists are complete by construction (occ ≤ cap).
     val cand = inBucketPairs(
       minhashBandBuckets(sigs, bands, rowsPerBand)
         .groupBy(col("band_idx"), col("band_key"))
-        .agg(collect_list(col("doc_id")).as("ds"))
-        .filter(size(col("ds")) <= maxBandOccupancy),
+        .agg(boundedList(col("doc_id"), maxBandOccupancy).as("ds"),
+          count(lit(1)).as("__occ"))
+        .filter(col("__occ") <= maxBandOccupancy),
       "ds")
       .distinct()
     cand
@@ -875,10 +904,13 @@ object Dedup {
     // the pair, so duplicates pass or fail together — filter-then-
     // distinct is exact). Pairs compare doc-id VALUES (y > x), so the
     // result is independent of collect_list's partition order.
+    // bounded list + true count — same memory contract as minhashLsh's
+    // candidate aggregate (see BoundedCollectList)
     simhashChunkBuckets(sigs, maxHamming)
       .groupBy(col("chunk_idx"), col("chunk_key"))
-      .agg(collect_list(struct(col("doc_id"), col("sig"))).as("ds"))
-      .filter(size(col("ds")) >= 2 && size(col("ds")) <= maxChunkOccupancy)
+      .agg(boundedList(struct(col("doc_id"), col("sig")), maxChunkOccupancy).as("ds"),
+        count(lit(1)).as("__occ"))
+      .filter(col("__occ") >= 2 && col("__occ") <= maxChunkOccupancy)
       .select(explode(expr(
         s"""flatten(transform(ds, x ->
            |  transform(filter(ds, y -> y.doc_id > x.doc_id), y -> struct(

@@ -245,6 +245,26 @@ class ExpressionSpec extends SparkSpec {
     assert(r.isNullAt(0))
   }
 
+  test("BoundedCollectList: complete under cap, truncated at cap+1 over it, count-independent") {
+    import spark.implicits._
+    // 3 keys: occupancy 2 (under), 5 (at cap), 40 (over) — spread over
+    // many partitions so merge() truncation is exercised, not just update()
+    val rows = (1 to 2).map(i => ("a", i.toLong)) ++
+      (1 to 5).map(i => ("b", i.toLong)) ++
+      (1 to 40).map(i => ("c", i.toLong))
+    val df = spark.createDataFrame(rows).toDF("k", "v").repartition(16)
+    val out = df.groupBy($"k")
+      .agg(graft.plans.BoundedCollectList.agg($"v", 5).as("ds"),
+        count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) ->
+        (r.getSeq[Long](1).sorted, r.getLong(2))).toMap
+    assert(out("a") == (Seq(1L, 2L), 2L), "under-cap list must be complete")
+    assert(out("b")._1 == (1L to 5L) && out("b")._2 == 5L, "at-cap list must be complete")
+    assert(out("c")._1.length == 6 && out("c")._2 == 40L,
+      s"over-cap list must truncate at cap+1 with the true count intact, got ${out("c")}")
+    assert(out("c")._1.forall(v => v >= 1 && v <= 40))
+  }
+
   test("double_array_dot is SQL-callable after GraftFunctions.register") {
     import spark.implicits._
     GraftFunctions.register(spark)
