@@ -17,7 +17,9 @@ import org.apache.spark.sql.{GraftExpressionBridge => B}
   *    `--conf spark.sql.extensions=graft.GraftExtensions`.
   */
 object GraftFunctions {
-  val names: Seq[String] = Seq("double_array_dot", "hamming_distance")
+  val names: Seq[String] = Seq("double_array_dot", "hamming_distance",
+    "double_array_normalize", "word_shingles", "sorted_token_set_key",
+    "token_run_lengths")
 
   def register(spark: SparkSession): Unit = {
     B.registerFunction(spark, "double_array_dot",
@@ -29,6 +31,31 @@ object GraftFunctions {
       args => {
         require(args.length == 2, "hamming_distance(a, b) takes exactly 2 arguments")
         graft.plans.HammingDistance(args(0), args(1))
+      })
+    B.registerFunction(spark, "double_array_normalize",
+      args => {
+        require(args.length == 1, "double_array_normalize(v) takes exactly 1 argument")
+        graft.plans.DoubleArrayNormalize(args(0))
+      })
+    B.registerFunction(spark, "word_shingles",
+      args => {
+        require(args.length == 2, "word_shingles(text, n) takes exactly 2 arguments")
+        val n = args(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"word_shingles' n must be an integer literal, got $other")
+        }
+        graft.plans.WordShingles(args(0), n)
+      })
+    B.registerFunction(spark, "sorted_token_set_key",
+      args => {
+        require(args.length == 1, "sorted_token_set_key(text) takes exactly 1 argument")
+        graft.plans.SortedTokenSetKey(args(0))
+      })
+    B.registerFunction(spark, "token_run_lengths",
+      args => {
+        require(args.length == 1, "token_run_lengths(text) takes exactly 1 argument")
+        graft.plans.TokenRunLengths(args(0))
       })
   }
 }
@@ -46,6 +73,35 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         graft.plans.HammingDistance(args(0), args(1))
       },
       className = "graft.plans.HammingDistance")
+    B.injectFunction(ext, "double_array_normalize",
+      args => {
+        require(args.length == 1, "double_array_normalize(v) takes exactly 1 argument")
+        graft.plans.DoubleArrayNormalize(args(0))
+      },
+      className = "graft.plans.DoubleArrayNormalize")
+    B.injectFunction(ext, "sorted_token_set_key",
+      args => {
+        require(args.length == 1, "sorted_token_set_key(text) takes exactly 1 argument")
+        graft.plans.SortedTokenSetKey(args(0))
+      },
+      className = "graft.plans.SortedTokenSetKey")
+    B.injectFunction(ext, "token_run_lengths",
+      args => {
+        require(args.length == 1, "token_run_lengths(text) takes exactly 1 argument")
+        graft.plans.TokenRunLengths(args(0))
+      },
+      className = "graft.plans.TokenRunLengths")
+    B.injectFunction(ext, "word_shingles",
+      args => {
+        require(args.length == 2, "word_shingles(text, n) takes exactly 2 arguments")
+        val n = args(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"word_shingles' n must be an integer literal, got $other")
+        }
+        graft.plans.WordShingles(args(0), n)
+      },
+      className = "graft.plans.WordShingles")
     // naive abs(a-b) <= w joins become banded equi joins automatically
     ext.injectOptimizerRule(_ => graft.plans.BandJoinRewrite)
   }

@@ -273,4 +273,20 @@ class ExpressionSpec extends SparkSpec {
     val r = spark.sql("SELECT double_array_dot(a, b) AS d FROM dot_in").head.getDouble(0)
     assert(r == 11.0)
   }
+
+  test("the round-8 text/vector expressions are SQL-callable after register") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    Seq((1L, "b a b c", Array(3.0f, 4.0f))).toDF("id", "t", "v")
+      .createOrReplaceTempView("expr_in")
+    val r = spark.sql(
+      """SELECT word_shingles(t, 2) AS sh, sorted_token_set_key(t) AS k,
+        |       token_run_lengths(t) AS rl, double_array_normalize(v) AS nv
+        |FROM expr_in""".stripMargin).head
+    assert(r.getSeq[String](0) == Seq("b a", "a b", "b c"))
+    assert(r.getString(1) == "a b c")
+    assert(r.getSeq[org.apache.spark.sql.Row](2).map(x => (x.getString(0), x.getLong(1)))
+      == Seq(("a", 1L), ("b", 2L), ("c", 1L)))
+    assert(r.getSeq[Double](3) == Seq(0.6, 0.8))
+  }
 }
