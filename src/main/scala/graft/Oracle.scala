@@ -1271,6 +1271,31 @@ object Oracle {
         |  FROM scored) t
         |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
 
+    // BM25 with the Lucene always-positive idf; rank on the ROUNDED
+    // score + doc_id tiebreak in both engines (same ln-drift convention
+    // as q_text_tfidf). avgdl is exact in both engines: integer token
+    // counts summed exactly, one final division.
+    "q_text_bm25" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |tok AS (SELECT doc_id, len(t) AS doclen, unnest(t) AS token FROM d),
+        |tf AS (SELECT doc_id, min(doclen) AS doclen, token, count(*) AS tf
+        |       FROM tok WHERE token IN ('merge', 'scan', 'vector')
+        |       GROUP BY doc_id, token),
+        |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+        |stats AS (SELECT count(*) AS n_docs,
+        |                 avg(len(string_split(text, ' '))) AS avgdl
+        |          FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id,
+        |         round(sum(ln((stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+        |                   * tf.tf * 2.2
+        |                   / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.doclen / stats.avgdl))), 6)
+        |           AS bm25
+        |  FROM tf JOIN dfreq USING (token) CROSS JOIN stats
+        |  GROUP BY tf.doc_id)
+        |SELECT doc_id, bm25 FROM scored
+        |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin,
+
     "q_text_decontaminate" -> {
       val probes = graft.ops.Text.contaminationProbes
         .map(p => s"('${p.replace("'", "''")}')").mkString(", ")
@@ -1372,6 +1397,20 @@ object Oracle {
         |       count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
         |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
         |FROM c GROUP BY 1, 2 ORDER BY lang, chunk_id""".stripMargin,
+
+    // sequential Poisson weighted sample: the oracle replays the SAME
+    // md5-derived 52-bit uniform and the SAME two IEEE divisions
+    // (correctly rounded ⇒ bit-identical doubles in both engines; no
+    // transcendentals anywhere), so xi compares exactly
+    "q_sample_weighted" ->
+      """SELECT doc_id, w, xi FROM (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+        |         (CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 13) AS BIGINT)
+        |            / 4503599627370496.0)
+        |           / CAST(len(string_split(text, ' ')) AS BIGINT) AS xi
+        |  FROM documents) s
+        |WHERE w > 0
+        |ORDER BY xi, doc_id LIMIT 100""".stripMargin,
 
     "q_sample_mixture" -> {
       val quotas = graft.ops.Text.mixtureQuotas.toSeq.sorted

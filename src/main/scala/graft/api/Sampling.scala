@@ -1,6 +1,6 @@
 package graft.api
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -53,6 +53,34 @@ object Sampling {
       .withColumn("sample_rank", row_number().over(w))
       .filter(col("sample_rank") <= col("__quota"))
       .drop("__stratum", "__quota")
+  }
+
+  /** Weighted sampling without replacement by SEQUENTIAL POISSON
+    * sampling (Ohlsson 1998): each row gets a deterministic uniform
+    * u = int(md5(id)[0:13 hex]) / 2^52 ∈ [0, 1), a priority
+    * xi = u / w, and the sample is the k smallest xi (ties broken by
+    * id) — inclusion probability approximately proportional to the
+    * weight, the standard πps workhorse for weight-aware corpus
+    * subsampling (upweight high-quality docs, downweight boilerplate).
+    * Everything is EXACT portable arithmetic — md5 digest, one hex
+    * parse, two IEEE divisions (correctly rounded, bit-identical in
+    * any engine) — so the draw reproduces anywhere, unlike rand()-
+    * seeded samples that depend on partitioning. Scale shape:
+    * per-row expressions + one top-k (TakeOrderedAndProject — a k-row
+    * heap per partition, a k·partitions-row single exchange; never a
+    * full sort). Weights must be strictly positive: w ≤ 0 rows are
+    * excluded (xi would be infinite/negative — documented, and the
+    * filter keeps the division total). */
+  def sequentialPoisson(df: DataFrame, idCol: String, weightCol: Column,
+      k: Int): DataFrame = {
+    require(k >= 1)
+    val u = conv(substring(md5(col(idCol).cast("string").cast("binary")), 1, 13),
+      16, 10).cast("double") / lit(4503599627370496.0d) // 2^52
+    df.withColumn("w", weightCol.cast("long"))
+      .filter(col("w") > 0)
+      .withColumn("xi", u / col("w"))
+      .orderBy(col("xi"), col(idCol))
+      .limit(k)
   }
 
   /** Concat-and-chunk sequence packing: within each key, documents are

@@ -318,6 +318,66 @@ object Text {
       .cache()
   }
 
+  /** BM25 retrieval scoring of a fixed query against the corpus —
+    * Okapi BM25 with the Lucene-style always-positive idf
+    * `ln((N - df + 0.5)/(df + 0.5) + 1)`, k1 = 1.2, b = 0.75. The plan
+    * is the retrieval half of a training-data pipeline's query-based
+    * curation (find the documents most relevant to a probe query):
+    *   1. per-row compiled (token, tf) pairs (TokenRunLengths — the
+    *      same shuffle-free tf as textTfidf) plus doclen = |tokens|;
+    *   2. explode + `isin(queryTerms)` filter INSIDE one whole-stage
+    *      codegen span — only rows matching the ≤ |q| query terms
+    *      survive, so nothing corpus-sized ever shuffles;
+    *   3. df per query term = a ≤ |q|-key groupBy (partial agg), and
+    *      (N, avgdl) = a 1-row aggregate, both broadcast;
+    *   4. per-(doc, term) score, then one bounded groupBy(doc_id)
+    *      (≤ |q| rows per doc enter the exchange) summed, rounded at
+    *      6 dp (libm-drift convention), top-10 via orderBy+limit
+    *      (TakeOrderedAndProject — heap per partition, no full sort).
+    * At 100 TB the only corpus-keyed exchange carries ≤ |q| rows per
+    * matching document — the answer, not the corpus. Ranking ties
+    * break on doc_id in both engines. */
+  def textBm25(spark: SparkSession, dir: String): DataFrame =
+    bm25Rank(Tables.documents(spark, dir),
+      queryTerms = Seq("merge", "scan", "vector"), k = 10)
+
+  /** Core of [[textBm25]] over any (doc_id, text) relation. */
+  private[graft] def bm25Rank(docs: DataFrame, queryTerms: Seq[String],
+      k: Int, k1: Double = 1.2d, b: Double = 0.75d): DataFrame = {
+    import docs.sparkSession.implicits._
+    val qtf = graft.api.Dedup.spread(docs)
+      .select($"doc_id",
+        size(toks($"text")).cast("long").as("doclen"),
+        explode(org.apache.spark.sql.GraftExpressionBridge.column(
+          graft.plans.TokenRunLengths(
+            org.apache.spark.sql.GraftExpressionBridge.expression($"text"))))
+          .as("e"))
+      .select($"doc_id", $"doclen", $"e.token".as("token"), $"e.tf".as("tf"))
+      .where($"token".isin(queryTerms: _*))
+      // cached: qtf feeds BOTH the df aggregate and the scoring join,
+      // and the materialized entry is ≤ |q| rows per MATCHING doc —
+      // the corpus-sized tokenize runs once (same contract as
+      // textTfidf's run-array cache, at a far smaller footprint)
+      .cache()
+    val dfreq = qtf.groupBy($"token").agg(count(lit(1)).as("df"))
+    val stats = docs.agg(
+      count(lit(1)).as("n_docs"),
+      avg(size(toks($"text"))).as("avgdl"))
+    val idf = log(($"n_docs" - $"df" + 0.5d) / ($"df" + 0.5d) + 1.0d)
+    val termScore = idf * $"tf" * lit(k1 + 1.0d) /
+      ($"tf" + lit(k1) * (lit(1.0d - b) + lit(b) * $"doclen" / $"avgdl"))
+    qtf.join(broadcast(dfreq), "token")
+      .crossJoin(broadcast(stats))
+      .groupBy($"doc_id")
+      .agg(round(sum(termScore), 6).as("bm25"))
+      .orderBy($"bm25".desc, $"doc_id")
+      .limit(k)
+      .select($"doc_id", $"bm25")
+      // k-row final cached — repeat calls plan-match and skip the
+      // scoring join (same contract as textTfidf)
+      .cache()
+  }
+
   /** Unigram negative-log-likelihood quality score (the CCNet-style LM
     * filter proxy): train a unigram model ON the corpus itself (token
     * frequency / total tokens) and score each doc by its mean token
@@ -430,6 +490,20 @@ object Text {
     api.Sampling.stratifiedTopN(Tables.documents(spark, dir), "lang", "doc_id", n = 20)
       .select($"lang", $"sample_rank", $"doc_id")
       .orderBy($"lang", $"sample_rank")
+  }
+
+  /** Weighted corpus sample — sequential Poisson (Ohlsson) πps draw of
+    * 100 docs with weight = token count, so longer documents are
+    * proportionally likelier: graft.api.Sampling.sequentialPoisson
+    * (deterministic md5-derived uniforms, exact IEEE arithmetic — the
+    * oracle replays the identical divisions). The length weight is the
+    * stand-in for any per-doc quality score. */
+  def sampleWeighted(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    api.Sampling.sequentialPoisson(
+      Tables.documents(spark, dir), "doc_id", size(toks($"text")), k = 100)
+      .select($"doc_id", $"w", $"xi")
+      .orderBy($"xi", $"doc_id")
   }
 
   /** Mixture sampling — the data-mixing step: a 200-doc budget split

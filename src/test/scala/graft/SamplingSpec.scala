@@ -26,6 +26,36 @@ class SamplingSpec extends SparkSpec {
     assert(pick(df) == pick(df.orderBy(rand()))) // input order is irrelevant
   }
 
+  test("sequentialPoisson: xi matches a plain-Scala replay, excludes w<=0, respects k") {
+    import spark.implicits._
+    val df = Seq((0L, 4L), (1L, 1L), (2L, 9L), (3L, 0L), (4L, -2L), (5L, 25L))
+      .toDF("id", "weight")
+    val got = graft.api.Sampling.sequentialPoisson(df, "id", col("weight"), k = 3)
+      .select($"id", $"w", $"xi").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // plain-Scala replay of the identical arithmetic
+    def xi(id: Long, w: Long): Double = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      val hex = d.map("%02x".format(_)).mkString.substring(0, 13)
+      (java.lang.Long.parseLong(hex, 16) / 4503599627370496.0) / w
+    }
+    val expected = Seq(0L -> 4L, 1L -> 1L, 2L -> 9L, 5L -> 25L)
+      .map { case (id, w) => (id, w, xi(id, w)) }
+      .sortBy(t => (t._3, t._1)).take(3)
+    assert(got.toSeq == expected, s"got ${got.toSeq} want $expected")
+    // non-positive weights never appear, whatever k
+    val all = graft.api.Sampling.sequentialPoisson(df, "id", col("weight"), k = 10)
+      .select($"id").as[Long].collect().toSet
+    assert(all == Set(0L, 1L, 2L, 5L), all.toString)
+    // determinism under input reordering
+    val again = graft.api.Sampling.sequentialPoisson(
+        df.orderBy(rand()), "id", col("weight"), k = 3)
+      .select($"id", $"w", $"xi").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(again.toSeq == got.toSeq)
+  }
+
   test("mixtureSample: exact quotas, unallocated strata dropped, subset of stratifiedTopN order") {
     import spark.implicits._
     val df = (0 until 90).map(i => (s"s${i % 3}", i.toLong)).toDF("stratum", "id")

@@ -219,6 +219,35 @@ class TextVectorSpec extends SparkSpec {
     assert(out(3L) == ((1, 1.0, 0.0, 0)))
   }
 
+  test("bm25 ranking matches a plain-Scala computation and drops non-matching docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "merge scan merge sort"),
+      (1L, "vector scan"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "scan"),
+    ).toDF("doc_id", "text")
+    val out = graft.ops.Text.bm25Rank(docs, Seq("merge", "scan", "vector"), k = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    // plain-Scala reference: Lucene idf, k1=1.2, b=0.75, N=4, avgdl=3.25
+    val (k1, b, n, avgdl) = (1.2, 0.75, 4.0, 13.0 / 4.0)
+    def idf(df: Int) = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+    def term(df: Int, tf: Long, dl: Long) =
+      idf(df) * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = Map(
+      0L -> r6(term(1, 2, 4) + term(3, 1, 4)),        // merge x2, scan x1
+      1L -> r6(term(3, 1, 2) + term(1, 1, 2)),        // scan, vector
+      3L -> r6(term(3, 1, 1)),                        // scan only
+    )
+    assert(out.map(_._1).toSet == Set(0L, 1L, 3L), s"docs ranked: ${out.toSeq}")
+    out.foreach { case (id, s) =>
+      assert(math.abs(s - expected(id)) < 1e-9, s"doc $id: got $s want ${expected(id)}")
+    }
+    // descending by score, doc_id tiebreak
+    assert(out.map(_._2).toSeq == out.map(_._2).sortBy(-_).toSeq)
+  }
+
   test("rolling-hash fingerprint matches hand computation") {
     import spark.implicits._
     val df = Seq((1L, "ab")).toDF("doc_id", "text")
