@@ -89,4 +89,64 @@ object Fuzzy {
     cand.filter(col("hamming") <= maxDist)
       .distinct()
   }
+
+  /** All pairs (a_id, b_id, hamming) with a_id < b_id, equal-length
+    * keys, and Hamming distance ≤ 1 — exact, via MASKED-COMPLEMENT
+    * blocking: the block key for part p is the ENTIRE key with part p
+    * (segLen chars) masked out, hashed with the length and part index.
+    * Two equal-length keys at Hamming ≤ 1 differ in at most one
+    * position, which lies in exactly one part — masking that part makes
+    * them equal — so the blocking is COMPLETE for every key length (no
+    * short-key domain exclusion: the parts partition [1, len] whatever
+    * len is, unlike [[hammingJoin]]'s fixed tail segments).
+    *
+    * Why this exists next to [[hammingJoin]]: value-blocking on a short
+    * segment keys buckets by segLen characters of entropy, so bucket
+    * size grows linearly with N and candidate pairs quadratically —
+    * measured on the x1/x10/x30 rehearsal corpus, q_join_fuzzy's WARM
+    * time scaled 0.60 → 2.92 → 21.3 s (≈ N²/10² candidates on
+    * digit-suffixed names). The masked key retains len − segLen chars
+    * of entropy — a bucket holds only keys identical everywhere outside
+    * one part, i.e. true near-matches — so candidates scale with the
+    * OUTPUT, and the exchange carries ceil(len/segLen)·N fixed-width
+    * (hash, id, key) rows: linear in N at any corpus size. Candidate
+    * generation stays a hash-equi SELF-JOIN, not a grouped
+    * collect_list: exactness forbids an occupancy cap, and a degenerate
+    * corpus (every key equal) must spill across tasks rather than
+    * materialize one bucket row. Verification is the same codegen'd
+    * [[graft.plans.HammingDistance]], filtered BEFORE the pair-dedup
+    * distinct (an exact-duplicate pair appears once per part; a
+    * distance-1 pair exactly once). Hash collisions only ever ADD
+    * candidates, which the verify filter removes.
+    *
+    * maxDist ≥ 2 needs C(parts, d) masks per row and stays on
+    * [[hammingJoin]]'s pigeonhole path. */
+  def hammingJoinMasked(df: DataFrame, idCol: String, strCol: String,
+      segLen: Int = 1): DataFrame = {
+    require(segLen >= 1, s"bad segLen=$segLen")
+    val base = Dedup.spread(df)
+      .select(col(idCol).cast("long").as("__id"), col(strCol).as("__s"))
+      .filter(col("__s").isNotNull)
+    val len = length(col("__s"))
+    val lastPart = greatest(ceil(len.cast("double") / segLen).cast("int") - 1, lit(0))
+    val parts = base
+      .select(col("__id"), col("__s"), len.as("__len"),
+        explode(sequence(lit(0), lastPart)).as("p"))
+    val masked = concat(
+      col("__s").substr(lit(1), col("p") * segLen),
+      col("__s").substr(col("p") * segLen + lit(segLen + 1), col("__len")))
+    val keyed = parts.select(col("__id"), col("__s"),
+      xxhash64(col("__len"), col("p"), masked).as("__mh"))
+    // SHUFFLE_HASH, not sort-merge: the exploded part stream is
+    // parts-per-key × N rows and SMJ would sort it TWICE; the hash
+    // build side is one co-partitioned slice of the same narrow
+    // relation, bounded per task by the partition count at any scale
+    keyed.as("a").hint("SHUFFLE_HASH")
+      .join(keyed.as("b"),
+        col("a.__mh") === col("b.__mh") && col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("a_id"), col("b.__id").as("b_id"),
+        hammingDist(col("a.__s"), col("b.__s")).as("hamming"))
+      .filter(col("hamming") <= 1)
+      .distinct()
+  }
 }

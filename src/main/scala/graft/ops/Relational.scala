@@ -512,17 +512,19 @@ object Relational {
 
   /** Fuzzy-key self-join (entity resolution): customer-name pairs within
     * Hamming distance 1 — a typo'd digit in an id-suffixed name. Exact
-    * via graft.api.Fuzzy.hammingJoin's pigeonhole segment blocking
-    * (d+1 disjoint tail segments; complete for equal-length keys, no
-    * recall caveat), candidates verified by the codegen'd
+    * via graft.api.Fuzzy.hammingJoinMasked's masked-complement blocking
+    * (block key = the whole name with one character masked, so a bucket
+    * holds only true near-matches and candidates scale with the OUTPUT —
+    * the tail-segment value-blocked plan's candidates grew ≈ N²/10² on
+    * these digit-suffixed names: warm 0.60 → 2.92 → 21.3 s across the
+    * x1/x10/x30 rehearsal), candidates verified by the codegen'd
     * HammingDistance expression. The DuckDB oracle brute-forces the
     * all-pairs join independently, so the gate re-proves the blocking's
     * completeness on every run instead of replaying the blocks. */
   def joinFuzzy(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    graft.api.Fuzzy.hammingJoin(
-        Tables.customer(spark, dir), idCol = "c_custkey", strCol = "c_name",
-        maxDist = 1, segLen = 2)
+    graft.api.Fuzzy.hammingJoinMasked(
+        Tables.customer(spark, dir), idCol = "c_custkey", strCol = "c_name")
       .select($"a_id", $"b_id", $"hamming")
       .orderBy($"a_id", $"b_id")
   }

@@ -64,6 +64,34 @@ class FuzzySpec extends SparkSpec {
     assert(got === Set((1L, 3L, 1)))
   }
 
+  test("masked join equals brute force on the real customer names (sf0.001)") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(dir).isDirectory, "driver testdata not present")
+    val cust = Tables.customer(spark, dir)
+      .select($"c_custkey".cast("long"), $"c_name").as[(Long, String)].collect().toSeq
+    val got = collectPairs(
+      Fuzzy.hammingJoinMasked(Tables.customer(spark, dir), "c_custkey", "c_name"))
+    assert(got === bruteForce(cust, 1))
+    assert(got.nonEmpty, "testdata should contain hamming<=1 name pairs")
+  }
+
+  test("masked join: prefix/mid/tail edits, short keys INCLUDED, segLen > 1, exact dups once") {
+    val rows = Seq(
+      (1L, "Xustomer#000000042"), (2L, "Customer#000000042"), // prefix substitution
+      (3L, "Custoper#000000042"),                             // mid substitution
+      (4L, "Customer#000000043"),                             // tail substitution
+      (5L, "abc"), (6L, "abd"),       // short keys are IN the domain here
+      (7L, "abc"),                    // exact duplicate of 5 → one (5,7,0) row
+      (8L, "abcd"))                   // unequal length never pairs
+    for (sl <- Seq(1, 2, 5)) {
+      val got = collectPairs(
+        Fuzzy.hammingJoinMasked(rows.toDF("id", "s"), "id", "s", segLen = sl))
+      assert(got === bruteForce(rows, 1), s"segLen=$sl")
+    }
+    val df = Fuzzy.hammingJoinMasked(rows.toDF("id", "s"), "id", "s")
+    assert(df.count() === df.distinct().count()) // pair-dedup actually applied
+  }
+
   test("hamming_distance expression: nulls, unequal lengths, SQL registration") {
     GraftFunctions.register(spark)
     val df = Seq(("abcd", "abed"), ("abcd", "abcd")).toDF("a", "b")
