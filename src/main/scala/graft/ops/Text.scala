@@ -293,9 +293,25 @@ object Text {
     val tf = runs
       .select($"doc_id", explode($"rl").as("e"))
       .select($"doc_id", $"e.token".as("token"), $"e.tf".as("tf"))
-    val dfreq = tf.groupBy($"token").agg(count(lit(1)).as("df"))
+    // the idf relation is VOCABULARY-sized, not corpus-sized — but
+    // Catalyst can't see that through the explode+aggregate (its
+    // estimate stays at the child's size), so left alone the score
+    // join plans as a sort-merge join that SORTS the exploded
+    // (doc, token) stream: measured at x30 (150M pairs) that sort
+    // spilled ~1 GB and cost 2100 s of executor time — 14× the x10
+    // cost for 3× the rows. The df aggregate must materialize before
+    // scoring anyway, so count it (one small job over the cached run
+    // arrays) and decide like AQE would, but BEFORE the corpus-sized
+    // exchange: a bounded vocabulary broadcasts (no tf-stream shuffle
+    // at all — the explode feeds TopKPerKey's partial directly); a
+    // corpus-like vocabulary (shouldn't happen for natural text, but
+    // ids-in-text corpora exist) falls back to SHUFFLE_HASH, which
+    // still shuffles by token but never sorts the stream.
+    val dfreq = tf.groupBy($"token").agg(count(lit(1)).as("df")).cache()
+    val dfr =
+      if (dfreq.count() <= 2000000L) broadcast(dfreq) else dfreq.hint("SHUFFLE_HASH")
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
-    val scored = tf.join(dfreq, "token")
+    val scored = tf.join(dfr, "token")
       .crossJoin(broadcast(nDocs))
       .withColumn("tfidf",
         round($"tf" * (log(($"n_docs" + 1.0) / ($"df" + 1.0)) + 1.0), 6))
@@ -394,9 +410,17 @@ object Text {
     val tok = graft.api.Dedup.spread(Tables.documents(spark, dir))
       .select($"doc_id", explode(toks($"text")).as("w"))
       .cache()
-    val model = tok.groupBy($"w").agg(count(lit(1)).as("tf"))
+    // vocabulary-sized model, corpus-sized estimate: same trap as
+    // textTfidf's idf join (see the comment there) — measured there at
+    // x30, the un-hinted plan sort-merge-joins and SORTS the exploded
+    // token stream. Materialize the model (needed anyway), then
+    // broadcast it, falling back to a sort-free SHUFFLE_HASH join only
+    // if the vocabulary is somehow corpus-like.
+    val model = tok.groupBy($"w").agg(count(lit(1)).as("tf")).cache()
+    val modelB =
+      if (model.count() <= 2000000L) broadcast(model) else model.hint("SHUFFLE_HASH")
     val total = model.agg(sum($"tf").as("total"))
-    tok.join(model, "w")
+    tok.join(modelB, "w")
       .crossJoin(broadcast(total))
       .withColumn("nll", -log($"tf".cast("double") / $"total".cast("double")))
       .groupBy($"doc_id")
