@@ -308,8 +308,15 @@ object Text {
     // ids-in-text corpora exist) falls back to SHUFFLE_HASH, which
     // still shuffles by token but never sorts the stream.
     val dfreq = tf.groupBy($"token").agg(count(lit(1)).as("df")).cache()
+    // the count is a property of the CORPUS, not of any cached handle,
+    // so it memoizes per (session, dir) — shared with unigramLL's model
+    // count (same tokenization ⇒ same vocabulary) so a session running
+    // both token-scoring queries pays the sizing job once, and a warm
+    // repeat call stays at its plan-match job count
+    val nVocab: Long = api.ResultCache.getOrCompute[java.lang.Long](
+      s"vocabCount:${api.ResultCache.sessionId(spark)}:$dir", _ => true)(dfreq.count())
     val dfr =
-      if (dfreq.count() <= 2000000L) broadcast(dfreq) else dfreq.hint("SHUFFLE_HASH")
+      if (nVocab <= 2000000L) broadcast(dfreq) else dfreq.hint("SHUFFLE_HASH")
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val scored = tf.join(dfr, "token")
       .crossJoin(broadcast(nDocs))
@@ -417,8 +424,12 @@ object Text {
     // broadcast it, falling back to a sort-free SHUFFLE_HASH join only
     // if the vocabulary is somehow corpus-like.
     val model = tok.groupBy($"w").agg(count(lit(1)).as("tf")).cache()
+    // same memo key as textTfidf's idf sizing: identical tokenization,
+    // identical vocabulary count
+    val nVocab: Long = api.ResultCache.getOrCompute[java.lang.Long](
+      s"vocabCount:${api.ResultCache.sessionId(spark)}:$dir", _ => true)(model.count())
     val modelB =
-      if (model.count() <= 2000000L) broadcast(model) else model.hint("SHUFFLE_HASH")
+      if (nVocab <= 2000000L) broadcast(model) else model.hint("SHUFFLE_HASH")
     val total = model.agg(sum($"tf").as("total"))
     tok.join(modelB, "w")
       .crossJoin(broadcast(total))
