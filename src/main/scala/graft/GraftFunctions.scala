@@ -19,7 +19,7 @@ import org.apache.spark.sql.{GraftExpressionBridge => B}
 object GraftFunctions {
   val names: Seq[String] = Seq("double_array_dot", "hamming_distance",
     "double_array_normalize", "word_shingles", "sorted_token_set_key",
-    "token_run_lengths")
+    "token_run_lengths", "ngram_run_lengths")
 
   def register(spark: SparkSession): Unit = {
     B.registerFunction(spark, "double_array_dot",
@@ -57,6 +57,16 @@ object GraftFunctions {
         require(args.length == 1, "token_run_lengths(text) takes exactly 1 argument")
         graft.plans.TokenRunLengths(args(0))
       })
+    B.registerFunction(spark, "ngram_run_lengths",
+      args => {
+        require(args.length == 2, "ngram_run_lengths(text, n) takes exactly 2 arguments")
+        val n = args(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"ngram_run_lengths' n must be an integer literal, got $other")
+        }
+        graft.plans.NgramRunLengths(args(0), n)
+      })
   }
 }
 
@@ -91,6 +101,17 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         graft.plans.TokenRunLengths(args(0))
       },
       className = "graft.plans.TokenRunLengths")
+    B.injectFunction(ext, "ngram_run_lengths",
+      args => {
+        require(args.length == 2, "ngram_run_lengths(text, n) takes exactly 2 arguments")
+        val n = args(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"ngram_run_lengths' n must be an integer literal, got $other")
+        }
+        graft.plans.NgramRunLengths(args(0), n)
+      },
+      className = "graft.plans.NgramRunLengths")
     B.injectFunction(ext, "word_shingles",
       args => {
         require(args.length == 2, "word_shingles(text, n) takes exactly 2 arguments")

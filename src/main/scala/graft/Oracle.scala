@@ -1271,6 +1271,67 @@ object Oracle {
         |  FROM scored) t
         |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
 
+    // conditional bigram LM replay: identical tokenization (1-indexed
+    // list windows ↔ the compiled NgramRunLengths pass), c(w1 w2) and
+    // c(w1 ·) counted exactly, -ln rounded at 6 dp after the per-doc
+    // avg; docs with < 2 tokens drop out of both engines (empty
+    // range() here, empty run array in Spark)
+    "q_text_bigram_ll" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |pos AS (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM d),
+        |big AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS bg FROM pos),
+        |model AS (SELECT bg, count(*) AS cbg FROM big GROUP BY bg),
+        |lft AS (SELECT string_split(bg, ' ')[1] AS w1, sum(cbg) AS cw1
+        |        FROM model GROUP BY 1)
+        |SELECT b.doc_id, count(*) AS n_bigrams,
+        |       round(avg(-ln(CAST(m.cbg AS DOUBLE) / CAST(l.cw1 AS DOUBLE))), 6)
+        |         AS avg_nll
+        |FROM big b JOIN model m USING (bg)
+        |JOIN lft l ON string_split(b.bg, ' ')[1] = l.w1
+        |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin,
+
+    // reciprocal-rank fusion replay: both legs rank on their 6-dp
+    // ROUNDED scores with id tiebreaks (the same convention that makes
+    // bm25/knn deterministic), so the fused ranks are engine-exact;
+    // 1.0/(60+r) in double both sides
+    "q_text_rrf" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |tok AS (SELECT doc_id, len(t) AS doclen, unnest(t) AS token FROM d),
+        |tf AS (SELECT doc_id, min(doclen) AS doclen, token, count(*) AS tf
+        |       FROM tok WHERE token IN ('merge', 'scan', 'vector')
+        |       GROUP BY doc_id, token),
+        |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+        |stats AS (SELECT count(*) AS n_docs,
+        |                 avg(len(string_split(text, ' '))) AS avgdl
+        |          FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id,
+        |         round(sum(ln((stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+        |                   * tf.tf * 2.2
+        |                   / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.doclen / stats.avgdl))), 6)
+        |           AS bm25
+        |  FROM tf JOIN dfreq USING (token) CROSS JOIN stats
+        |  GROUP BY tf.doc_id),
+        |lex AS (SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank
+        |        FROM (SELECT doc_id, bm25 FROM scored
+        |              ORDER BY bm25 DESC, doc_id LIMIT 50)),
+        |probe AS (SELECT CAST(embedding AS DOUBLE[]) AS pe
+        |          FROM embeddings WHERE vec_id = 0),
+        |dense AS (SELECT vec_id AS doc_id,
+        |                 row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS dense_rank
+        |          FROM (SELECT vec_id,
+        |                       round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), pe), 6)
+        |                         AS cos_sim
+        |                FROM embeddings, probe WHERE vec_id <> 0
+        |                ORDER BY cos_sim DESC, vec_id LIMIT 50))
+        |SELECT doc_id,
+        |       round(coalesce(1.0/(60 + l.lex_rank), 0) +
+        |             coalesce(1.0/(60 + de.dense_rank), 0), 6) AS rrf,
+        |       coalesce(l.lex_rank, -1) AS lex_rank,
+        |       coalesce(de.dense_rank, -1) AS dense_rank
+        |FROM lex l FULL OUTER JOIN dense de USING (doc_id)
+        |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
+
     // BM25 with the Lucene always-positive idf; rank on the ROUNDED
     // score + doc_id tiebreak in both engines (same ln-drift convention
     // as q_text_tfidf). avgdl is exact in both engines: integer token

@@ -112,6 +112,8 @@ object SparkEntry {
     "q_text_tokens_bpe" -> Text.textTokensBpe _,
     "q_text_tfidf" -> Text.textTfidf _,
     "q_text_bm25" -> Text.textBm25 _,
+    "q_text_bigram_ll" -> Text.textBigramLL _,
+    "q_text_rrf" -> Text.textRrf _,
     "q_sample_weighted" -> Text.sampleWeighted _,
     "q_text_gopher" -> Text.textGopher _,
     "q_text_unigram_ll" -> Text.textUnigramLL _,

@@ -30,6 +30,25 @@ object Text {
 
   private def toks(c: Column): Column = split(c, " ")
 
+  /** The cached per-doc (token, tf) run arrays every token-scoring query
+    * (tfidf, unigram NLL, BM25 sharing the compiled pass) builds from:
+    * spread the scan so the compiled TokenRunLengths pass inherits the
+    * session parallelism, compute the run array per row, cache THAT —
+    * |docs| array rows, not the ~tokens-sized exploded stream (the
+    * §18.20 lesson). Every caller constructs the identical logical plan,
+    * so Spark's CacheManager (canonical-plan `sameResult` lookup) shares
+    * ONE InMemoryRelation across all of them: a session running tfidf
+    * then unigram NLL tokenizes the corpus once. */
+  private def tokenRuns(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    api.Dedup.spread(docs)
+      .select($"doc_id",
+        org.apache.spark.sql.GraftExpressionBridge.column(
+          graft.plans.TokenRunLengths(
+            org.apache.spark.sql.GraftExpressionBridge.expression($"text"))).as("rl"))
+      .cache()
+  }
+
   // ===========================================================================
   // analysis
   // ===========================================================================
@@ -270,27 +289,11 @@ object Text {
   def textTfidf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
-    // spread: the per-row lambda work runs BEFORE any exchange, so it
-    // inherits the scan's split count — spread repartitions to the
-    // session parallelism first (same guard as dedupSpans/unigramLL)
-    // cached: tf feeds BOTH the df aggregate and the score join — without
-    // the cache the tokenize subplan executes twice, and the cached
-    // relation's exact statistics keep the token join broadcast.
-    // per-row (token, tf) pairs via the compiled TokenRunLengths pass
-    // (round-8: replaces the three-pass interpreted run-length lambda
-    // — shape unchanged, compiled speed; equality pinned in
-    // ExpressionSpec). The cache sits on the PER-DOC run arrays, not
-    // the exploded (doc, token, tf) stream — the §18.20 lesson: both
-    // consumers (df aggregate + score join) explode from the cache at
-    // codegen speed, and the materialized entry is 1M array rows
-    // rather than ~35M exploded rows.
-    val runs = api.Dedup.spread(docs)
-      .select($"doc_id",
-        org.apache.spark.sql.GraftExpressionBridge.column(
-          graft.plans.TokenRunLengths(
-            org.apache.spark.sql.GraftExpressionBridge.expression($"text"))).as("rl"))
-      .cache()
-    val tf = runs
+    // tokenRuns: the cached per-doc run arrays (see the helper's doc) —
+    // both consumers (df aggregate + score join) explode from the cache
+    // at codegen speed, and the materialized entry is |docs| array rows
+    // rather than the ~tokens-sized exploded stream.
+    val tf = tokenRuns(docs)
       .select($"doc_id", explode($"rl").as("e"))
       .select($"doc_id", $"e.token".as("token"), $"e.tf".as("tf"))
     // the idf relation is VOCABULARY-sized, not corpus-sized — but
@@ -409,21 +412,30 @@ object Text {
     * same: one groupBy on the token for the model, a 1-row total
     * broadcast, one join back to token occurrences, per-doc aggregate.
     * All shuffles key on token/doc_id — nothing O(pairs), vocab-sized
-    * state only. ln() rounds at 6 dp (libm drift convention). */
+    * state only. ln() rounds at 6 dp (libm drift convention).
+    *
+    * Round-8 x30 follow-up: the original plan cached the EXPLODED
+    * (doc, w) occurrence stream — 150M rows at x30, the query's
+    * materialization floor. Now it shares [[tokenRuns]]' cached per-doc
+    * run arrays (|docs| rows; the same InMemoryRelation textTfidf
+    * builds, so a session running both tokenizes once) and carries
+    * (doc, w, tf) RUNS through the model join and the per-doc aggregate
+    * — occurrence weights ride along as an integer instead of row
+    * multiplicity. avg over occurrences = sum(tf·nll)/sum(tf) exactly;
+    * the 6-dp round absorbs the summation-order drift (same convention
+    * as the oracle replay). */
   def textUnigramLL(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // cached for the same reason as textTfidf's tf relation: tok feeds
-    // both the model aggregate and the scoring join
-    val tok = graft.api.Dedup.spread(Tables.documents(spark, dir))
-      .select($"doc_id", explode(toks($"text")).as("w"))
-      .cache()
+    val tok = tokenRuns(Tables.documents(spark, dir))
+      .select($"doc_id", explode($"rl").as("e"))
+      .select($"doc_id", $"e.token".as("w"), $"e.tf".as("rtf"))
     // vocabulary-sized model, corpus-sized estimate: same trap as
     // textTfidf's idf join (see the comment there) — measured there at
     // x30, the un-hinted plan sort-merge-joins and SORTS the exploded
     // token stream. Materialize the model (needed anyway), then
     // broadcast it, falling back to a sort-free SHUFFLE_HASH join only
     // if the vocabulary is somehow corpus-like.
-    val model = tok.groupBy($"w").agg(count(lit(1)).as("tf")).cache()
+    val model = tok.groupBy($"w").agg(sum($"rtf").as("tf")).cache()
     // same memo key as textTfidf's idf sizing: identical tokenization,
     // identical vocabulary count
     val nVocab: Long = api.ResultCache.getOrCompute[java.lang.Long](
@@ -435,11 +447,115 @@ object Text {
       .crossJoin(broadcast(total))
       .withColumn("nll", -log($"tf".cast("double") / $"total".cast("double")))
       .groupBy($"doc_id")
-      .agg(count(lit(1)).as("n_tokens"), round(avg($"nll"), 6).as("avg_nll"))
+      .agg(sum($"rtf").as("n_tokens"),
+        round(sum($"rtf" * $"nll") / sum($"rtf"), 6).as("avg_nll"))
       .orderBy($"doc_id")
       // per-doc final cached — repeat calls plan-match and skip the
       // model rebuild + scoring join (same contract as minhashLsh)
       .cache()
+  }
+
+  /** Conditional bigram LM scoring — the 2-gram upgrade of
+    * [[textUnigramLL]]'s CCNet-style filter: train c(w1 w2) and
+    * c(w1 ·) on the corpus itself, score each doc by the mean
+    * -ln p(w2|w1) = -ln(c(w1 w2)/c(w1 ·)) over its bigram occurrences.
+    * Sequence-aware where the unigram filter is bag-of-words: a doc of
+    * common words in an improbable ORDER now scores high.
+    *
+    * Plan shape = the unigram one at the bigram granularity, and every
+    * piece reuses the scale decisions already measured there:
+    *   - per-row (bigram, tf) runs via the compiled [[graft.plans
+    *     .NgramRunLengths]] pass (shuffle-free, codegen'd; the cache
+    *     holds |docs| run arrays, never the exploded stream);
+    *   - the bigram model is one vocab²-sparse groupBy (still ≪ corpus
+    *     for natural text), counted then BROADCAST (≤ 2M keys) or
+    *     joined sort-free via SHUFFLE_HASH — the §18.30 vocabulary-join
+    *     rule, which matters MORE here because Catalyst's estimate
+    *     through explode+aggregate is just as blind and the bigram
+    *     stream is just as corpus-sized;
+    *   - the left-context counts c(w1 ·) are an aggregate OF THE MODEL
+    *     (group bigrams by their first token), vocab-sized, broadcast;
+    *   - per-doc aggregate carries occurrence weights as integers
+    *     (sum(tf·nll)/sum(tf)), 6-dp round absorbs summation-order
+    *     drift (the libm convention shared with the oracle).
+    * Docs with < 2 tokens have no bigrams and drop out of BOTH engines
+    * (empty run array here, empty range() in the replay). */
+  def textBigramLL(spark: SparkSession, dir: String): DataFrame =
+    bigramNll(Tables.documents(spark, dir),
+      memoKey = s"bigramCount:${api.ResultCache.sessionId(spark)}:$dir")
+
+  /** Core of [[textBigramLL]] over any (doc_id, text) relation. */
+  private[graft] def bigramNll(docs: DataFrame, memoKey: String): DataFrame = {
+    import docs.sparkSession.implicits._
+    val bg = api.Dedup.spread(docs)
+      .select($"doc_id",
+        org.apache.spark.sql.GraftExpressionBridge.column(
+          graft.plans.NgramRunLengths(
+            org.apache.spark.sql.GraftExpressionBridge.expression($"text"), 2)).as("rl"))
+      .cache()
+      .select($"doc_id", explode($"rl").as("e"))
+      .select($"doc_id", $"e.token".as("bg"), $"e.tf".as("rtf"))
+    val model = bg.groupBy($"bg").agg(sum($"rtf").as("cbg")).cache()
+    val nBigrams: Long = api.ResultCache.getOrCompute[java.lang.Long](
+      memoKey, _ => true)(model.count())
+    val modelB =
+      if (nBigrams <= 2000000L) broadcast(model) else model.hint("SHUFFLE_HASH")
+    // c(w1 ·) per left token: vocab-sized by construction (≤ unigram
+    // vocabulary), derived from the model so the corpus is not re-read
+    val left = model
+      .groupBy(substring_index($"bg", " ", 1).as("w1"))
+      .agg(sum($"cbg").as("cw1"))
+    val leftB =
+      if (nBigrams <= 2000000L) broadcast(left) else left.hint("SHUFFLE_HASH")
+    bg.join(modelB, "bg")
+      .withColumn("w1", substring_index($"bg", " ", 1))
+      .join(leftB, "w1")
+      .withColumn("nll", -log($"cbg".cast("double") / $"cw1".cast("double")))
+      .groupBy($"doc_id")
+      .agg(sum($"rtf").as("n_bigrams"),
+        round(sum($"rtf" * $"nll") / sum($"rtf"), 6).as("avg_nll"))
+      .orderBy($"doc_id")
+      .cache()
+  }
+
+  /** Reciprocal-rank fusion of the two retrieval legs the engine
+    * already runs — lexical BM25 ([[bm25Rank]], the probe query's
+    * top-50) and dense embedding cosine ([[graft.api.Similarity
+    * .cosineTopK]] vs probe vector 0, top-50) — the standard hybrid-
+    * retrieval combiner (Cormack et al. 2009): score(d) = Σ_legs
+    * 1/(60 + rank_leg(d)), absent legs contribute 0. Both legs rank on
+    * their 6-dp-rounded scores with id tie-breaks, so ranks are
+    * deterministic and engine-independent; the fusion then runs on two
+    * ≤ 50-row relations — whatever the corpus size, everything after
+    * the legs is driver-trivial and the legs themselves are the
+    * already-measured scale shapes. Embeddings and documents share the
+    * id domain on the synthetic tables (vec_id ⊂ doc_id range), making
+    * this the engine's retrieve-then-fuse curation entry. */
+  def textRrf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"bm25".desc, $"doc_id")
+    val lex = bm25Rank(Tables.documents(spark, dir),
+        queryTerms = Seq("merge", "scan", "vector"), k = 50)
+      .withColumn("lex_rank", row_number().over(w))
+    val wd = org.apache.spark.sql.expressions.Window
+      .orderBy($"cos_sim".desc, $"vec_id")
+    val dense = graft.api.Similarity.cosineTopK(
+        Tables.embeddings(spark, dir), "vec_id", "embedding", probeId = 0L, k = 50)
+      .withColumn("dense_rank", row_number().over(wd))
+      .select($"vec_id".as("doc_id"), $"dense_rank")
+    lex.select($"doc_id", $"lex_rank")
+      .join(dense, Seq("doc_id"), "full_outer")
+      .select($"doc_id",
+        round(
+          coalesce(lit(1.0d) / (lit(60) + $"lex_rank"), lit(0.0d)) +
+            coalesce(lit(1.0d) / (lit(60) + $"dense_rank"), lit(0.0d)), 6).as("rrf"),
+        // long, not int: DuckDB's row_number() is BIGINT and the gate
+        // compares schemas exactly
+        coalesce($"lex_rank".cast("long"), lit(-1L)).as("lex_rank"),
+        coalesce($"dense_rank".cast("long"), lit(-1L)).as("dense_rank"))
+      .orderBy($"rrf".desc, $"doc_id")
+      .limit(10)
   }
 
   /** Benchmark decontamination scan: per probe phrase, how many

@@ -181,6 +181,84 @@ object TokenRunLengths {
   }
 }
 
+/** Per-row word n-gram frequencies — (token, tf) for each distinct
+  * word n-gram of the text, n-grams joined by ' ' — as one compiled
+  * pass: split, slide the n-window (concatWs, the [[WordShingles]]
+  * convention), binary sort, run-length count of equal adjacents.
+  * [[TokenRunLengths]] is exactly the n = 1 case; this is the bigram/
+  * trigram generalization the LM-scoring queries (q_text_bigram_ll)
+  * build their frequency models from, keeping the corpus pass
+  * shuffle-free and inside whole-stage codegen like every other
+  * expression in this file.
+  *
+  * Semantics: fewer than n tokens → EMPTY array (the doc has no
+  * n-grams and drops out of the explode); null text → null (the
+  * TokenRunLengths null convention). Output field types match
+  * TokenRunLengths so downstream plans are shape-identical.
+  */
+case class NgramRunLengths(child: Expression, n: Int)
+  extends UnaryExpression {
+
+  require(n >= 1, s"ngram width must be positive, got $n")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"ngram_run_lengths requires a string input, got $t")
+  }
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("token", StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("tf",
+        org.apache.spark.sql.types.LongType, nullable = false))),
+      containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "ngram_run_lengths"
+
+  override def nullSafeEval(a: Any): Any =
+    NgramRunLengths.compute(a.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.plans.NgramRunLengths.compute($a, ${n.toString});")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): NgramRunLengths = copy(child = newChild)
+}
+
+object NgramRunLengths {
+  private val SPACE = UTF8String.fromString(" ")
+  private val emptyArray = new GenericArrayData(new Array[Any](0))
+
+  def compute(text: UTF8String, n: Int): ArrayData = {
+    val toks = text.split(SPACE, -1)
+    val m = toks.length
+    if (m < n) return emptyArray
+    val grams = new Array[UTF8String](m - n + 1)
+    var i = 0
+    while (i <= m - n) {
+      if (n == 1) grams(i) = toks(i)
+      else {
+        val window = new Array[UTF8String](n)
+        System.arraycopy(toks, i, window, 0, n)
+        grams(i) = UTF8String.concatWs(SPACE, window: _*)
+      }
+      i += 1
+    }
+    java.util.Arrays.sort(grams, (x: UTF8String, y: UTF8String) => x.compareTo(y))
+    val out = new java.util.ArrayList[Any](math.min(grams.length, 64))
+    i = 0
+    while (i < grams.length) {
+      var j = i + 1
+      while (j < grams.length && grams(j).equals(grams(i))) j += 1
+      out.add(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](grams(i), (j - i).toLong)))
+      i = j
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
 object WordShingles {
   private val SPACE = UTF8String.fromString(" ")
   private val emptyArray = new GenericArrayData(new Array[Any](0))

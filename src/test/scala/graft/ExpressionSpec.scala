@@ -245,6 +245,51 @@ class ExpressionSpec extends SparkSpec {
     assert(r.isNullAt(0))
   }
 
+  test("NgramRunLengths(n=1) equals TokenRunLengths on real data") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    val one = org.apache.spark.sql.GraftExpressionBridge.column(
+      graft.plans.NgramRunLengths(
+        org.apache.spark.sql.GraftExpressionBridge.expression($"text"), 1))
+    val tok = org.apache.spark.sql.GraftExpressionBridge.column(
+      graft.plans.TokenRunLengths(
+        org.apache.spark.sql.GraftExpressionBridge.expression($"text")))
+    val bad = docs.select($"doc_id", one.as("a"), tok.as("b"))
+      .filter(not($"a" <=> $"b")).count()
+    assert(bad == 0L, s"$bad docs where NgramRunLengths(1) != TokenRunLengths")
+  }
+
+  test("NgramRunLengths(n=2) equals the lambda bigram counts on real data") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    // independent formulation: positional lambda bigrams, exploded and
+    // counted — the (doc, bigram) multiset the compiled pass must match
+    val lambdaBg = expr(
+      """CASE WHEN size(split(text, ' ')) >= 2 THEN
+        |  transform(sequence(1, size(split(text, ' ')) - 1), i ->
+        |    concat_ws(' ', element_at(split(text, ' '), i),
+        |                   element_at(split(text, ' '), i + 1)))
+        |ELSE array() END""".stripMargin)
+    val a = docs.select($"doc_id", explode(lambdaBg).as("bg"))
+      .groupBy($"doc_id", $"bg").agg(count(lit(1)).as("tf"))
+    val b = docs.select($"doc_id", explode(
+        org.apache.spark.sql.GraftExpressionBridge.column(
+          graft.plans.NgramRunLengths(
+            org.apache.spark.sql.GraftExpressionBridge.expression($"text"), 2))).as("e"))
+      .select($"doc_id", $"e.token".as("bg"), $"e.tf".as("tf"))
+    assert(a.exceptAll(b).count() == 0L && b.exceptAll(a).count() == 0L,
+      "bigram (doc, token, tf) multisets differ")
+    // < n tokens → empty array (doc drops out of the explode); null → null
+    val edge = Seq((1L, Some("solo")), (2L, Option.empty[String]))
+      .toDF("doc_id", "text")
+      .select(org.apache.spark.sql.GraftExpressionBridge.column(
+        graft.plans.NgramRunLengths(
+          org.apache.spark.sql.GraftExpressionBridge.expression(col("text")), 2)))
+      .collect()
+    assert(edge(0).getSeq[Any](0).isEmpty)
+    assert(edge(1).isNullAt(0))
+  }
+
   test("BoundedCollectList: complete under cap, truncated at cap+1 over it, count-independent") {
     import spark.implicits._
     // 3 keys: occupancy 2 (under), 5 (at cap), 40 (over) — spread over
@@ -281,12 +326,15 @@ class ExpressionSpec extends SparkSpec {
       .createOrReplaceTempView("expr_in")
     val r = spark.sql(
       """SELECT word_shingles(t, 2) AS sh, sorted_token_set_key(t) AS k,
-        |       token_run_lengths(t) AS rl, double_array_normalize(v) AS nv
+        |       token_run_lengths(t) AS rl, double_array_normalize(v) AS nv,
+        |       ngram_run_lengths(t, 2) AS brl
         |FROM expr_in""".stripMargin).head
     assert(r.getSeq[String](0) == Seq("b a", "a b", "b c"))
     assert(r.getString(1) == "a b c")
     assert(r.getSeq[org.apache.spark.sql.Row](2).map(x => (x.getString(0), x.getLong(1)))
       == Seq(("a", 1L), ("b", 2L), ("c", 1L)))
     assert(r.getSeq[Double](3) == Seq(0.6, 0.8))
+    assert(r.getSeq[org.apache.spark.sql.Row](4).map(x => (x.getString(0), x.getLong(1)))
+      == Seq(("a b", 1L), ("b a", 1L), ("b c", 1L)))
   }
 }

@@ -248,6 +248,48 @@ class TextVectorSpec extends SparkSpec {
     assert(out.map(_._2).toSeq == out.map(_._2).sortBy(-_).toSeq)
   }
 
+  test("conditional bigram NLL matches a plain-Scala computation; 1-token docs drop") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a b a b"),   // bigrams: "a b" x2, "b a" x1
+      (1L, "a b c"),     // "a b", "b c"
+      (2L, "solo"),      // no bigrams -> absent
+    ).toDF("doc_id", "text")
+    val out = graft.ops.Text.bigramNll(docs, memoKey = "bigramCount:test:tiny")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // corpus bigram counts: "a b"->3, "b a"->1, "b c"->1; left: a->3, b->2
+    def nll(cbg: Double, cw1: Double) = -math.log(cbg / cw1)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val d0 = r6((2 * nll(3, 3) + 1 * nll(1, 2)) / 3.0)
+    val d1 = r6((nll(3, 3) + nll(1, 2)) / 2.0)
+    assert(out.keySet == Set(0L, 1L), s"got ${out.keySet}")
+    assert(out(0L)._1 == 3L && math.abs(out(0L)._2 - d0) < 1e-9, s"doc 0: ${out(0L)} want $d0")
+    assert(out(1L)._1 == 2L && math.abs(out(1L)._2 - d1) < 1e-9, s"doc 1: ${out(1L)} want $d1")
+  }
+
+  test("RRF fusion equals the hand-fused legs on the real sf0.001 tables") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val lex = graft.ops.Text.bm25Rank(
+        graft.Tables.documents(spark, dir), Seq("merge", "scan", "vector"), k = 50)
+      .collect().sortBy(r => (-r.getDouble(1), r.getLong(0)))
+      .zipWithIndex.map { case (r, i) => r.getLong(0) -> (i + 1L) }.toMap
+    val dense = graft.api.Similarity.cosineTopK(
+        graft.Tables.embeddings(spark, dir), "vec_id", "embedding", probeId = 0L, k = 50)
+      .collect().sortBy(r => (-r.getDouble(r.fieldIndex("cos_sim")), r.getLong(0)))
+      .zipWithIndex.map { case (r, i) => r.getLong(0) -> (i + 1L) }.toMap
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = (lex.keySet ++ dense.keySet).map { id =>
+      id -> (r6(lex.get(id).map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+        dense.get(id).map(r => 1.0 / (60 + r)).getOrElse(0.0)),
+        lex.getOrElse(id, -1L), dense.getOrElse(id, -1L))
+    }.toSeq.sortBy { case (id, (rrf, _, _)) => (-rrf, id) }.take(10)
+    val got = graft.ops.Text.textRrf(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected, s"\ngot:      $got\nexpected: $expected")
+  }
+
   test("rolling-hash fingerprint matches hand computation") {
     import spark.implicits._
     val df = Seq((1L, "ab")).toDF("doc_id", "text")
