@@ -467,14 +467,15 @@ object Text {
     *   - per-row (bigram, tf) runs via the compiled [[graft.plans
     *     .NgramRunLengths]] pass (shuffle-free, codegen'd; the cache
     *     holds |docs| run arrays, never the exploded stream);
-    *   - the bigram model is one vocab²-sparse groupBy (still ≪ corpus
-    *     for natural text), counted then BROADCAST (≤ 2M keys) or
-    *     joined sort-free via SHUFFLE_HASH — the §18.30 vocabulary-join
-    *     rule, which matters MORE here because Catalyst's estimate
-    *     through explode+aggregate is just as blind and the bigram
-    *     stream is just as corpus-sized;
+    *   - the bigram model is one vocab²-sparse groupBy, counted then
+    *     BROADCAST when ≤ 2M keys; above that it can be CORPUS-sized
+    *     (x10 measured 27.5M distinct bigrams in 50M positions), so the
+    *     fallback is the plain spillable sort-merge join — NOT
+    *     SHUFFLE_HASH, whose unspillable per-task hash-map builds
+    *     OOM'd at x10 (see the in-body comment);
     *   - the left-context counts c(w1 ·) are an aggregate OF THE MODEL
-    *     (group bigrams by their first token), vocab-sized, broadcast;
+    *     (group bigrams by their first token), unigram-vocab-sized,
+    *     broadcast under its own memoized count;
     *   - per-doc aggregate carries occurrence weights as integers
     *     (sum(tf·nll)/sum(tf)), 6-dp round absorbs summation-order
     *     drift (the libm convention shared with the oracle).
@@ -498,15 +499,27 @@ object Text {
     val model = bg.groupBy($"bg").agg(sum($"rtf").as("cbg")).cache()
     val nBigrams: Long = api.ResultCache.getOrCompute[java.lang.Long](
       memoKey, _ => true)(model.count())
-    val modelB =
-      if (nBigrams <= 2000000L) broadcast(model) else model.hint("SHUFFLE_HASH")
-    // c(w1 ·) per left token: vocab-sized by construction (≤ unigram
-    // vocabulary), derived from the model so the corpus is not re-read
+    // The bigram "vocabulary" is NOT vocab-sized on adversarial corpora:
+    // the x10 rehearsal measured 27.5M distinct bigrams over 50M token
+    // positions (vocab² ≈ 38M combinations, nearly every occurrence
+    // unique) — a corpus-sized model. A SHUFFLE_HASH fallback there
+    // builds ~860k-key hash maps in all 32 tasks at once and dies with
+    // SparkOutOfMemoryError (measured, x10); hash-relation builds can't
+    // spill. Over the broadcast bound the scalable plan is the plain
+    // sort-merge join: spillable, and the model's groupBy(bg) output
+    // partitioning is reused for the probe-side exchange on bg.
+    val modelB = if (nBigrams <= 2000000L) broadcast(model) else model
+    // c(w1 ·) per left token: UNIGRAM-vocab-sized by construction
+    // (6,201 keys at x10 vs 27.5M bigrams), derived from the model so
+    // the corpus is not re-read — gate on ITS OWN memoized count, not
+    // nBigrams (which wrongly demoted this broadcast at x10).
     val left = model
       .groupBy(substring_index($"bg", " ", 1).as("w1"))
       .agg(sum($"cbg").as("cw1"))
-    val leftB =
-      if (nBigrams <= 2000000L) broadcast(left) else left.hint("SHUFFLE_HASH")
+      .cache()
+    val nLeft: Long = api.ResultCache.getOrCompute[java.lang.Long](
+      memoKey + ":left", _ => true)(left.count())
+    val leftB = if (nLeft <= 2000000L) broadcast(left) else left
     bg.join(modelB, "bg")
       .withColumn("w1", substring_index($"bg", " ", 1))
       .join(leftB, "w1")
