@@ -2101,5 +2101,103 @@ object Oracle {
         |       round(avg(mean_err), 6) AS avg_err,
         |       round(max(mean_err), 9) AS max_err
         |FROM m GROUP BY label ORDER BY label""".stripMargin,
+
+    // k-means replay: both Lloyd rounds unrolled as CTEs. Exactness
+    // rests on the quantize-to-integers design (Clustering.kmeansAssign
+    // scaladoc): distances/sums are exact integer arithmetic in doubles,
+    // centroid updates floor one IEEE division of exact operands, ties
+    // break to the smaller cluster id — so list_inner_product's
+    // accumulation order cannot matter and the hash-match is exact.
+    "q_vec_kmeans" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |         list_transform(CAST(embedding AS DOUBLE[]),
+        |                        x -> floor(x * 1000.0)) AS q
+        |  FROM embeddings),
+        |c0 AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cl, q AS c
+        |  FROM (SELECT vec_id, q FROM q ORDER BY vec_id LIMIT 8)),
+        |d1 AS (
+        |  SELECT v.vec_id, c0.cl,
+        |         list_inner_product(v.q, v.q)
+        |           - 2 * list_inner_product(v.q, c0.c)
+        |           + list_inner_product(c0.c, c0.c) AS dist
+        |  FROM q v CROSS JOIN c0),
+        |a1 AS (
+        |  SELECT vec_id, cl FROM (
+        |    SELECT vec_id, cl,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rn
+        |    FROM d1) WHERE rn = 1),
+        |e1 AS (
+        |  SELECT a1.cl, i.i, q.q[i.i] AS x
+        |  FROM a1 JOIN q USING (vec_id)
+        |  CROSS JOIN (SELECT unnest(range(1, 65)) AS i) i),
+        |c1 AS (
+        |  SELECT cl, list(fx ORDER BY i) AS c
+        |  FROM (SELECT cl, i, floor(sum(x) / count(*)) AS fx FROM e1 GROUP BY cl, i)
+        |  GROUP BY cl),
+        |d2 AS (
+        |  SELECT v.vec_id, c1.cl,
+        |         list_inner_product(v.q, v.q)
+        |           - 2 * list_inner_product(v.q, c1.c)
+        |           + list_inner_product(c1.c, c1.c) AS dist
+        |  FROM q v CROSS JOIN c1),
+        |a2 AS (
+        |  SELECT vec_id, cl, dist FROM (
+        |    SELECT vec_id, cl, dist,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rn
+        |    FROM d2) WHERE rn = 1)
+        |SELECT cl AS cluster, count(*) AS n_members, min(vec_id) AS min_vec,
+        |       CAST(sum(dist) AS DOUBLE) AS inertia
+        |FROM a2 GROUP BY cl ORDER BY cl""".stripMargin,
+
+    // MERGE replay: the same deterministic change feed (delete %13,
+    // update %7 at DECIMAL-exact price*1.10, insert %11 at key+1e9)
+    // resolved through an identical full-outer CASE
+    "q_merge_upsert" ->
+      """WITH target AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |         CAST(o_totalprice AS DECIMAL(18,4)) AS price FROM orders),
+        |existing AS (
+        |  SELECT o_orderkey AS m_key,
+        |         CASE WHEN o_orderkey % 13 = 0 THEN 'delete'
+        |              WHEN o_orderkey % 7 = 0 THEN 'update' END AS op,
+        |         CAST(price * CAST('1.10' AS DECIMAL(18,2)) AS DECIMAL(18,4))
+        |           AS new_price
+        |  FROM target WHERE o_orderkey % 13 = 0 OR o_orderkey % 7 = 0),
+        |inserts AS (
+        |  SELECT o_orderkey + 1000000000 AS m_key, 'insert' AS op,
+        |         CAST(price AS DECIMAL(18,4)) AS new_price
+        |  FROM target WHERE o_orderkey % 11 = 0),
+        |changes AS (SELECT * FROM existing UNION ALL SELECT * FROM inserts)
+        |SELECT CAST(coalesce(t.o_orderkey, c.m_key) AS BIGINT) AS o_orderkey,
+        |       CASE WHEN c.op = 'update' THEN 'U' WHEN c.op = 'insert' THEN 'N'
+        |            ELSE t.o_orderstatus END AS o_orderstatus,
+        |       CAST(CASE WHEN c.op IN ('update', 'insert') THEN c.new_price
+        |                 ELSE t.price END AS DOUBLE) AS o_totalprice,
+        |       coalesce(c.op, 'keep') AS src
+        |FROM target t FULL OUTER JOIN changes c ON t.o_orderkey = c.m_key
+        |WHERE coalesce(c.op, '') <> 'delete'
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // adaptive-quality replay: identical histogram + cumulative window +
+    // integer rank arithmetic (// = Spark's div), so the cutoffs are
+    // engine-exact integers
+    "q_text_quality_adaptive" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |         CAST(len(string_split(text, ' ')) AS INT) AS n_tok
+        |  FROM documents),
+        |h AS (SELECT n_tok, count(*) AS cnt FROM t GROUP BY n_tok),
+        |c AS (SELECT n_tok, sum(cnt) OVER (ORDER BY n_tok) AS cum,
+        |             sum(cnt) OVER () AS total FROM h),
+        |th AS (
+        |  SELECT min(CASE WHEN cum >= (total + 19) // 20 THEN n_tok END) AS lo,
+        |         min(CASE WHEN cum >= (19 * total + 19) // 20 THEN n_tok END) AS hi
+        |  FROM c)
+        |SELECT lang, count(*) AS n_kept, CAST(sum(n_tok) AS BIGINT) AS tok_kept,
+        |       CAST(min(th.lo) AS INT) AS lo, CAST(min(th.hi) AS INT) AS hi
+        |FROM t CROSS JOIN th WHERE t.n_tok >= th.lo AND t.n_tok <= th.hi
+        |GROUP BY lang ORDER BY lang""".stripMargin,
   )
 }

@@ -62,6 +62,7 @@ object SparkEntry {
     "q_agg_hist" -> Relational.aggHist _,
     "q_typed_agg" -> Relational.typedAgg _,
     "q_scd2_asof" -> Relational.scd2Asof _,
+    "q_merge_upsert" -> Relational.mergeUpsert _,
     // §2.5 windows
     "q_win_rank" -> Relational.winRank _,
     "q_win_running" -> Relational.winRunning _,
@@ -116,6 +117,7 @@ object SparkEntry {
     "q_text_rrf" -> Text.textRrf _,
     "q_sample_weighted" -> Text.sampleWeighted _,
     "q_text_gopher" -> Text.textGopher _,
+    "q_text_quality_adaptive" -> Text.qualityAdaptive _,
     "q_text_unigram_ll" -> Text.textUnigramLL _,
     "q_text_redact" -> Text.textRedact _,
     "q_gen_outer" -> Text.genOuter _,
@@ -142,6 +144,7 @@ object SparkEntry {
     "q_dedup_embed" -> Vector.dedupEmbed _,
     "q_dedup_semantic" -> Vector.dedupSemantic _,
     "q_vec_quantize" -> Vector.vecQuantize _,
+    "q_vec_kmeans" -> Vector.vecKmeans _,
     "q_ann_ivf" -> Vector.annIvf _,
     "q_ann_ivfpq" -> Vector.annIvfPq _,
     // §2.8 multimodal

@@ -41,4 +41,32 @@ object Upsert {
       keyCols: Seq[String]): DataFrame =
     existing.join(tombstones.select(keyCols.map(col): _*).distinct(),
       keyCols, "left_anti")
+
+  /** Full MERGE INTO semantics (Delta/Iceberg `MERGE` re-expressed as
+    * the plan it executes): `changes` carries one row per key with an
+    * `opCol` of 'delete' / 'update' / 'insert' plus full replacement
+    * values for every non-key target column. Matched+delete drops the
+    * row, matched+update (and insert-on-existing-key — upsert
+    * semantics) replaces the payload, unmatched insert adds the row,
+    * delete of an absent key is a no-op, and untouched target rows pass
+    * through with srcCol = 'keep'. One FULL OUTER join on the key — the
+    * single keyed exchange a 100 TB merge costs (broadcast the feed
+    * when it is small; a bucketed target joins with zero exchanges).
+    * At most one change row per key is the caller's contract (enforce
+    * upstream with [[upsert]]'s version ordering if the feed has
+    * history). */
+  def mergeInto(target: DataFrame, changes: DataFrame, keyCol: String,
+      opCol: String = "op", srcCol: String = "src"): DataFrame = {
+    val payload = target.columns.filterNot(_ == keyCol).toSeq
+    val t = target.select((col(keyCol) +:
+      payload.map(c => col(c).as("__t_" + c))): _*)
+    val c = changes.select((col(keyCol) +: col(opCol).as("__op") +:
+      payload.map(p => col(p).as("__c_" + p))): _*)
+    t.join(c, Seq(keyCol), "full_outer")
+      .filter(coalesce(col("__op"), lit("")) =!= "delete")
+      .select((col(keyCol) +:
+        payload.map(p => when(col("__op").isin("update", "insert"), col("__c_" + p))
+          .otherwise(col("__t_" + p)).as(p))) :+
+        coalesce(col("__op"), lit("keep")).as(srcCol): _*)
+  }
 }

@@ -1664,4 +1664,39 @@ object Relational {
       )
       .orderBy($"user_id")
   }
+
+  /** Batch MERGE INTO (Delta/Iceberg-style upsert) expressed as the one
+    * plan shape a 100 TB merge actually executes: target ⟗ change-feed
+    * FULL OUTER join on the merge key, then a per-row CASE resolution —
+    * matched+delete drops the row, matched+update rewrites it, unmatched
+    * source rows insert, unmatched target rows pass through. One keyed
+    * exchange total (both relations shuffle on the merge key; a small
+    * feed would broadcast instead, and a bucketed target joins with zero
+    * exchanges — q_join_bucketed's layout). The change feed is derived
+    * deterministically from orders itself so the oracle replays it:
+    * %13 = 0 → delete, else %7 = 0 → update (price × 1.10 in exact
+    * DECIMAL, status 'U'), %11 = 0 → insert a fresh key (+1e9). Output
+    * is the full merged table with per-row action provenance. */
+  def mergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val target = Tables.orders(spark, dir)
+      .select($"o_orderkey", $"o_orderstatus", dec4($"o_totalprice").as("price"))
+    val existing = target
+      .select($"o_orderkey",
+        when($"o_orderkey" % 13 === 0, lit("delete"))
+          .when($"o_orderkey" % 7 === 0, lit("update"))
+          .as("op"),
+        lit("U").as("o_orderstatus"),
+        ($"price" * dec2(lit("1.10"))).cast(DecimalType(18, 4)).as("price"))
+      .filter($"op".isNotNull)
+    val inserts = target
+      .filter($"o_orderkey" % 11 === 0)
+      .select(($"o_orderkey" + lit(1000000000L)).as("o_orderkey"),
+        lit("insert").as("op"), lit("N").as("o_orderstatus"), $"price")
+    val changes = existing.unionByName(inserts)
+    graft.api.Upsert.mergeInto(target, changes, "o_orderkey")
+      .select($"o_orderkey", $"o_orderstatus",
+        $"price".cast("double").as("o_totalprice"), $"src")
+      .orderBy($"o_orderkey")
+  }
 }

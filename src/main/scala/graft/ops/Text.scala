@@ -3,6 +3,7 @@ package graft.ops
 import graft.{api, Tables}
 import graft.functions.Udafs
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis + deduplication operators for a training-data pipeline
@@ -923,4 +924,41 @@ object Text {
     * check the xxhash64 family allowed. */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
     api.Dedup.simhash(Tables.documents(spark, dir), "doc_id", "text", n = 3, maxHamming = 3)
+
+  /** Corpus-ADAPTIVE quality filter: keep documents whose token count
+    * lies between the corpus's own 5th and 95th percentile (exact,
+    * rank-based — lo = the ceil(N/20)-th smallest count, hi = the
+    * ceil(19N/20)-th), then report kept docs and tokens per language.
+    * This is the data-dependent thresholding step real curation
+    * pipelines run before fixed Gopher rules (cut the degenerate tails
+    * the corpus actually has, not the ones a constant guesses at).
+    *
+    * 100 TB shape — the reason this is NOT a global sort or ntile: token
+    * counts have a BOUNDED DOMAIN (thousands of distinct values at any
+    * corpus size), so the exact percentile comes from a histogram
+    * aggregate (one partial-agg shuffle of |domain| rows) plus a
+    * cumulative window over that tiny relation (single partition by
+    * construction — |domain| rows, not |corpus|). The 1-row threshold
+    * relation broadcasts back onto the scan; integer rank arithmetic
+    * (`div`), so both engines compute identical cutoffs. */
+  def qualityAdaptive(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.documents(spark, dir)
+      .select($"doc_id", $"lang", size(split($"text", " ")).as("n_tok"))
+    val hist = toks.groupBy($"n_tok").agg(count(lit(1)).as("cnt"))
+    val cum = hist
+      .withColumn("cum", sum($"cnt").over(Window.orderBy($"n_tok")))
+      .withColumn("total", sum($"cnt").over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    val th = cum.agg(
+      min(when($"cum" >= expr("(total + 19) div 20"), $"n_tok")).as("lo"),
+      min(when($"cum" >= expr("(19 * total + 19) div 20"), $"n_tok")).as("hi"))
+    toks.crossJoin(broadcast(th))
+      .filter($"n_tok" >= $"lo" && $"n_tok" <= $"hi")
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_kept"),
+        sum($"n_tok".cast("long")).as("tok_kept"),
+        min($"lo").as("lo"), min($"hi").as("hi"))
+      .orderBy($"lang")
+  }
 }

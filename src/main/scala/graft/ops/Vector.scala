@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.Tables
-import graft.api.Similarity
+import graft.api.{Clustering, Similarity}
 import graft.functions.Udafs
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -154,5 +154,27 @@ object Vector {
         round(avg($"mean_err"), 6).as("avg_err"),
         round(max($"mean_err"), 9).as("max_err"))
       .orderBy($"label")
+  }
+
+  /** Distributed Lloyd's k-means over the embeddings (k = 8, two
+    * assignment rounds, seeds = the 8 smallest vec_ids) — the
+    * SemDeDup-style corpus-partitioning primitive, via
+    * graft.api.Clustering.kmeansAssign. Per-cluster summary: member
+    * count, smallest member id, and the EXACT integer inertia (sum of
+    * quantized squared distances to the final centroid). Everything is
+    * exact integer arithmetic in doubles (quantize → floor(x·1000)), so
+    * the DuckDB oracle replays both rounds hash-identically — see the
+    * Clustering scaladoc for the engine-exactness argument and the
+    * 100 TB shape (broadcast centroid literals + one k-row aggregate
+    * per round; driver traffic is the k×dim model only). */
+  def vecKmeans(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Clustering.kmeansAssign(Tables.embeddings(spark, dir),
+        "vec_id", "embedding", k = 8, rounds = 2)
+      .groupBy($"cluster")
+      .agg(count(lit(1)).as("n_members"),
+        min($"vec_id").as("min_vec"),
+        sum($"dist").cast("double").as("inertia"))
+      .orderBy($"cluster")
   }
 }

@@ -442,4 +442,21 @@ class TextVectorSpec extends SparkSpec {
     val ivfpqRecall = (ivfpqTop & bruteTop).size.toDouble / bruteTop.size
     assert(ivfpqRecall >= 0.7, s"IVF-PQ recall=$ivfpqRecall")
   }
+
+  test("qualityAdaptive thresholds are the exact rank-based percentiles") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(dir).isDirectory, "driver testdata not present")
+    // independent driver-side derivation: sort ALL token counts, take the
+    // ceil(N/20)-th and ceil(19N/20)-th smallest (1-indexed)
+    val counts = Tables.documents(spark, dir)
+      .select(size(split($"text", " "))).as[Int].collect().sorted
+    val n = counts.length
+    val expLo = counts((n + 19) / 20 - 1)
+    val expHi = counts((19 * n + 19) / 20 - 1)
+    val row = graft.ops.Text.qualityAdaptive(spark, dir).head()
+    assert(row.getAs[Int]("lo") === expLo, "lo must be the ceil(N/20)-th smallest")
+    assert(row.getAs[Int]("hi") === expHi, "hi must be the ceil(19N/20)-th smallest")
+    assert(expLo <= expHi)
+  }
 }

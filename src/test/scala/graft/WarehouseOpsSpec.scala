@@ -48,4 +48,34 @@ class WarehouseOpsSpec extends SparkSpec {
     assert(after.getLong(3) == 1000)
     assert(spark.read.parquet(out).agg(sum($"x")).head.getLong(0) == 500500)
   }
+
+  test("mergeInto: update/delete/insert/keep resolve per key in one pass") {
+    import spark.implicits._
+    val target = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0), (4L, "d", 40.0))
+      .toDF("id", "v", "price")
+    val changes = Seq(
+      (2L, "update", "B", 22.0),  // matched update
+      (3L, "delete", "", 0.0),    // matched delete
+      (5L, "insert", "e", 50.0),  // unmatched insert
+    ).toDF("id", "op", "v", "price")
+    val got = Upsert.mergeInto(target, changes, "id")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2), r.getString(3)))).toMap
+    assert(got === Map(
+      1L -> (("a", 10.0, "keep")),
+      2L -> (("B", 22.0, "update")),
+      4L -> (("d", 40.0, "keep")),
+      5L -> (("e", 50.0, "insert"))))
+  }
+
+  test("mergeInto edges: delete of an absent key is a no-op; insert on an existing key upserts") {
+    import spark.implicits._
+    val target = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val changes = Seq(
+      (9L, "delete", "x"),   // absent key: must not surface a phantom row
+      (2L, "insert", "b2"),  // existing key: insert degrades to replace (upsert)
+    ).toDF("id", "op", "v")
+    val got = Upsert.mergeInto(target, changes, "id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(got === Set((1L, "a", "keep"), (2L, "b2", "insert")))
+  }
 }
