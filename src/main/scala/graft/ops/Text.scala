@@ -943,21 +943,30 @@ object Text {
     * (`div`), so both engines compute identical cutoffs. */
   def qualityAdaptive(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val toks = Tables.documents(spark, dir)
-      .select($"doc_id", $"lang", size(split($"text", " ")).as("n_tok"))
-    val hist = toks.groupBy($"n_tok").agg(count(lit(1)).as("cnt"))
-    val cum = hist
+    // ONE corpus scan: the per-(lang, n_tok) histogram is everything the
+    // rest of the query needs — the global cumulative distribution, the
+    // thresholds, and the kept-per-language counts are all derived from
+    // this |langs × domain|-row relation (count-weighted), never from a
+    // second pass over the documents.
+    // cached: |langs × domain| rows (a few thousand at ANY corpus size),
+    // referenced by both the threshold subtree and the final aggregate —
+    // without it each branch would re-run the corpus tokenize pass
+    val hist2 = Tables.documents(spark, dir)
+      .select($"lang", size(split($"text", " ")).as("n_tok"))
+      .groupBy($"lang", $"n_tok").agg(count(lit(1)).as("cnt"))
+      .cache()
+    val cum = hist2.groupBy($"n_tok").agg(sum($"cnt").as("cnt"))
       .withColumn("cum", sum($"cnt").over(Window.orderBy($"n_tok")))
       .withColumn("total", sum($"cnt").over(
         Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
     val th = cum.agg(
       min(when($"cum" >= expr("(total + 19) div 20"), $"n_tok")).as("lo"),
       min(when($"cum" >= expr("(19 * total + 19) div 20"), $"n_tok")).as("hi"))
-    toks.crossJoin(broadcast(th))
+    hist2.crossJoin(broadcast(th))
       .filter($"n_tok" >= $"lo" && $"n_tok" <= $"hi")
       .groupBy($"lang")
-      .agg(count(lit(1)).as("n_kept"),
-        sum($"n_tok".cast("long")).as("tok_kept"),
+      .agg(sum($"cnt").as("n_kept"),
+        sum($"n_tok".cast("long") * $"cnt").as("tok_kept"),
         min($"lo").as("lo"), min($"hi").as("hi"))
       .orderBy($"lang")
   }
