@@ -2180,6 +2180,52 @@ object Oracle {
         |WHERE coalesce(c.op, '') <> 'delete'
         |ORDER BY o_orderkey""".stripMargin,
 
+    // transition-matrix replay: identical lead window under the
+    // (ts, event_id) unique ordering; probability rounds at 6 dp
+    "q_events_transitions" ->
+      """WITH nxt AS (
+        |  SELECT event_type AS from_type,
+        |         lead(event_type) OVER (PARTITION BY user_id
+        |                                ORDER BY ts, event_id) AS to_type
+        |  FROM events)
+        |SELECT from_type, to_type, count(*) AS n,
+        |       round(CAST(count(*) AS DOUBLE) /
+        |             CAST(sum(count(*)) OVER (PARTITION BY from_type)
+        |                  AS DOUBLE), 6) AS p
+        |FROM nxt WHERE to_type IS NOT NULL
+        |GROUP BY from_type, to_type ORDER BY from_type, to_type""".stripMargin,
+
+    // the bucket-and-offset enumeration collapses to one global
+    // row_number by construction (order-preserving buckets + exact
+    // cumulative offsets) — the oracle states the SPEC, not the plan
+    "q_ids_global" ->
+      """SELECT doc_id, lang,
+        |       row_number() OVER (ORDER BY lang, doc_id) - 1 AS global_id
+        |FROM documents ORDER BY global_id""".stripMargin,
+
+    // PMI replay: identical bigram/unigram models (the bigram_ll CTEs),
+    // identical support filter, ln at 6 dp with a bigram tiebreak
+    "q_text_pmi" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |pos AS (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM d),
+        |big AS (SELECT t[i] || ' ' || t[i+1] AS bg FROM pos),
+        |model AS (SELECT bg, count(*) AS cbg FROM big GROUP BY bg),
+        |tok AS (SELECT unnest(t) AS w FROM d),
+        |uni AS (SELECT w, count(*) AS tf FROM tok GROUP BY w),
+        |tot AS (SELECT (SELECT sum(cbg) FROM model) AS nb,
+        |               (SELECT sum(tf) FROM uni) AS nu)
+        |SELECT m.bg, m.cbg,
+        |       round(ln(CAST(m.cbg AS DOUBLE) / CAST(tot.nb AS DOUBLE))
+        |             - ln(CAST(u1.tf AS DOUBLE) / CAST(tot.nu AS DOUBLE))
+        |             - ln(CAST(u2.tf AS DOUBLE) / CAST(tot.nu AS DOUBLE)), 6)
+        |         AS pmi
+        |FROM model m
+        |JOIN uni u1 ON string_split(m.bg, ' ')[1] = u1.w
+        |JOIN uni u2 ON string_split(m.bg, ' ')[2] = u2.w
+        |CROSS JOIN tot
+        |WHERE m.cbg >= 5
+        |ORDER BY pmi DESC, bg LIMIT 20""".stripMargin,
+
     // adaptive-quality replay: identical histogram + cumulative window +
     // integer rank arithmetic (// = Spark's div), so the cutoffs are
     // engine-exact integers

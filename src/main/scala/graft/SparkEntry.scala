@@ -63,6 +63,8 @@ object SparkEntry {
     "q_typed_agg" -> Relational.typedAgg _,
     "q_scd2_asof" -> Relational.scd2Asof _,
     "q_merge_upsert" -> Relational.mergeUpsert _,
+    "q_events_transitions" -> Relational.eventsTransitions _,
+    "q_ids_global" -> Relational.idsGlobal _,
     // §2.5 windows
     "q_win_rank" -> Relational.winRank _,
     "q_win_running" -> Relational.winRunning _,
@@ -115,6 +117,7 @@ object SparkEntry {
     "q_text_bm25" -> Text.textBm25 _,
     "q_text_bigram_ll" -> Text.textBigramLL _,
     "q_text_rrf" -> Text.textRrf _,
+    "q_text_pmi" -> Text.textPmi _,
     "q_sample_weighted" -> Text.sampleWeighted _,
     "q_text_gopher" -> Text.textGopher _,
     "q_text_quality_adaptive" -> Text.qualityAdaptive _,

@@ -1665,6 +1665,62 @@ object Relational {
       .orderBy($"user_id")
   }
 
+  /** Event-type Markov transition matrix: per consecutive event pair
+    * within a user's timeline, count (from_type → to_type) and the
+    * 6-dp-rounded transition probability — the behavioral-flow /
+    * Sankey aggregate. ONE shuffle keyed on user_id (the lead window);
+    * the (from, to) grid is |types|² rows, so the probability window
+    * and output sort are driver-cheap at any corpus size. The (ts,
+    * event_id) ordering gives ties a unique deterministic resolution
+    * (the funnel/SCD2 convention). */
+  def eventsTransitions(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables.events(spark, dir)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("to_type", lead($"event_type", 1).over(w))
+      .filter($"to_type".isNotNull)
+      .groupBy($"event_type".as("from_type"), $"to_type")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", round($"n".cast("double") /
+        sum($"n").over(Window.partitionBy($"from_type"))
+          .cast("double"), 6))
+      .orderBy($"from_type", $"to_type")
+  }
+
+  /** Globally-consecutive 0-based ids in (lang, doc_id) order WITHOUT a
+    * single-reducer global window — the stable-example-id assignment a
+    * training-data sharding step needs. The naive formulation
+    * (row_number over one unpartitioned window) serializes the corpus
+    * through ONE task; here the only single-partition work is the
+    * |rows|/4096-row offsets relation (the final presentation ORDER BY
+    * is an ordinary parallel range sort — the ID ASSIGNMENT itself
+    * never funnels corpus rows through one task). The plan: (1) bucket rows by the order key
+    * (doc_id div 4096 — order-preserving, ≤ 4096 rows per bucket at ANY
+    * scale), (2) aggregate per-(lang, bucket) counts — a tiny
+    * |rows|/4096-row relation, (3) cumulative-sum the offsets over that
+    * tiny relation (single partition of the SMALL side, never the
+    * corpus), (4) join the offsets back and rank within each bounded
+    * bucket. Every corpus-sized operation is a keyed shuffle over
+    * thousands of balanced (lang, bucket) partitions. */
+  def idsGlobal(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", $"lang", expr("doc_id div 4096").as("bkt"))
+    val offsets = docs.groupBy($"lang", $"bkt").agg(count(lit(1)).as("cnt"))
+      .withColumn("offset",
+        coalesce(sum($"cnt").over(Window.orderBy($"lang", $"bkt")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select($"lang", $"bkt", $"offset")
+    docs.join(broadcast(offsets), Seq("lang", "bkt"))
+      .withColumn("global_id",
+        ($"offset" + row_number().over(
+          Window.partitionBy($"lang", $"bkt").orderBy($"doc_id")) - 1)
+          .cast("long"))
+      .select($"doc_id", $"lang", $"global_id")
+      .orderBy($"global_id")
+  }
+
   /** Batch MERGE INTO (Delta/Iceberg-style upsert) expressed as the one
     * plan shape a 100 TB merge actually executes: target ⟗ change-feed
     * FULL OUTER join on the merge key, then a per-row CASE resolution —

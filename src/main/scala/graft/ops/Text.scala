@@ -486,15 +486,34 @@ object Text {
     bigramNll(Tables.documents(spark, dir),
       memoKey = s"bigramCount:${api.ResultCache.sessionId(spark)}:$dir")
 
-  /** Core of [[textBigramLL]] over any (doc_id, text) relation. */
-  private[graft] def bigramNll(docs: DataFrame, memoKey: String): DataFrame = {
+  /** Per-doc (bigram, tf) run arrays — [[tokenRuns]]' n = 2 twin, same
+    * cache-sharing-by-identical-plan contract (bigram NLL and PMI
+    * tokenize the corpus once between them). */
+  private def ngramRuns(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    val bg = api.Dedup.spread(docs)
+    api.Dedup.spread(docs)
       .select($"doc_id",
         org.apache.spark.sql.GraftExpressionBridge.column(
           graft.plans.NgramRunLengths(
             org.apache.spark.sql.GraftExpressionBridge.expression($"text"), 2)).as("rl"))
       .cache()
+  }
+
+  /** Corpus bigram model c(w1 w2) — shared (identical-plan cache) by
+    * [[bigramNll]] and [[textPmi]]. */
+  private def bigramModel(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    ngramRuns(docs)
+      .select($"doc_id", explode($"rl").as("e"))
+      .select($"doc_id", $"e.token".as("bg"), $"e.tf".as("rtf"))
+      .groupBy($"bg").agg(sum($"rtf").as("cbg"))
+      .cache()
+  }
+
+  /** Core of [[textBigramLL]] over any (doc_id, text) relation. */
+  private[graft] def bigramNll(docs: DataFrame, memoKey: String): DataFrame = {
+    import docs.sparkSession.implicits._
+    val bg = ngramRuns(docs)
       .select($"doc_id", explode($"rl").as("e"))
       .select($"doc_id", $"e.token".as("bg"), $"e.tf".as("rtf"))
     val model = bg.groupBy($"bg").agg(sum($"rtf").as("cbg")).cache()
@@ -545,7 +564,59 @@ object Text {
     * already-measured scale shapes. Embeddings and documents share the
     * id domain on the synthetic tables (vec_id ⊂ doc_id range), making
     * this the engine's retrieve-then-fuse curation entry. */
-  def textRrf(spark: SparkSession, dir: String): DataFrame = {
+  def textRrf(spark: SparkSession, dir: String): DataFrame = rrfImpl(spark, dir)
+
+  /** PMI collocation mining (Church & Hanks 1990): the corpus's top-20
+    * bigram collocations by pointwise mutual information,
+    * pmi = ln p(w1 w2) − ln p(w1) − ln p(w2), support-filtered at
+    * c(w1 w2) ≥ 5 — the phrase-extraction pass a tokenizer/vocab
+    * pipeline runs before merging multi-word units.
+    *
+    * 100 TB shape: reuses the compiled NgramRunLengths/TokenRunLengths
+    * passes and their cached models (identical plans to bigramNll's and
+    * textUnigramLL's — one corpus tokenize each, shared by plan-cache
+    * lookup). The support filter runs FIRST on the (possibly
+    * corpus-sized) bigram model, so only frequent candidates reach the
+    * two vocabulary-broadcast joins; ranks on the 6-dp ROUNDED pmi with
+    * a bigram tie-break (the bm25 determinism convention). */
+  def textPmi(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    // corpus bigram model — identical plan to bigramNll's, so the
+    // CacheManager shares one tokenize + one aggregate between them
+    val big = bigramModel(docs)
+    // unigram model — identical plan to textUnigramLL's (same sharing),
+    // vocabulary-sized: broadcast under the same memoized-count gate
+    val uni = tokenRuns(docs)
+      .select($"doc_id", explode($"rl").as("e"))
+      .select($"doc_id", $"e.token".as("w"), $"e.tf".as("rtf"))
+      .groupBy($"w").agg(sum($"rtf").as("tf")).cache()
+    val nVocab: Long = api.ResultCache.getOrCompute[java.lang.Long](
+      s"vocabCount:${api.ResultCache.sessionId(spark)}:$dir", _ => true)(uni.count())
+    def uniB(as1: String, as2: String) = {
+      val r = uni.select($"w".as(as1), $"tf".as(as2))
+      if (nVocab <= 2000000L) broadcast(r) else r.hint("SHUFFLE_HASH")
+    }
+    val totals = big.agg(sum($"cbg").as("nb"))
+      .crossJoin(uni.agg(sum($"tf").as("nu")))
+    // the c12 >= 5 support filter runs FIRST, on the (possibly
+    // corpus-sized) bigram model itself — only frequent collocation
+    // candidates reach the joins, so everything downstream is tiny at
+    // any corpus size
+    big.filter($"cbg" >= 5)
+      .join(uniB("w1", "c1"), substring_index($"bg", " ", 1) === $"w1")
+      .join(uniB("w2", "c2"), substring_index($"bg", " ", -1) === $"w2")
+      .crossJoin(broadcast(totals))
+      .withColumn("pmi", round(
+        log($"cbg".cast("double") / $"nb".cast("double"))
+          - log($"c1".cast("double") / $"nu".cast("double"))
+          - log($"c2".cast("double") / $"nu".cast("double")), 6))
+      .select($"bg", $"cbg", $"pmi")
+      .orderBy($"pmi".desc, $"bg")
+      .limit(20)
+  }
+
+  private def rrfImpl(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val w = org.apache.spark.sql.expressions.Window
       .orderBy($"bm25".desc, $"doc_id")

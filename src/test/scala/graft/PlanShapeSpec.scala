@@ -159,4 +159,47 @@ class PlanShapeSpec extends SparkSpec {
         .map(p => p.nodeName + ": " + p.toString.linesIterator.next().take(200))
         .mkString("\n"))
   }
+
+  test("merge upsert: ONE full-outer join on the merge key, no second resolution pass") {
+    // the mergeInto scaladoc claim "one FULL OUTER join on the key":
+    // exactly one join node (FullOuter), and the exchange budget is the
+    // two join inputs plus the output sort — a second pass (e.g. a
+    // separate delete anti-join) would add join nodes and exchanges
+    val df = graft.ops.Relational.mergeUpsert(spark, dir)
+    df.collect()
+    val nodes = collectExec(df.queryExecution.executedPlan)
+    val joins = nodes.filter(_.nodeName.toLowerCase.contains("join"))
+    assert(joins.length == 1, s"expected exactly 1 join node, got ${joins.length}")
+    assert(joins.head.toString.contains("FullOuter"),
+      s"expected a FullOuter join, got: ${joins.head.toString.linesIterator.next()}")
+    val n = nodes.count(_.isInstanceOf[ShuffleExchangeLike])
+    assert(n <= 3, s"expected ≤3 exchanges (2 join inputs + output sort), got $n")
+  }
+
+  test("kmeans: the assignment pass plans NO join — centroids ride as broadcast literals") {
+    // the Clustering scaladoc claim: per round one map pass against
+    // centroid literals + one k-row aggregate; a join-based formulation
+    // would put a join node and a per-row probe exchange in the plan
+    val df = graft.ops.Vector.vecKmeans(spark, dir)
+    df.collect()
+    val nodes = collectExec(df.queryExecution.executedPlan)
+    val joins = nodes.count(_.nodeName.toLowerCase.contains("join"))
+    assert(joins == 0, s"kmeans final assignment must not plan a join, got $joins")
+  }
+
+  test("ids global: the only single-partition exchange is the tiny offsets relation") {
+    // the idsGlobal scaladoc claim: corpus rows never funnel through one
+    // task for the ID ASSIGNMENT — the sole SinglePartition exchange in
+    // the plan feeds the |rows|/4096-row offsets window, and the corpus
+    // side ranks inside bounded (lang, bucket) hash partitions
+    import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+    val df = graft.ops.Relational.idsGlobal(spark, dir)
+    df.collect()
+    val nodes = collectExecDeep(df.queryExecution.executedPlan)
+    val singles = nodes.collect {
+      case e: ShuffleExchangeLike if e.outputPartitioning == SinglePartition => e
+    }
+    assert(singles.length <= 1,
+      s"expected at most 1 SinglePartition exchange (the offsets side), got ${singles.length}")
+  }
 }
