@@ -2226,6 +2226,46 @@ object Oracle {
         |WHERE m.cbg >= 5
         |ORDER BY pmi DESC, bg LIMIT 20""".stripMargin,
 
+    // Zipf replay: identical unigram model + (tf DESC, w) rank;
+    // regression sums ride engine-native numerics, 6-dp round
+    "q_text_zipf" ->
+      """WITH d AS (SELECT string_split(text, ' ') AS t FROM documents),
+        |tok AS (SELECT unnest(t) AS w FROM d),
+        |uni AS (SELECT w, count(*) AS tf FROM tok GROUP BY w),
+        |rk AS (SELECT w, tf,
+        |              row_number() OVER (ORDER BY tf DESC, w) AS rank
+        |       FROM uni)
+        |SELECT count(*) AS n_vocab, CAST(max(tf) AS BIGINT) AS max_tf,
+        |       round(regr_slope(ln(CAST(tf AS DOUBLE)),
+        |                        ln(CAST(rank AS DOUBLE))), 6) AS zipf_slope,
+        |       round(regr_intercept(ln(CAST(tf AS DOUBLE)),
+        |                            ln(CAST(rank AS DOUBLE))), 6) AS zipf_intercept
+        |FROM rk""".stripMargin,
+
+    // Welch replay: conditional aggregates in one pass; means through
+    // DECIMAL (order-exact), z rounded at 6 dp
+    "q_ab_ztest" ->
+      """SELECT count(*) FILTER (o_orderkey % 2 = 0) AS n_a,
+        |       count(*) FILTER (o_orderkey % 2 = 1) AS n_b,
+        |       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+        |                    FILTER (o_orderkey % 2 = 0) AS DOUBLE)
+        |             / count(*) FILTER (o_orderkey % 2 = 0), 6) AS mean_a,
+        |       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+        |                    FILTER (o_orderkey % 2 = 1) AS DOUBLE)
+        |             / count(*) FILTER (o_orderkey % 2 = 1), 6) AS mean_b,
+        |       round((CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+        |                     FILTER (o_orderkey % 2 = 0) AS DOUBLE)
+        |                / count(*) FILTER (o_orderkey % 2 = 0)
+        |              - CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+        |                       FILTER (o_orderkey % 2 = 1) AS DOUBLE)
+        |                / count(*) FILTER (o_orderkey % 2 = 1))
+        |             / sqrt(var_samp(o_totalprice) FILTER (o_orderkey % 2 = 0)
+        |                      / count(*) FILTER (o_orderkey % 2 = 0)
+        |                    + var_samp(o_totalprice) FILTER (o_orderkey % 2 = 1)
+        |                      / count(*) FILTER (o_orderkey % 2 = 1)), 6)
+        |         AS welch_z
+        |FROM orders""".stripMargin,
+
     // adaptive-quality replay: identical histogram + cumulative window +
     // integer rank arithmetic (// = Spark's div), so the cutoffs are
     // engine-exact integers

@@ -65,6 +65,7 @@ object SparkEntry {
     "q_merge_upsert" -> Relational.mergeUpsert _,
     "q_events_transitions" -> Relational.eventsTransitions _,
     "q_ids_global" -> Relational.idsGlobal _,
+    "q_ab_ztest" -> Relational.abZtest _,
     // §2.5 windows
     "q_win_rank" -> Relational.winRank _,
     "q_win_running" -> Relational.winRunning _,
@@ -118,6 +119,7 @@ object SparkEntry {
     "q_text_bigram_ll" -> Text.textBigramLL _,
     "q_text_rrf" -> Text.textRrf _,
     "q_text_pmi" -> Text.textPmi _,
+    "q_text_zipf" -> Text.textZipf _,
     "q_sample_weighted" -> Text.sampleWeighted _,
     "q_text_gopher" -> Text.textGopher _,
     "q_text_quality_adaptive" -> Text.qualityAdaptive _,

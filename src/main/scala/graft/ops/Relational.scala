@@ -1721,6 +1721,31 @@ object Relational {
       .orderBy($"global_id")
   }
 
+  /** Welch two-sample z-test between deterministic experiment arms
+    * (variant = o_orderkey parity) over order value — the A/B-readout
+    * aggregate, computed in ONE conditional-aggregate pass over the
+    * fact table (never two scans or a self-join): count/mean/variance
+    * per arm as FILTER-style conditional aggregates, z assembled from
+    * the eight scalars. Means go through DECIMAL sums (order-exact);
+    * the variances ride Spark/DuckDB's numerically-stable one-pass
+    * var_samp and only the 6-dp-rounded FINAL z is compared (the
+    * q_agg_stats convention — relative drift ~1e-11 cannot reach the
+    * 6th decimal of z). */
+  def abZtest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val a = $"o_orderkey" % 2 === 0
+    val b = $"o_orderkey" % 2 === 1
+    def cnt(p: Column) = count(when(p, lit(1)))
+    def meanD(p: Column) =
+      (sum(when(p, dec4($"o_totalprice"))) / cnt(p)).cast("double")
+    def varS(p: Column) = var_samp(when(p, $"o_totalprice"))
+    Tables.orders(spark, dir).agg(
+      cnt(a).as("n_a"), cnt(b).as("n_b"),
+      round(meanD(a), 6).as("mean_a"), round(meanD(b), 6).as("mean_b"),
+      round((meanD(a) - meanD(b)) /
+        sqrt(varS(a) / cnt(a) + varS(b) / cnt(b)), 6).as("welch_z"))
+  }
+
   /** Batch MERGE INTO (Delta/Iceberg-style upsert) expressed as the one
     * plan shape a 100 TB merge actually executes: target ⟗ change-feed
     * FULL OUTER join on the merge key, then a per-row CASE resolution —

@@ -996,6 +996,33 @@ object Text {
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
     api.Dedup.simhash(Tables.documents(spark, dir), "doc_id", "text", n = 3, maxHamming = 3)
 
+  /** Zipf-law corpus health check: the ln-frequency vs ln-rank
+    * regression over the unigram model (slope ≈ −1 on natural text;
+    * this generator's flat vocabulary measures ≈ −0.18) — the
+    * distribution diagnostic a corpus intake runs to catch boilerplate
+    * floods and truncated crawls. Reuses the cached unigram-model plan
+    * (one corpus tokenize, shared with unigram_ll/tfidf/pmi); the rank
+    * window and the regr_slope/regr_intercept aggregate run over the
+    * VOCABULARY-sized relation (bounded domain — the adaptive-histogram
+    * argument), never the corpus. Regression sums ride doubles; both
+    * outputs round at 6 dp (the corr/stddev convention). */
+  def textZipf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val uni = tokenRuns(Tables.documents(spark, dir))
+      .select($"doc_id", explode($"rl").as("e"))
+      .select($"doc_id", $"e.token".as("w"), $"e.tf".as("rtf"))
+      .groupBy($"w").agg(sum($"rtf").as("tf")).cache()
+    uni
+      .withColumn("rank", row_number().over(Window.orderBy($"tf".desc, $"w")))
+      .agg(
+        count(lit(1)).as("n_vocab"),
+        max($"tf").as("max_tf"),
+        round(expr("regr_slope(ln(CAST(tf AS DOUBLE)), ln(CAST(rank AS DOUBLE)))"), 6)
+          .as("zipf_slope"),
+        round(expr("regr_intercept(ln(CAST(tf AS DOUBLE)), ln(CAST(rank AS DOUBLE)))"), 6)
+          .as("zipf_intercept"))
+  }
+
   /** Corpus-ADAPTIVE quality filter: keep documents whose token count
     * lies between the corpus's own 5th and 95th percentile (exact,
     * rank-based — lo = the ceil(N/20)-th smallest count, hi = the
