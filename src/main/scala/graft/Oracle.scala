@@ -2226,6 +2226,17 @@ object Oracle {
         |WHERE m.cbg >= 5
         |ORDER BY pmi DESC, bg LIMIT 20""".stripMargin,
 
+    // DPP replay: the pruning is a plan property (PlanShapeSpec pins
+    // it); the ANSWER is this ordinary join-aggregate
+    "q_join_dpp" ->
+      """WITH dim AS (SELECT DISTINCT o_orderpriority FROM orders
+        |            WHERE o_orderkey <= 5)
+        |SELECT o.o_orderpriority, count(*) AS n,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+        |         AS sum_price
+        |FROM orders o JOIN dim USING (o_orderpriority)
+        |GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""".stripMargin,
+
     // Zipf replay: identical unigram model + (tf DESC, w) rank;
     // regression sums ride engine-native numerics, 6-dp round
     "q_text_zipf" ->

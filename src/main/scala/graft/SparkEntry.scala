@@ -66,6 +66,7 @@ object SparkEntry {
     "q_events_transitions" -> Relational.eventsTransitions _,
     "q_ids_global" -> Relational.idsGlobal _,
     "q_ab_ztest" -> Relational.abZtest _,
+    "q_join_dpp" -> Relational.joinDpp _,
     // §2.5 windows
     "q_win_rank" -> Relational.winRank _,
     "q_win_running" -> Relational.winRunning _,

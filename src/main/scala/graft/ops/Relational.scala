@@ -158,6 +158,18 @@ object Relational {
     // (graft.part.cache.dir property, GRAFT_PART_CACHE_DIR env) for
     // environments whose tmpdir is cleaned aggressively or shared
     // across untrusted users.
+    spark.read.parquet(partitionedOrdersDest(spark, dir))
+      .filter($"o_orderpriority" === "1-URGENT")
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice", $"o_orderpriority")
+      .orderBy($"o_orderkey")
+  }
+
+  /** The once-per-JVM validated hive-partitioned orders copy
+    * (partitioned by o_orderpriority) shared by [[scanPartition]] and
+    * [[joinDpp]] — see the validation/atomic-publish commentary in
+    * [[scanPartition]]. */
+  private def partitionedOrdersDest(spark: SparkSession, dir: String): String = {
+    import spark.implicits._
     val cacheRoot = fixtureCacheRoot
     val dest = new java.io.File(
       cacheRoot,
@@ -173,10 +185,28 @@ object Relational {
           Tables.orders(spark, dir), tmp.toString, partitionBy = Seq("o_orderpriority")))
       validatedPartCopies.add(dest.toString)
     }
-    spark.read.parquet(dest.toString)
-      .filter($"o_orderpriority" === "1-URGENT")
-      .select($"o_orderkey", $"o_custkey", $"o_totalprice", $"o_orderpriority")
-      .orderBy($"o_orderkey")
+    dest.toString
+  }
+
+  /** Dynamic partition pruning: the partitioned fact joins a small
+    * RUNTIME-derived dimension on the PARTITION column, and Catalyst
+    * injects a dynamic-pruning subquery into the fact scan's
+    * PartitionFilters — at 100 TB this is the difference between
+    * scanning the one partition the dim selects and scanning the whole
+    * table, decided at execution time with no static literal in the
+    * query (the dim's priorities are data the optimizer cannot fold).
+    * PlanShapeSpec pins `dynamicpruning` in the executed scan. */
+  def joinDpp(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fact = spark.read.parquet(partitionedOrdersDest(spark, dir))
+    val dim = Tables.orders(spark, dir)
+      .filter($"o_orderkey" <= 5)
+      .select($"o_orderpriority").distinct()
+    fact.join(dim, "o_orderpriority")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum(dec4($"o_totalprice")).cast("double").as("sum_price"))
+      .orderBy($"o_orderpriority")
   }
 
   /** CSV-scan query whose ANSWER is format-independent — the graded

@@ -202,4 +202,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(singles.length <= 1,
       s"expected at most 1 SinglePartition exchange (the offsets side), got ${singles.length}")
   }
+
+  test("dpp join: the fact scan carries a dynamic-pruning partition filter") {
+    // the joinDpp scaladoc claim: the dim's runtime key set reaches the
+    // partitioned fact scan as a dynamicpruning subquery in
+    // PartitionFilters — no static literal exists for Catalyst to fold
+    val df = graft.ops.Relational.joinDpp(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      "expected a dynamicpruning PartitionFilter in the fact scan; plan:\n" +
+        plan.linesIterator.filter(_.contains("PartitionFilters")).mkString("\n"))
+  }
 }
