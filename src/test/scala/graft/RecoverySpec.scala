@@ -51,4 +51,42 @@ class RecoverySpec extends SparkSpec {
     try q2.processAllAvailable() finally q2.stop()
     assert(counts() == Map(1L -> 3L, 2L -> 1L), counts().toString)
   }
+
+  test("Trigger.AvailableNow drains the backlog in rate-limited batches and STOPS") {
+    import spark.implicits._
+    // the production periodic-ingest pattern: process everything
+    // available under the source's rate limits, then terminate — a
+    // scheduled catch-up job, not an always-on stream. maxFilesPerTrigger
+    // forces the backlog to split across MULTIPLE micro-batches, which is
+    // exactly what AvailableNow must iterate through before stopping
+    // (a single-batch Trigger.Once would miss the rate-limit contract).
+    val src = java.nio.file.Files.createTempDirectory("graft_an_src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_an_ck").toString
+    def land(id: Long, u: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_anb").toString
+      Seq((id, ts("2024-01-01 10:00:00"), u, "click", 1.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      java.nio.file.Files.list(java.nio.file.Paths.get(tmp)).forEach { p =>
+        if (p.toString.endsWith(".parquet"))
+          java.nio.file.Files.copy(p,
+            java.nio.file.Paths.get(src, id.toString + "_" + p.getFileName.toString))
+      }
+    }
+    (1L to 6L).foreach(i => land(i, i % 2))
+    val q = spark.readStream.schema(Schemas.events)
+      .option("maxFilesPerTrigger", 2) // 6 files -> >= 3 micro-batches
+      .parquet(src)
+      .groupBy($"user_id").agg(count(lit(1)).as("n_events"))
+      .writeStream.format("memory").queryName("an_out")
+      .option("checkpointLocation", ckpt).outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000), "AvailableNow query must self-terminate")
+    val got = spark.table("an_out").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(0L -> 3L, 1L -> 3L))
+    val batches = q.recentProgress.count(_.numInputRows > 0)
+    assert(batches >= 3, s"rate limit must split the backlog, got $batches batches")
+  }
 }
