@@ -2230,7 +2230,7 @@ object Oracle {
     // it); the ANSWER is this ordinary join-aggregate
     "q_join_dpp" ->
       """WITH dim AS (SELECT DISTINCT o_orderpriority FROM orders
-        |            WHERE o_orderkey <= 5)
+        |            WHERE o_orderkey <= 2)
         |SELECT o.o_orderpriority, count(*) AS n,
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
         |         AS sum_price

@@ -200,7 +200,7 @@ object Relational {
     import spark.implicits._
     val fact = spark.read.parquet(partitionedOrdersDest(spark, dir))
     val dim = Tables.orders(spark, dir)
-      .filter($"o_orderkey" <= 5)
+      .filter($"o_orderkey" <= 2)
       .select($"o_orderpriority").distinct()
     fact.join(dim, "o_orderpriority")
       .groupBy($"o_orderpriority")

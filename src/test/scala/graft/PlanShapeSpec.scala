@@ -213,5 +213,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("dynamicpruning"),
       "expected a dynamicpruning PartitionFilter in the fact scan; plan:\n" +
         plan.linesIterator.filter(_.contains("PartitionFilters")).mkString("\n"))
+    // and the pruning must actually SKIP partitions: the dim (orderkeys
+    // <= 2) selects 3 of the 5 priority partitions on this testdata, so
+    // the fact scan's file count must be strictly below the full copy's
+    val scans = collectExecDeep(df.queryExecution.executedPlan)
+      .filter(_.nodeName.contains("Scan"))
+      .filter(_.toString.contains("dynamicpruning"))
+    assert(scans.nonEmpty, "no fact scan with a dynamicpruning filter found")
+    val read = scans.head.metrics("numFiles").value
+    assert(scans.head.metrics.contains("staticFilesNum"),
+      s"expected the DPP staticFilesNum metric; present: ${scans.head.metrics.keys.mkString(",")}")
+    val total = scans.head.metrics("staticFilesNum").value
+    assert(read < total, s"DPP read all files: numFiles=$read staticFilesNum=$total")
+    assert(read >= 1, "scan must still read the selected partitions")
   }
 }
