@@ -51,4 +51,25 @@ class CatalogSpec extends SparkSpec {
       .collect().head.getLong(0)
     assert(n == 5L)
   }
+
+  test("parameterized SQL: named and positional parameters bind without string splicing") {
+    // the injection-safe SQL entry point (Spark 3.4+): parameters are
+    // bound as literals by the parser, not interpolated into the text
+    val named = spark.sql(
+      "SELECT count(*) AS n FROM parquet.`/root/testdata/sf0.001/orders.parquet` " +
+        "WHERE o_totalprice > :lo AND o_orderpriority = :prio",
+      Map("lo" -> 500000.0, "prio" -> "1-URGENT"))
+      .collect().head.getLong(0)
+    val spliced = spark.sql(
+      "SELECT count(*) AS n FROM parquet.`/root/testdata/sf0.001/orders.parquet` " +
+        "WHERE o_totalprice > 500000.0 AND o_orderpriority = '1-URGENT'")
+      .collect().head.getLong(0)
+    assert(named === spliced)
+    val positional = spark.sql(
+      "SELECT count(*) AS n FROM parquet.`/root/testdata/sf0.001/orders.parquet` " +
+        "WHERE o_totalprice > ? AND o_orderpriority = ?",
+      Array(500000.0, "1-URGENT"))
+      .collect().head.getLong(0)
+    assert(positional === spliced)
+  }
 }

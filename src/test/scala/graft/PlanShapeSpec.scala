@@ -227,4 +227,58 @@ class PlanShapeSpec extends SparkSpec {
     assert(read < total, s"DPP read all files: numFiles=$read staticFilesNum=$total")
     assert(read >= 1, "scan must still read the selected partitions")
   }
+
+  test("runtime bloom-filter join: an injected might_contain prunes the probe side") {
+    // Spark's InjectRuntimeFilter rule (the automatic twin of
+    // crossCorpus's hand-built bloom prune): with a selective creation
+    // side, the probe-side scan gains a bloom_filter_agg-fed
+    // might_contain predicate BEFORE the join. Thresholds are sized for
+    // 100 TB defaults (10 GB application side), so the fixture session
+    // lowers them explicitly — the assertion is about the PLAN SHAPE the
+    // rule produces, which is scale-independent.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.autoBroadcastJoinThreshold",
+    ).map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      // broadcast joins bypass the bloom path — force a shuffle join
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      import spark.implicits._
+      val li = Tables.lineitem(spark, dir).select($"l_orderkey", $"l_quantity")
+      val sel = Tables.orders(spark, dir)
+        .filter($"o_totalprice" > 500000.0).select($"o_orderkey")
+      val joined = li.join(sel, $"l_orderkey" === $"o_orderkey")
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"))
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("might_contain"),
+        "expected an injected runtime bloom filter (might_contain) on the probe side")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
+  test("rank-filter windows use the WindowGroupLimit pushdown, not a full sort-all") {
+    // rank() <= k predicates optimize to WindowGroupLimitExec (Spark
+    // 3.5+): each task keeps only k rows per key BEFORE the window sort
+    // — the built-in cousin of the custom TopKPerKey operator, pinned
+    // here so a regression in the rewrite (a changed filter shape that
+    // stops matching) shows up as a plan diff, not a silent full shuffle
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"o_custkey").orderBy($"o_totalprice".desc)
+    val df = Tables.orders(spark, dir)
+      .withColumn("rk", org.apache.spark.sql.functions.rank().over(w))
+      .filter($"rk" <= 2)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      "expected WindowGroupLimitExec in the plan for a rank() <= k filter")
+  }
 }
