@@ -48,8 +48,10 @@ object Upsert {
     * values for every non-key target column. Matched+delete drops the
     * row, matched+update (and insert-on-existing-key — upsert
     * semantics) replaces the payload, unmatched insert adds the row,
-    * delete of an absent key is a no-op, and untouched target rows pass
-    * through with srcCol = 'keep'. One FULL OUTER join on the key — the
+    * delete OR update of an absent key is a no-op (standard MERGE:
+    * only WHEN NOT MATCHED inserts create rows), and untouched target
+    * rows pass through with srcCol = 'keep'. One FULL OUTER join on the
+    * key — the
     * single keyed exchange a 100 TB merge costs (broadcast the feed
     * when it is small; a bucketed target joins with zero exchanges).
     * At most one change row per key is the caller's contract (enforce
@@ -58,12 +60,13 @@ object Upsert {
   def mergeInto(target: DataFrame, changes: DataFrame, keyCol: String,
       opCol: String = "op", srcCol: String = "src"): DataFrame = {
     val payload = target.columns.filterNot(_ == keyCol).toSeq
-    val t = target.select((col(keyCol) +:
+    val t = target.select((col(keyCol) +: lit(true).as("__t_exists") +:
       payload.map(c => col(c).as("__t_" + c))): _*)
     val c = changes.select((col(keyCol) +: col(opCol).as("__op") +:
       payload.map(p => col(p).as("__c_" + p))): _*)
     t.join(c, Seq(keyCol), "full_outer")
       .filter(coalesce(col("__op"), lit("")) =!= "delete")
+      .filter(col("__t_exists").isNotNull || col("__op") === "insert")
       .select((col(keyCol) +:
         payload.map(p => when(col("__op").isin("update", "insert"), col("__c_" + p))
           .otherwise(col("__t_" + p)).as(p))) :+

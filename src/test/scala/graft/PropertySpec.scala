@@ -440,4 +440,64 @@ class PropertySpec extends SparkSpec {
       assert(got == r, s"edges=$es")
     }
   }
+
+  private val vecsGen: Gen[List[List[Float]]] = {
+    val coord = Gen.chooseNum(-1000, 1000).map(_ / 777.0f)
+    val vec = Gen.listOfN(6, coord)
+    Gen.chooseNum(4, 30).flatMap(n => Gen.listOfN(n, vec))
+  }
+
+  test("kmeansAssign equals a driver-side reference on random vectors") {
+    import spark.implicits._
+    forAll(vecsGen) { vs =>
+      val rows = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      val df = rows.toDF("vec_id", "embedding")
+      val k = math.min(3, rows.size)
+      val got = graft.api.Clustering.kmeansAssign(df, "vec_id", "embedding", k, rounds = 2)
+        .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2)))).toMap
+      // independent reference: same quantize/seed/tie-break arithmetic
+      val q = rows.map { case (id, v) => id -> v.map(x => math.floor(x.toDouble * 1000.0)) }
+      var cents: Seq[(Int, List[Double])] =
+        q.sortBy(_._1).take(k).zipWithIndex.map { case ((_, v), i) => (i, v) }
+      var assign: Map[Long, (Int, Double)] = Map.empty
+      for (round <- 1 to 2) {
+        assign = q.map { case (id, v) =>
+          id -> cents.map { case (cl, c) =>
+            (v.zip(c).map { case (x, y) => (x - y) * (x - y) }.sum, cl)
+          }.min.swap
+        }.toMap
+        if (round < 2)
+          cents = assign.groupBy(_._2._1).toSeq.sortBy(_._1).map { case (cl, m) =>
+            val vs2 = m.keys.toSeq.map(id => q.find(_._1 == id).get._2)
+            (cl, List.tabulate(6)(i => math.floor(vs2.map(_(i)).sum / vs2.size.toDouble)))
+          }
+      }
+      assert(got === assign, s"n=${rows.size} k=$k")
+    }
+  }
+
+  test("mergeInto is idempotent for update/insert and stable under re-applied deletes") {
+    import spark.implicits._
+    val keysGen = Gen.chooseNum(2, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(1, 20L)).map(_.distinct))
+    forAll(keysGen, keysGen) { (tks, cks) =>
+      val target = tks.map(k => (k, s"v$k")).toDF("id", "v")
+      val ops = Seq("update", "delete", "insert")
+      val changes = cks.zipWithIndex
+        .map { case (k, i) => (k, ops(i % 3), s"c$k") }.toDF("id", "op", "v")
+      def norm(d: org.apache.spark.sql.DataFrame) =
+        d.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+      val once = graft.api.Upsert.mergeInto(target, changes, "id")
+      // re-applying the SAME change feed to the merged result only flips
+      // provenance (keep -> the op); the (id, v) payload is a fixed point
+      val twice = graft.api.Upsert.mergeInto(once.drop("src"), changes, "id")
+      val payloadOnce = norm(once).map { case (id, v, _) => (id, v) }
+      val payloadTwice = norm(twice).map { case (id, v, _) => (id, v) }
+      assert(payloadTwice === payloadOnce, s"target=$tks changes=$cks")
+      // deleted keys stay gone; inserted keys present exactly once
+      val deleted = cks.zipWithIndex.collect { case (k, i) if ops(i % 3) == "delete" => k }
+      assert(payloadOnce.forall { case (id, _) => !deleted.contains(id) })
+      assert(once.groupBy($"id").count().filter($"count" > 1).count() === 0L)
+    }
+  }
 }
