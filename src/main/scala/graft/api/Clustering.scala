@@ -1,6 +1,6 @@
 package graft.api
 
-import graft.functions.{Udafs, VectorFunctions}
+import graft.functions.VectorFunctions
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -23,9 +23,10 @@ import org.apache.spark.sql.functions._
   * 100 TB shape (the reason this is Lloyd's and not a fancier variant):
   * each round is one map pass (k codegen'd [[graft.plans.DoubleArrayDot]]
   * products per row against BROADCAST centroid literals — k·dim doubles
-  * of plan state, never a join) plus one k-row aggregate
-  * (element-wise-sum Aggregator with map-side partial merge, so the
-  * exchange carries one dim-wide partial per (cluster, task)). Driver
+  * of plan state, never a join) plus one k-row aggregate (dim separate
+  * codegen'd double sums with map-side partial merge, so the exchange
+  * carries one dim-wide partial per (cluster, task) and the whole pass
+  * stays primitive — no boxed per-row arrays). Driver
   * traffic is the k×dim centroid model per round — the same bounded
   * model-only `collect()` contract as the IVF codebooks
   * (api.Similarity). Rows shuffle exactly once per recompute, keyed by
@@ -47,10 +48,15 @@ object Clustering {
                    k: Int, rounds: Int, scale: Double = 1000.0): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     require(rounds > 0, s"rounds must be positive, got $rounds")
+    // quantize + self-dot in ONE codegen'd pass per row — the HOF
+    // transform lambda this replaces was interpreted (64 closure calls
+    // per row) and dominated the 1M-vector assignment pass
     val vecs = df
       .select(col(idCol).as("__id"),
-        transform(col(vecCol),
-          x => floor(x.cast("double") * lit(scale)).cast("double")).as("__q"))
+        org.apache.spark.sql.GraftExpressionBridge.column(
+          graft.plans.DoubleArrayQuantizeFloor(
+            org.apache.spark.sql.GraftExpressionBridge.expression(col(vecCol)),
+            scale)).as("__q"))
       .withColumn("__xx", VectorFunctions.dotFast(col("__q"), col("__q")))
       .cache()
 
@@ -77,13 +83,21 @@ object Clustering {
           col("__best").getField("c").as("cluster"),
           col("__best").getField("d").as("dist"))
       if (round < rounds) {
+        // element-wise centroid sums as dim SEPARATE codegen'd double
+        // aggregates (whole-stage, primitive) — the typed Aggregator
+        // alternative deserializes a boxed Seq[Double] per row (64M
+        // boxes per pass at 1M×64), measured as a GC storm at x100
+        val dim = centroids.head._2.length
+        val sums = (0 until dim).map(i =>
+          sum(element_at(col("__q"), i + 1)).as(s"s$i")) :+ count(lit(1)).as("n")
         centroids = assigned
           .groupBy(col("cluster"))
-          .agg(Udafs.vecSumDCol(col("__q")).as("vsum"), count(lit(1)).as("n"))
-          .withColumn("c", expr("transform(vsum, v -> CAST(floor(v / n) AS DOUBLE))"))
-          .select(col("cluster"), col("c"))
+          .agg(sums.head, sums.tail: _*)
           .collect()
-          .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+          .map { r =>
+            val n = r.getLong(dim + 1).toDouble
+            (r.getInt(0), Array.tabulate(dim)(i => math.floor(r.getDouble(i + 1) / n)))
+          }
           .sortBy(_._1)
       }
     }

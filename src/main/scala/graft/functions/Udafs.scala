@@ -67,32 +67,11 @@ object Udafs {
     def outputEncoder: Encoder[Seq[Double]] = ExpressionEncoder()
   }
 
-  /** Element-wise sum of Double arrays — [[VecSumAgg]] for inputs that
-    * are already double (the quantized k-means vectors). Exact for
-    * integer-valued elements while partial sums stay below 2^53, so the
-    * merge order cannot change the result. */
-  object VecSumDAgg extends Aggregator[Seq[Double], Array[Double], Seq[Double]] {
-    private implicit val doubleSeqEnc: Encoder[Seq[Double]] = ExpressionEncoder()
-    def zero: Array[Double] = Array.empty
-    def reduce(buf: Array[Double], in: Seq[Double]): Array[Double] = {
-      val b = if (buf.isEmpty) new Array[Double](in.length) else buf
-      var i = 0; while (i < b.length) { b(i) += in(i); i += 1 }; b
-    }
-    def merge(a: Array[Double], b: Array[Double]): Array[Double] =
-      if (a.isEmpty) b else if (b.isEmpty) a
-      else { var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a }
-    def finish(buf: Array[Double]): Seq[Double] = buf.toSeq
-    def bufferEncoder: Encoder[Array[Double]] = doubleArrayEnc
-    def outputEncoder: Encoder[Seq[Double]] = ExpressionEncoder()
-  }
-
   val arrayMin: org.apache.spark.sql.expressions.UserDefinedFunction = udaf(ArrayMinAgg)
   val arraySum: org.apache.spark.sql.expressions.UserDefinedFunction = udaf(ArraySumAgg)
   val vecSum: org.apache.spark.sql.expressions.UserDefinedFunction = udaf(VecSumAgg)
-  val vecSumD: org.apache.spark.sql.expressions.UserDefinedFunction = udaf(VecSumDAgg)
 
   def arrayMinCol(c: Column): Column = arrayMin(c)
   def arraySumCol(c: Column): Column = arraySum(c)
   def vecSumCol(c: Column): Column = vecSum(c)
-  def vecSumDCol(c: Column): Column = vecSumD(c)
 }

@@ -144,3 +144,64 @@ case class DoubleArrayNormalize(child: Expression)
   override protected def withNewChildInternal(
       newChild: Expression): DoubleArrayNormalize = copy(child = newChild)
 }
+
+/** Elementwise `floor(x * scale)` into a dense double array in one
+  * codegen'd pass — the k-means quantization step
+  * (graft.api.Clustering). The HOF formulation
+  * (`transform(v, x -> CAST(floor(x * scale) AS DOUBLE))`) evaluates an
+  * interpreted lambda per ELEMENT — 64 closure calls per row, measured
+  * as the dominant cost of the x100 (1M-vector) assignment pass.
+  * Bit-identical semantics: floats widen per element, one IEEE multiply
+  * + floor each; null array → null; element-dense input assumed (the
+  * [[DoubleArrayDot]] contract).
+  */
+case class DoubleArrayQuantizeFloor(child: Expression, scale: Double)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  private def elemIsFloat: Boolean = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.FloatType, _) |
+         ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"double_array_quantize_floor requires array<float> or array<double> input, got $t")
+  }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "double_array_quantize_floor"
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    val out = new Array[Double](n)
+    val isF = elemIsFloat
+    var i = 0
+    while (i < n) {
+      val v = if (isF) x.getFloat(i).toDouble else x.getDouble(i)
+      out(i) = math.floor(v * scale)
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val out = ctx.freshName("out")
+      val get = if (elemIsFloat) s"(double) $a.getFloat" else s"$a.getDouble"
+      s"""
+         |int $n = $a.numElements();
+         |double[] $out = new double[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $out[$i] = java.lang.Math.floor($get($i) * $scale);
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): DoubleArrayQuantizeFloor = copy(child = newChild)
+}

@@ -68,6 +68,29 @@ class ExpressionSpec extends SparkSpec {
     assert(r == Seq(0.6, 0.8))
   }
 
+  test("DoubleArrayQuantizeFloor equals the HOF floor-transform bit-for-bit; null edge") {
+    import spark.implicits._
+    val rows = (1 to 100).map { i =>
+      (i.toLong, Array.tabulate(64)(j => (math.sin(i * 64 + j) * 2).toFloat))
+    }
+    val df = rows.toDF("id", "v")
+    def fast(c: org.apache.spark.sql.Column) =
+      org.apache.spark.sql.GraftExpressionBridge.column(
+        graft.plans.DoubleArrayQuantizeFloor(
+          org.apache.spark.sql.GraftExpressionBridge.expression(c), 1000.0))
+    val drift = df
+      .select($"id", fast($"v").as("a"),
+        transform($"v", x => floor(x.cast("double") * 1000.0).cast("double")).as("b"))
+      .select(explode(zip_with($"a", $"b", (x, y) => abs(x - y))).as("d"))
+      .agg(max($"d")).head.getDouble(0)
+    assert(drift == 0.0, s"codegen vs interpreted quantize drift: $drift")
+    val withNull = Seq((1L, Array(0.5f)), (2L, null.asInstanceOf[Array[Float]]))
+      .toDF("id", "v")
+    val out = withNull.select(fast($"v").as("q")).collect()
+    assert(out(0).getSeq[Double](0) == Seq(500.0))
+    assert(out(1).isNullAt(0), "null array must stay null")
+  }
+
   test("normalizeFast: zero vector → zeros; null array → null") {
     import spark.implicits._
     val df = Seq(
