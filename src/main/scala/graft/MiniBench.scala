@@ -17,11 +17,20 @@ object MiniBench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val names = args.toSeq
-    val spark = SparkSession.builder().master("local[32]")
+    val builder = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.ui.enabled", "false")
+    // same override hook as Verify: "k=v;k=v" applied after defaults —
+    // the x100 rehearsal sizes shuffle.partitions to the data (the
+    // fixed 32 is the graded sf0.1 setting, not a law of nature)
+    sys.env.get("SPARK_GRAFT_EXTRA_CONFS").foreach(_.split(";")
+      .map(_.trim).filter(_.contains("=")).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        builder.config(k, v)
+      })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val jobCount = new AtomicInteger(0)
     spark.sparkContext.addSparkListener(new SparkListener {
