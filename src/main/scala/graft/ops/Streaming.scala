@@ -103,6 +103,21 @@ object Streaming {
         col("click_ts"), col("view_ts"))
   }
 
+  /** Stream-static enrichment join — the most common production
+    * streaming shape: each micro-batch of the stream joins a STATIC
+    * dimension (user → segment), broadcast per batch, then aggregates
+    * per segment. No streaming state at all (the static side is not a
+    * stream, so no watermark bookkeeping) — at 100 TB/day the stream
+    * side stays row-at-a-time while the dim rides the broadcast; a
+    * dim too big to broadcast becomes a shuffled join per micro-batch,
+    * which is exactly when the ForeachBatch + bucketed-table layout
+    * takes over. Left join: unknown users keep their rows under a NULL
+    * segment rather than silently dropping events. */
+  def streamEnrich(events: DataFrame, userDim: DataFrame): DataFrame =
+    events.join(broadcast(userDim), Seq("user_id"), "left")
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+
   /** Stateful exact dedup by event_id with watermark-bounded state. */
   def streamDedup(events: DataFrame): DataFrame =
     events.withWatermark("ts", watermarkDelay)

@@ -37,6 +37,29 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch && batch.nonEmpty)
   }
 
+  test("stream-static enrichment joins the broadcast dim per micro-batch, equals batch") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dim = Seq((1L, "gold"), (3L, "silver")).toDF("user_id", "segment")
+    val ms = MemoryStream[Event]
+    val q = Streaming.streamEnrich(ms.toDF, dim)
+      .writeStream.format("memory").queryName("enrich").outputMode("complete").start()
+    try {
+      ms.addData(batch1); q.processAllAvailable()
+      // a second micro-batch re-joins the same static dim
+      ms.addData(Seq(ev(8, "2024-01-01 12:00:00", 3, "click", 2.0))); q.processAllAvailable()
+    } finally q.stop()
+    def norm(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (Option(r.getString(0)), r.getLong(1), r.getDouble(2))).toSet
+    val streamed = norm(spark.table("enrich").collect())
+    val batch = norm(Streaming.streamEnrich(
+      (batch1 :+ ev(8, "2024-01-01 12:00:00", 3, "click", 2.0)).toDF, dim).collect())
+    assert(streamed === batch)
+    assert(streamed.exists(_._1.contains("gold")))
+    assert(streamed.exists(_._1.contains("silver")))
+    assert(streamed.exists(_._1.isEmpty), "unknown users must keep rows under NULL segment")
+  }
+
   test("watermark drops late data in append mode") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
