@@ -57,6 +57,16 @@ object GraftFunctions {
         require(args.length == 1, "token_run_lengths(text) takes exactly 1 argument")
         graft.plans.TokenRunLengths(args(0))
       })
+    B.registerFunction(spark, "char_poly_hash",
+      args => {
+        require(args.length == 1, "char_poly_hash(text) takes exactly 1 argument")
+        graft.plans.CharPolyHash(args(0))
+      })
+    B.registerFunction(spark, "repetition_stats",
+      args => {
+        require(args.length == 1, "repetition_stats(text) takes exactly 1 argument")
+        graft.plans.RepetitionStats(args(0))
+      })
     B.registerFunction(spark, "ngram_run_lengths",
       args => {
         require(args.length == 2, "ngram_run_lengths(text, n) takes exactly 2 arguments")

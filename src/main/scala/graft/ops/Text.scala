@@ -31,6 +31,11 @@ object Text {
 
   private def toks(c: Column): Column = split(c, " ")
 
+  /** Wrap a custom Catalyst expression as a Column (bridge to the
+    * package-private constructor — see GraftExpressionBridge). */
+  private def compiled(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    org.apache.spark.sql.GraftExpressionBridge.column(e)
+
   /** The cached per-doc (token, tf) run arrays every token-scoring query
     * (tfidf, unigram NLL, BM25 sharing the compiled pass) builds from:
     * spread the scan so the compiled TokenRunLengths pass inherits the
@@ -125,12 +130,19 @@ object Text {
 
   /** Document fingerprinting: polynomial rolling hash over characters,
     * mod 1e9+7 — portable (same fold in the oracle), collision-checkable.
-    * Output: one row per fingerprint with member count + canonical doc. */
+    * Output: one row per fingerprint with member count + canonical doc.
+    * The hash is the compiled [[graft.plans.CharPolyHash]] pass (one
+    * codegen'd walk of the UTF8String's bytes) — the interpreted
+    * per-CHARACTER `aggregate(split(text, ''), ...)` lambda it
+    * replaces was the suite's last per-row HOF hot path (round-8
+    * verdict finding #1); ExpressionSpec pins bit-equality against
+    * the lambda formulation on real data, so the oracle's
+    * `list_reduce` replay is unchanged. */
   def textFingerprint(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, dir)
-      .withColumn("fp",
-        aggregate(split($"text", ""), lit(0L), (acc, c) => (acc * 31 + ascii(c)) % 1000000007L))
+      .withColumn("fp", compiled(graft.plans.CharPolyHash(
+        org.apache.spark.sql.GraftExpressionBridge.expression($"text"))))
       .groupBy($"fp")
       .agg(count(lit(1)).as("n_docs"), min($"doc_id").as("canonical_doc"))
       .orderBy($"fp")
@@ -166,27 +178,17 @@ object Text {
     * identically. */
   private[graft] def repetitionScore(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    // top_tok = longest equal run of the SORTED token array — one
-    // O(n log n) codegen'd sort + one O(n) fold, instead of the
-    // O(n·distinct) per-distinct-token rescan (interpreted lambdas on
-    // a single-split pre-shuffle stage run single-threaded; review
-    // finding). The bigram transform is guarded: sequence(1, size-1)
-    // under ANSI mode throws INVALID_ARRAY_INDEX on a 1-token doc
-    // (sequence(1, 0) counts DOWN, and t[1] is out of bounds).
-    val stats = expr(
-      """transform(array(split(text, ' ')), t -> struct(
-        |  size(t) AS n_tokens,
-        |  aggregate(array_sort(t),
-        |    struct(0 AS best, 0 AS cur, CAST(NULL AS STRING) AS prev),
-        |    (a, x) -> struct(
-        |      greatest(a.best, IF(a.prev IS NOT NULL AND x = a.prev, a.cur + 1, 1)) AS best,
-        |      IF(a.prev IS NOT NULL AND x = a.prev, a.cur + 1, 1) AS cur,
-        |      x AS prev),
-        |    a -> a.best) AS top_tok,
-        |  IF(size(t) < 2, 0,
-        |    size(array_distinct(transform(sequence(1, size(t) - 1),
-        |      i -> concat_ws(' ', t[i-1], t[i]))))) AS n_bi_distinct
-        |))[0]""".stripMargin)
+    // All three statistics — token count, longest equal run of the
+    // sorted token array, distinct-bigram count — in ONE compiled
+    // per-row pass (graft.plans.RepetitionStats). The previous
+    // formulation kept the shuffle-free shape but ran the run-length
+    // fold and the bigram transform as interpreted lambdas per token
+    // (round-8 verdict finding #2 — the §18.21 defect class measured
+    // at 6–40× per-row CPU elsewhere); ExpressionSpec pins the struct
+    // bit-equal to the lambda formulation on the real table, so the
+    // oracle replay is unchanged.
+    val stats = compiled(graft.plans.RepetitionStats(
+      org.apache.spark.sql.GraftExpressionBridge.expression($"text")))
     val topFrac = round($"s.top_tok".cast("double") / $"s.n_tokens", 6)
     val dupFrac = round(
       when($"s.n_tokens" <= 2, 0.0d).otherwise(

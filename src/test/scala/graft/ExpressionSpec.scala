@@ -360,4 +360,90 @@ class ExpressionSpec extends SparkSpec {
     assert(r.getSeq[org.apache.spark.sql.Row](4).map(x => (x.getString(0), x.getLong(1)))
       == Seq(("a b", 1L), ("b a", 1L), ("b c", 1L)))
   }
+
+  test("CharPolyHash equals the interpreted per-char aggregate fold on real data x2 SFs") {
+    import spark.implicits._
+    val lambda = expr(
+      "aggregate(split(text, ''), CAST(0 AS BIGINT), (acc, c) -> (acc * 31 + ascii(c)) % 1000000007)")
+    for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val docs = Tables.documents(spark, sf)
+      val fast = org.apache.spark.sql.GraftExpressionBridge.column(
+        graft.plans.CharPolyHash(
+          org.apache.spark.sql.GraftExpressionBridge.expression($"text")))
+      val bad = docs.select($"doc_id", lambda.as("a"), fast.as("b"))
+        .filter(not($"a" <=> $"b")).count()
+      assert(bad == 0L, s"$bad docs with differing fingerprints at $sf")
+    }
+  }
+
+  test("CharPolyHash edge cases: empty string, punctuation, null, non-ASCII code points") {
+    import spark.implicits._
+    val lambda = expr(
+      "aggregate(split(text, ''), CAST(0 AS BIGINT), (acc, c) -> (acc * 31 + ascii(c)) % 1000000007)")
+    val fast = org.apache.spark.sql.GraftExpressionBridge.column(
+      graft.plans.CharPolyHash(
+        org.apache.spark.sql.GraftExpressionBridge.expression(col("text"))))
+    val df = Seq(
+      (1L, Some("")),                       // [""] -> ascii 0 -> fp 0
+      (2L, Some("a")),
+      (3L, Some("Hello, wor4ld! \t~")),
+      (4L, Option.empty[String]),
+      (5L, Some("caf\u00e9 \u4e2d\u6587")),    // 2- and 3-byte UTF-8 code points
+    ).toDF("doc_id", "text")
+    val rows = df.select($"doc_id", lambda.as("a"), fast.as("b"))
+      .orderBy($"doc_id").collect()
+    assert(rows(0).getLong(2) == 0L)
+    rows.foreach { r =>
+      if (r.isNullAt(1)) assert(r.isNullAt(2), s"doc ${r.getLong(0)}: null mismatch")
+      else assert(r.getLong(1) == r.getLong(2),
+        s"doc ${r.getLong(0)}: lambda ${r.getLong(1)} != compiled ${r.getLong(2)}")
+    }
+  }
+
+  test("RepetitionStats equals the interpreted gopher lambda struct on real data x2 SFs") {
+    import spark.implicits._
+    val lambda = expr(
+      """transform(array(split(text, ' ')), t -> struct(
+        |  size(t) AS n_tokens,
+        |  aggregate(array_sort(t),
+        |    struct(0 AS best, 0 AS cur, CAST(NULL AS STRING) AS prev),
+        |    (a, x) -> struct(
+        |      greatest(a.best, IF(a.prev IS NOT NULL AND x = a.prev, a.cur + 1, 1)) AS best,
+        |      IF(a.prev IS NOT NULL AND x = a.prev, a.cur + 1, 1) AS cur,
+        |      x AS prev),
+        |    a -> a.best) AS top_tok,
+        |  IF(size(t) < 2, 0,
+        |    size(array_distinct(transform(sequence(1, size(t) - 1),
+        |      i -> concat_ws(' ', t[i-1], t[i]))))) AS n_bi_distinct
+        |))[0]""".stripMargin)
+    for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val docs = Tables.documents(spark, sf)
+      val fast = org.apache.spark.sql.GraftExpressionBridge.column(
+        graft.plans.RepetitionStats(
+          org.apache.spark.sql.GraftExpressionBridge.expression($"text")))
+      val bad = docs.select($"doc_id", lambda.as("a"), fast.as("b"))
+        .filter(not($"a" <=> $"b")).count()
+      assert(bad == 0L, s"$bad docs with differing repetition stats at $sf")
+    }
+  }
+
+  test("RepetitionStats edge cases: 1-token doc, empty string, repeats, null") {
+    import spark.implicits._
+    val fast = org.apache.spark.sql.GraftExpressionBridge.column(
+      graft.plans.RepetitionStats(
+        org.apache.spark.sql.GraftExpressionBridge.expression(col("text"))))
+    val rows = Seq(
+      (1L, Some("solo")),            // (1, 1, 0): <2 tokens -> 0 bigrams
+      (2L, Some("")),                // split("")=[""]: (1, 1, 0)
+      (3L, Some("a b a b a")),       // (5, 3, 2): runs a=3; bigrams {a b, b a}
+      (4L, Some("x x x x")),         // (4, 4, 1)
+      (5L, Option.empty[String]),
+    ).toDF("doc_id", "text").select($"doc_id", fast.as("s")).orderBy($"doc_id").collect()
+    def st(i: Int) = { val r = rows(i).getStruct(1); (r.getInt(0), r.getInt(1), r.getInt(2)) }
+    assert(st(0) == ((1, 1, 0)))
+    assert(st(1) == ((1, 1, 0)))
+    assert(st(2) == ((5, 3, 2)))
+    assert(st(3) == ((4, 4, 1)))
+    assert(rows(4).isNullAt(1))
+  }
 }
