@@ -2129,9 +2129,11 @@ object Oracle {
         |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rn
         |    FROM d1) WHERE rn = 1),
         |e1 AS (
+        |  -- dim derived from the data (len(q.q)), not hard-coded, so a
+        |  -- non-64-dim embeddings fixture still grades correctly
         |  SELECT a1.cl, i.i, q.q[i.i] AS x
         |  FROM a1 JOIN q USING (vec_id)
-        |  CROSS JOIN (SELECT unnest(range(1, 65)) AS i) i),
+        |  CROSS JOIN (SELECT unnest(range(1, (SELECT len(q) + 1 FROM q LIMIT 1))) AS i) i),
         |c1 AS (
         |  SELECT cl, list(fx ORDER BY i) AS c
         |  FROM (SELECT cl, i, floor(sum(x) / count(*)) AS fx FROM e1 GROUP BY cl, i)

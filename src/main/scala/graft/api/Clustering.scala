@@ -101,6 +101,21 @@ object Clustering {
           .sortBy(_._1)
       }
     }
-    assigned.select(col("__id").as(idCol), col("cluster"), col("dist"))
+    // Release the quantized-corpus cache before returning (review
+    // finding: the handle is internal, so a long-lived session calling
+    // this repeatedly would otherwise pin ~raw-data-sized executor
+    // storage per call with no way to free it). The final assignment —
+    // three narrow columns, no vectors — is materialized eagerly via
+    // localCheckpoint first so the last pass still reads the cache;
+    // checkpoint blocks are reference-tracked by the ContextCleaner
+    // and self-release when the result goes out of scope, unlike
+    // CacheManager entries. (Same durability trade as the
+    // pointer-jumping loop in api.Dedup: a localCheckpoint does not
+    // survive executor loss; acceptable for a result this small.)
+    val out = assigned
+      .select(col("__id").as(idCol), col("cluster"), col("dist"))
+      .localCheckpoint()
+    vecs.unpersist(false)
+    out
   }
 }

@@ -24,6 +24,7 @@ object Observe {
     * `get` blocks until the first action over the frame completes.
     * Metrics must be aggregate expressions without distinct. */
   def observed(df: DataFrame, name: String, metrics: Column*): (DataFrame, Observation) = {
+    require(metrics.nonEmpty, "observed: at least one metric is required")
     val obs = Observation(name)
     (df.observe(obs, metrics.head, metrics.tail: _*), obs)
   }

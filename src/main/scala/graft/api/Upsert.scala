@@ -62,7 +62,17 @@ object Upsert {
     val payload = target.columns.filterNot(_ == keyCol).toSeq
     val t = target.select((col(keyCol) +: lit(true).as("__t_exists") +:
       payload.map(c => col(c).as("__t_" + c))): _*)
-    val c = changes.select((col(keyCol) +: col(opCol).as("__op") +:
+    // Validate op values inline (review finding: a typo'd op like
+    // 'updte' previously passed both filters and no-op'd silently with
+    // its misspelling as the provenance). The check is a codegen'd
+    // conditional on the change rows — no extra pass, no driver trip —
+    // and raises on the first malformed row, null included.
+    val opChecked = when(col(opCol).isin("delete", "update", "insert"), col(opCol))
+      .otherwise(raise_error(concat(
+        lit("mergeInto: invalid op '"),
+        coalesce(col(opCol).cast("string"), lit("NULL")),
+        lit("' (expected delete/update/insert)"))))
+    val c = changes.select((col(keyCol) +: opChecked.as("__op") +:
       payload.map(p => col(p).as("__c_" + p))): _*)
     t.join(c, Seq(keyCol), "full_outer")
       .filter(coalesce(col("__op"), lit("")) =!= "delete")

@@ -81,7 +81,10 @@ case class DoubleArrayDot(left: Expression, right: Expression)
 case class DoubleArrayNormalize(child: Expression)
   extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
-  private def elemIsFloat: Boolean = child.dataType match {
+  // lazy: re-pattern-matching child.dataType per interpreted-path row
+  // was measurable waste (review finding); transient keeps the cached
+  // Boolean out of any serialized form
+  @transient private lazy val elemIsFloat: Boolean = child.dataType match {
     case ArrayType(org.apache.spark.sql.types.FloatType, _) => true
     case _ => false
   }
@@ -158,7 +161,21 @@ case class DoubleArrayNormalize(child: Expression)
 case class DoubleArrayQuantizeFloor(child: Expression, scale: Double)
   extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
-  private def elemIsFloat: Boolean = child.dataType match {
+  // Java-valid literal for codegen: Double.toString emits parseable
+  // forms for all finite doubles ("1000.0", "1.0E-5", "-0.0"); a raw
+  // interpolated splice of NaN/Infinity would emit bare `NaN`/`Infinity`
+  // identifiers — uncompilable Java, forcing interpreted fallback
+  // (review finding)
+  private def scaleLiteral: String =
+    if (scale.isNaN) "java.lang.Double.NaN"
+    else if (scale == Double.PositiveInfinity) "java.lang.Double.POSITIVE_INFINITY"
+    else if (scale == Double.NegativeInfinity) "java.lang.Double.NEGATIVE_INFINITY"
+    else java.lang.Double.toString(scale) + "D"
+
+  // lazy: re-pattern-matching child.dataType per interpreted-path row
+  // was measurable waste (review finding); transient keeps the cached
+  // Boolean out of any serialized form
+  @transient private lazy val elemIsFloat: Boolean = child.dataType match {
     case ArrayType(org.apache.spark.sql.types.FloatType, _) => true
     case _ => false
   }
@@ -196,7 +213,7 @@ case class DoubleArrayQuantizeFloor(child: Expression, scale: Double)
          |int $n = $a.numElements();
          |double[] $out = new double[$n];
          |for (int $i = 0; $i < $n; $i++) {
-         |  $out[$i] = java.lang.Math.floor($get($i) * $scale);
+         |  $out[$i] = java.lang.Math.floor($get($i) * $scaleLiteral);
          |}
          |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
        """.stripMargin

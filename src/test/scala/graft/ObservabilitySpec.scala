@@ -47,4 +47,13 @@ class ObservabilitySpec extends SparkSpec {
       assert(rowsOut <= rowsIn)
     } finally spark.sparkContext.removeSparkListener(listener)
   }
+
+  test("observed with zero metrics is a contract error, not a head-of-empty crash") {
+    import spark.implicits._
+    val df = Seq((1L, "a")).toDF("id", "v")
+    val e = intercept[IllegalArgumentException] {
+      graft.api.Observe.observed(df, "empty")
+    }
+    assert(e.getMessage.contains("at least one metric"), e.getMessage)
+  }
 }

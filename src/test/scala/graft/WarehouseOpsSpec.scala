@@ -78,4 +78,15 @@ class WarehouseOpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
     assert(got === Set((1L, "a", "keep"), (2L, "b2", "insert")))
   }
+
+  test("mergeInto rejects malformed op values instead of silently no-op'ing") {
+    import spark.implicits._
+    val target = Seq((1L, "a")).toDF("id", "v")
+    val changes = Seq((1L, "updte", "A")).toDF("id", "op", "v")  // typo'd op
+    val e = intercept[Exception] {
+      Upsert.mergeInto(target, changes, "id").collect()
+    }
+    assert(e.getMessage.contains("invalid op") || e.getMessage.contains("updte"),
+      e.getMessage)
+  }
 }
