@@ -505,12 +505,19 @@ object Dedup {
     * dropped from candidate generation (the occupancy-cap note above [[inBucketPairs]] — the
     * O(clique²) guard a 100 TB corpus needs).
     *
-    * CACHING CONTRACT: each call `.cache()`s its shingle relation and —
-    * because the returned plan is lazy — cannot unpersist it; the entry
-    * (a few MB, evictable) lives until spark.catalog.clearCache() or
+    * CACHING CONTRACT: each call persists its signature relation
+    * (MEMORY_AND_DISK; bounded per-doc records) and caches its
+    * candidate-pair and candidate-shingle relations (pair-mass-sized)
+    * and — because the returned plan is lazy — cannot unpersist them;
+    * the entries (evictable) live until spark.catalog.clearCache() or
     * session end. Long-lived sessions making many calls should clear
-    * the cache between batches. The cache is load-bearing for join
-    * strategy, not an optimization — see the inline note. */
+    * the cache between batches. All three are load-bearing: the
+    * signature persist because count-then-prune reads the band
+    * relation twice, the candidate caches for exact size statistics
+    * (broadcast verification joins) and to keep the band pipeline
+    * from replaying. The corpus-wide SHINGLE cache of rounds 2–8 is
+    * deliberately gone — it was the x100 single-node memory wall
+    * (inline note). */
   /** MinHash signatures over a shingled relation: (doc_id, sig) with
     * sig an array of numHashes 32-bit min-hashes. Extracted from
     * [[minhashLsh]] so ChunkOccupancySpec can measure UNCAPPED band
@@ -548,15 +555,33 @@ object Dedup {
       bands: Int = 16, rowsPerBand: Int = 4, threshold: Double = 0.8,
       maxBandOccupancy: Int = 1024): DataFrame = {
     val numHashes = bands * rowsPerBand
-    // .cache() is load-bearing, not a micro-optimization: the shingle
-    // set feeds three plan branches (signatures + both verification
-    // joins), and the cached relation's exact size statistics let
-    // Catalyst broadcast the small sides (removing it measurably flipped
-    // the downstream joins to sort-merge — ~8× slower at sf0.1). Cost: a
-    // few MB of evictable storage per call until the session ends or
-    // spark.catalog.clearCache().
-    val shingled = shingles(spread(df), idCol, textCol, n).cache()
-    val sigs = minhashSignatures(shingled, numHashes)
+    // NO corpus-wide shingle cache (round-9 x100 finding): caching the
+    // shingled corpus — the round-8 design — was the FIRST memory wall
+    // at x100/8g, before any aggregate ran: ~8.5 GB of shingle strings
+    // over 32 partitions means 32 concurrent tasks each BUILD a
+    // ~270 MB columnar block before eviction can help (MhProbe pinned
+    // the OOM to the cache-materialization stage alone). The corpus
+    // pass now computes shingles inline exactly once — inside the
+    // signature projection — and only the CANDIDATE docs (a
+    // pair-mass-sized set, below) are ever re-shingled for
+    // verification.
+    val spreadDocs = spread(df)
+    // persisted DISK_ONLY: the band relation is consumed TWICE by
+    // count-then-prune candidate generation (occupancy counts, then
+    // the pruned list aggregate), and the signature pass —
+    // numHashes×|shingles| xxhashes per doc — is the expensive stage
+    // to recompute. 10M docs × (id + 64 ints) ≈ 2.7 GB raw — bounded
+    // per-doc records independent of document length, unlike the
+    // shingle arrays. DISK_ONLY, not MEMORY_AND_DISK, deliberately
+    // (x100/8g measurement): in-memory persisted batches pin unified
+    // storage up to the protected fraction, and the 160M-row band
+    // count aggregate right after then fails UNABLE_TO_ACQUIRE_MEMORY
+    // — the persist starved the very aggregate it feeds. Disk
+    // read-back of the compressed columnar batches is seconds; at
+    // sf0.1 the relation is a few KB either way.
+    val sigs = minhashSignatures(
+        shingles(spreadDocs, idCol, textCol, n), numHashes)
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     // Candidate generation is ONE grouped aggregate over the band
     // relation, not a bucket-key self-join (round-8 restructure,
     // measured at x10): the self-join's two sides each rebuilt the
@@ -576,17 +601,68 @@ object Dedup {
     // as one buffer row — the occupancy filter reads the COUNT column
     // (exact even when the list is truncated at cap+1), and kept
     // buckets' lists are complete by construction (occ ≤ cap).
+    // COUNT-THEN-PRUNE (round-9, the x100 memory-ceiling fix): the
+    // list aggregate above used to run over the FULL band stream —
+    // |docs|×bands rows, nearly all singleton buckets — so at x100
+    // (160M rows) every partition held millions of object list
+    // buffers and the ObjectHashAggregate's sort-based spill was the
+    // only survival path (8g/32g heap: OOM-or-crawl; BASELINE.md
+    // round-8 x100 notes). Restructured: (1) a fixed-width COUNT
+    // aggregate over the band stream — codegen'd HashAggregate,
+    // 8-byte buffers, spills cheaply, no objects; (2) keep only keys
+    // with 2 ≤ occ ≤ cap (singletons produce no pairs; over-cap
+    // buckets were already dropped — same pair set by construction);
+    // (3) semi-join the band stream against the surviving keys
+    // (AQE broadcasts the key set when it is small — the common
+    // case — and falls back to a shuffled hash join when a dup-heavy
+    // corpus makes it large, so nothing here assumes a small
+    // qualifying set); (4) the object list aggregate now sees ONLY
+    // qualifying-bucket rows — bounded by the candidate-pair mass,
+    // not the corpus. Per-executor object-buffer count is bounded by
+    // design, not by cluster width.
+    val bandRel = minhashBandBuckets(sigs, bands, rowsPerBand)
+    val liveKeys = bandRel
+      .groupBy(col("band_idx"), col("band_key"))
+      .agg(count(lit(1)).as("__occ"))
+      .filter(col("__occ") >= 2 && col("__occ") <= maxBandOccupancy)
+      .select(col("band_idx"), col("band_key"))
     val cand = inBucketPairs(
-      minhashBandBuckets(sigs, bands, rowsPerBand)
+      bandRel
+        .join(liveKeys, Seq("band_idx", "band_key"), "left_semi")
         .groupBy(col("band_idx"), col("band_key"))
         .agg(boundedList(col("doc_id"), maxBandOccupancy).as("ds"),
           count(lit(1)).as("__occ"))
         .filter(col("__occ") <= maxBandOccupancy),
       "ds")
       .distinct()
+      // cached: cand feeds the candidate-id set AND the verification
+      // join below — without it the whole band pipeline would replay.
+      // Size = candidate-pair mass (thousands at rehearsal scales).
+      .cache()
+    // Re-shingle ONLY the candidate docs for verification: semi-join
+    // the raw docs against the candidate-id set (AQE broadcasts it
+    // when small — the common case — and falls back to a shuffled
+    // hash join on a dup-heavy corpus), then compute their shingle
+    // arrays. The cached result is pair-mass-sized, so its exact size
+    // statistics still drive the verification joins to broadcast —
+    // the round-2 lesson that motivated the old corpus-wide cache,
+    // kept at a bounded footprint.
+    val candIds = cand
+      .select(explode(array(col("a_id"), col("b_id"))).as("__cand_id"))
+      .distinct()
+    // raw df, NOT spreadDocs: spread is a full corpus-text shuffle,
+    // load-bearing only where heavy per-row compute precedes the
+    // first exchange (the signature pass). Here the scan just feeds a
+    // semi-join hash probe; only the few survivors pay the shingle
+    // compute (measured x10: spread on this branch cost ~7 s of pure
+    // re-shuffle).
+    val candShingled = shingles(
+        df.join(candIds, col(idCol) === col("__cand_id"), "left_semi"),
+        idCol, textCol, n)
+      .cache()
     cand
-      .join(shingled.select(col("doc_id").as("a_id"), col("shingles").as("sh_a")), "a_id")
-      .join(shingled.select(col("doc_id").as("b_id"), col("shingles").as("sh_b")), "b_id")
+      .join(candShingled.select(col("doc_id").as("a_id"), col("shingles").as("sh_a")), "a_id")
+      .join(candShingled.select(col("doc_id").as("b_id"), col("shingles").as("sh_b")), "b_id")
       .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard", round(
         col("n_inter").cast("double") / (size(col("sh_a")) + size(col("sh_b")) - col("n_inter")), 6))

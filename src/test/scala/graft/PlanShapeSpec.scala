@@ -90,10 +90,14 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("minhash dedup: bounded exchanges, no all-pairs join") {
-    // spread repartition + signature groupBy + band-key candidate
-    // shuffle + output sort — measured 4; the verify joins broadcast
-    // off the cached shingle relation and add none
-    dedupPins("minhash", graft.ops.Text.dedupMinhash(spark, dir), 5)
+    // spread repartition + band OCCUPANCY-COUNT shuffle + band-key
+    // semi-join/list shuffles + output sort — measured 6 after the
+    // round-9 count-then-prune restructure (the occupancy count is
+    // one deliberate extra fixed-width exchange; it is what lets the
+    // object list aggregate see only qualifying-bucket rows, the
+    // x100/8g memory-ceiling fix). The verify joins broadcast off the
+    // cached candidate-shingle relation and add none.
+    dedupPins("minhash", graft.ops.Text.dedupMinhash(spark, dir), 6)
   }
 
   test("ngram dedup: bounded exchanges, no all-pairs join") {
