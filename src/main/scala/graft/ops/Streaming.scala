@@ -250,6 +250,59 @@ object Streaming {
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
   }
 
+  /** The view→click→purchase funnel kernel on Spark 4's
+    * transformWithState API — the SAME semantics as [[funnelPerUser]]
+    * (flatMapGroupsWithState), so StreamingSpec can pin the two APIs
+    * equal to each other AND to the batch twin across micro-batches,
+    * including state carried across the batch boundary. Within a
+    * micro-batch, rows are ordered by (event time µs, event_id)
+    * exactly like the fMGWS kernel; state is one typed
+    * ValueState[FunnelState] per user (the v2 store's per-key value
+    * column family — RocksDB-backed, so state size is bounded by the
+    * store, not the heap). */
+  class FunnelProcessorTws
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, FunnelHit] {
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.Encoders
+
+    @transient private var state: ValueState[FunnelState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[FunnelState](
+        "funnel", Encoders.product[FunnelState], TTLConfig.NONE)
+
+    override def handleInputRows(uid: Long, rows: Iterator[Event],
+        timers: TimerValues): Iterator[FunnelHit] = {
+      val hourUs = 3600L * 1000000L
+      var st = if (state.exists()) state.get() else FunnelState(-1L, -1L)
+      val out = scala.collection.mutable.ArrayBuffer.empty[FunnelHit]
+      rows.toSeq.sortBy(e => (eventMicros(e.ts), e.event_id)).foreach { e =>
+        val us = eventMicros(e.ts)
+        e.event_type match {
+          case "view" =>
+            st = st.copy(lastViewUs = math.max(st.lastViewUs, us))
+          case "click" =>
+            if (st.lastViewUs >= 0 && us - st.lastViewUs <= hourUs)
+              st = st.copy(lastQualClickUs = math.max(st.lastQualClickUs, us))
+          case "purchase" =>
+            out += FunnelHit(uid, e.event_id,
+              st.lastQualClickUs >= 0 && us - st.lastQualClickUs <= hourUs)
+          case _ => ()
+        }
+      }
+      state.update(st)
+      out.iterator
+    }
+  }
+
+  def funnelPerUserTws(events: Dataset[Event]): Dataset[FunnelHit] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new FunnelProcessorTws,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+  }
+
   /** Land a stream into parquet via foreachBatch. Idempotent under
     * micro-batch REPLAY: each batch overwrites its own batch_id=N
     * subdirectory, so a batch re-run after a crash-before-commit lands

@@ -351,6 +351,82 @@ class StreamingSpec extends SparkSpec {
     assert(got(20L) && !got(21L) && !got(22L)) // cross-batch completion is the point
     assert(!got(32L), "1h + 700µs must be late: ms-floored arithmetic would pass it")
   }
+
+  test("transformWithState funnel equals the fMGWS kernel and the driver replay across batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // same scenario as the fMGWS funnel spec: user 1 completes ONLY
+      // if the qualified-click state crossed the batch boundary;
+      // user 2 has no qualified click; user 3's click is unqualified;
+      // user 4 pins the microsecond boundary (1h + 700us late)
+      val b1 = Seq(
+        ev(10, "2024-01-01 10:00:00", 1, "view"),
+        ev(11, "2024-01-01 10:20:00", 1, "click"),
+        ev(12, "2024-01-01 09:00:00", 3, "view"),
+        ev(13, "2024-01-01 11:30:00", 3, "click"))
+      val lateByMicros = {
+        val t = ts("2024-01-01 11:20:00"); t.setNanos(700000); t
+      }
+      val b2 = Seq(
+        ev(20, "2024-01-01 10:50:00", 1, "purchase"),
+        ev(21, "2024-01-01 10:55:00", 2, "purchase"),
+        ev(22, "2024-01-01 11:40:00", 3, "purchase"),
+        ev(30, "2024-01-01 10:00:00", 4, "view"),
+        ev(31, "2024-01-01 10:20:00", 4, "click"),
+        Event(32, lateByMicros, 4, "purchase", 1.0, "{}"))
+      val ms = MemoryStream[Event]
+      val q = Streaming.funnelPerUserTws(ms.toDS)
+        .writeStream.format("memory").queryName("funnel_tws").outputMode("append").start()
+      try {
+        ms.addData(b1); q.processAllAvailable()
+        ms.addData(b2); q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.table("funnel_tws")
+        .collect().map(r => (r.getLong(1), r.getBoolean(2))).toMap
+      // the two arbitrary-state APIs must agree event for event: run
+      // the SAME batches through the fMGWS kernel
+      val ms2 = MemoryStream[Event]
+      val q2 = Streaming.funnelPerUser(ms2.toDS)
+        .writeStream.format("memory").queryName("funnel_fmgws_twin").outputMode("append").start()
+      try {
+        ms2.addData(b1); q2.processAllAvailable()
+        ms2.addData(b2); q2.processAllAvailable()
+      } finally q2.stop()
+      val gotFmgws = spark.table("funnel_fmgws_twin")
+        .collect().map(r => (r.getLong(1), r.getBoolean(2))).toMap
+      assert(got == gotFmgws, s"tws $got != fMGWS $gotFmgws")
+      // and both must match the driver replay in true microseconds
+      val hourUs = 3600000000L
+      def us(e: Event) = Streaming.eventMicros(e.ts)
+      val expected = (b1 ++ b2).groupBy(_.user_id).flatMap { case (_, es) =>
+        var lastView = -1L; var lastQual = -1L
+        es.sortBy(e => (us(e), e.event_id)).flatMap { e =>
+          e.event_type match {
+            case "view" => lastView = math.max(lastView, us(e)); None
+            case "click" =>
+              if (lastView >= 0 && us(e) - lastView <= hourUs)
+                lastQual = math.max(lastQual, us(e))
+              None
+            case "purchase" =>
+              Some(e.event_id -> (lastQual >= 0 && us(e) - lastQual <= hourUs))
+            case _ => None
+          }
+        }
+      }.toMap
+      assert(got == expected, s"tws $got != replay $expected")
+      assert(got(20L) == true)   // completed only because state crossed the boundary
+      assert(got(21L) == false)
+      assert(got(22L) == false)
+      assert(got(32L) == false)  // 1h + 700us: microsecond-exact lateness
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
 }
 
 /** Executor-visible in-memory store (local mode shares the JVM). */
