@@ -68,6 +68,11 @@ object Bench {
       // at session build, not as a Tables.events side effect: the flag is
       // session-wide and behavior must not depend on read order
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // reset the Java serialization handle table after EVERY object:
+      // the disk leg of big caches writes fat columnar batches through
+      // one ObjectOutputStream, and the default reset-every-100 retains
+      // ~100 batches (~GBs) per task — the x100/8g text-cache OOM
+      .config("spark.serializer.objectStreamReset", "1")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -20,6 +20,11 @@ object MhProbe {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // reset the Java serialization handle table after EVERY object:
+      // the disk leg of big caches writes fat columnar batches through
+      // one ObjectOutputStream, and the default reset-every-100 retains
+      // ~100 batches (~GBs) per task — the x100/8g text-cache OOM
+      .config("spark.serializer.objectStreamReset", "1")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))

@@ -21,6 +21,11 @@ object MiniBench {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // reset the Java serialization handle table after EVERY object:
+      // the disk leg of big caches writes fat columnar batches through
+      // one ObjectOutputStream, and the default reset-every-100 retains
+      // ~100 batches (~GBs) per task — the x100/8g text-cache OOM
+      .config("spark.serializer.objectStreamReset", "1")
       .config("spark.ui.enabled", "false")
     // same override hook as Verify: "k=v;k=v" applied after defaults —
     // the x100 rehearsal sizes shuffle.partitions to the data (the

@@ -24,6 +24,11 @@ object Verify {
       // at session build, not as a Tables.events side effect: the flag is
       // session-wide and behavior must not depend on read order
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // reset the Java serialization handle table after EVERY object:
+      // the disk leg of big caches writes fat columnar batches through
+      // one ObjectOutputStream, and the default reset-every-100 retains
+      // ~100 batches (~GBs) per task — the x100/8g text-cache OOM
+      .config("spark.serializer.objectStreamReset", "1")
       .config("spark.ui.enabled", "false")
     // optional conf overrides ("k=v;k=v"), applied AFTER the defaults so
     // they win; used by tools/spill_check.sh to shrink partitions and

