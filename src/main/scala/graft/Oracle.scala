@@ -714,6 +714,24 @@ object Oracle {
         |       CAST(sum(monetary) AS DOUBLE) AS segment_value
         |FROM seg GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
 
+    // the approx-percentile variant is spec-pinned EQUAL to the exact
+    // ntile segmentation at graded scales — same replay
+    "q_rfm_approx" ->
+      """WITH pc AS (
+        |  SELECT o_custkey, max(o_orderdate) AS last_order,
+        |         count(*) AS frequency,
+        |         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+        |  FROM orders GROUP BY 1),
+        |seg AS (
+        |  SELECT monetary,
+        |         CAST(ntile(5) OVER (ORDER BY last_order DESC, o_custkey) AS INTEGER) AS r,
+        |         CAST(ntile(5) OVER (ORDER BY frequency DESC, o_custkey) AS INTEGER) AS f,
+        |         CAST(ntile(5) OVER (ORDER BY monetary DESC, o_custkey) AS INTEGER) AS m
+        |  FROM pc)
+        |SELECT r, f, m, count(*) AS n_customers,
+        |       CAST(sum(monetary) AS DOUBLE) AS segment_value
+        |FROM seg GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
     // triangle replay: identical oriented-edge wedge formulation; the
     // closing-edge check is EXISTS (≡ Spark's left_semi)
     "q_graph_triangles" ->
@@ -769,6 +787,30 @@ object Oracle {
     // sequential semantics the flatMapGroupsWithState kernel executes —
     // per-purchase completion flags, integer-µs arithmetic
     "q_stream_funnel_state" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+        |w1 AS (
+        |  SELECT *, max(CASE WHEN event_type = 'view' THEN us END)
+        |    OVER (PARTITION BY user_id ORDER BY us, event_id
+        |          ROWS UNBOUNDED PRECEDING) AS lv_us
+        |  FROM e),
+        |w2 AS (
+        |  SELECT *, CASE WHEN event_type = 'click' AND lv_us IS NOT NULL
+        |                  AND us - lv_us <= 3600000000 THEN us END AS qc_us
+        |  FROM w1),
+        |w3 AS (
+        |  SELECT *, max(qc_us)
+        |    OVER (PARTITION BY user_id ORDER BY us, event_id
+        |          ROWS UNBOUNDED PRECEDING) AS lqc_us
+        |  FROM w2)
+        |SELECT user_id, event_id,
+        |       CAST(CASE WHEN lqc_us IS NOT NULL AND us - lqc_us <= 3600000000
+        |            THEN 1 ELSE 0 END AS INTEGER) AS completed
+        |FROM w3 WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+
+    // the transformWithState twin executes the SAME sequential
+    // semantics — identical replay
+    "q_funnel_tws" ->
       """WITH e AS (
         |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
         |w1 AS (

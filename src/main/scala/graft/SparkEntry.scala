@@ -97,9 +97,11 @@ object SparkEntry {
     "q_events_funnel" -> Relational.eventsFunnel _,
     "q_win_islands" -> Relational.winIslands _,
     "q_stream_funnel_state" -> Streaming.funnelBatch _,
+    "q_funnel_tws" -> Streaming.funnelBatchTws _,
     "q_cohort_retention" -> Relational.cohortRetention _,
     "q_basket_pairs" -> Relational.basketPairs _,
     "q_rfm_segments" -> Relational.rfmSegments _,
+    "q_rfm_approx" -> Relational.rfmSegmentsApprox _,
     "q_win_ignore_nulls" -> Relational.winIgnoreNulls _,
     "q_fn_variant" -> Relational.fnVariant _,
     "q_anomaly_zscore" -> Relational.anomalyZscore _,

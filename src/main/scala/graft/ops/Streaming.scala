@@ -303,6 +303,24 @@ object Streaming {
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
   }
 
+  /** [[funnelPerUserTws]] run in BATCH mode as an oracle-gradeable
+    * query — the same end-to-end treatment [[funnelBatch]] gives the
+    * fMGWS kernel, so BOTH arbitrary-state APIs are hash-checked
+    * against DuckDB's window replay on real data. Touching
+    * `spark.streams` first is load-bearing: batch TransformWithState
+    * reads state through a StateStoreCoordinator RPC endpoint that
+    * only the StreamingQueryManager's construction registers — without
+    * it the batch job dies CANNOT_LOAD_STATE_STORE (measured; a
+    * streaming query would have created it as a side effect). */
+  def funnelBatchTws(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.streams.active
+    funnelPerUserTws(graft.Tables.events(spark, dir).as[Event]).toDF()
+      .select(col("user_id"), col("event_id"),
+        col("completed").cast("int").as("completed"))
+      .orderBy(col("event_id"))
+  }
+
   /** Land a stream into parquet via foreachBatch. Idempotent under
     * micro-batch REPLAY: each batch overwrites its own batch_id=N
     * subdirectory, so a batch re-run after a crash-before-commit lands
