@@ -312,6 +312,80 @@ object Streaming {
     * only the StreamingQueryManager's construction registers — without
     * it the batch job dies CANNOT_LOAD_STATE_STORE (measured; a
     * streaming query would have created it as a side effect). */
+  case class SessionState(startMs: Long, lastMs: Long, n: Long, timerMs: Long)
+  case class SessionOut(user_id: Long, start_ms: Long, end_ms: Long, n_events: Long)
+
+  /** Event-time-TIMER sessionization on transformWithState — the part
+    * of the arbitrary-state v2 API the funnel port does not exercise:
+    * a per-user session extends while gaps stay ≤ 30 min; when a later
+    * batch advances the WATERMARK past lastEvent + 30 min, the
+    * registered event-time timer fires and [[SessionGapProcessorTws]]
+    * emits the closed session from handleExpiredTimer — the
+    * timeout-emission pattern fMGWS spells GroupStateTimeout, expressed
+    * with explicit timers. In-batch gaps > 30 min close inline; the
+    * open tail session is emitted only by its timer, never by data.
+    * Each re-extension DELETES the previous timer (state carries the
+    * registered timestamp) so a session has exactly one live timer.
+    * StreamingSpec pins the emission schedule per batch, including a
+    * timer that moves when a session extends across batches and an
+    * open session that must NOT emit while the watermark sits at its
+    * expiry boundary. */
+  class SessionGapProcessorTws(gapMs: Long)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, SessionOut] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TimeMode, TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.Encoders
+
+    @transient private var state: ValueState[SessionState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[SessionState](
+        "session", Encoders.product[SessionState], TTLConfig.NONE)
+
+    override def handleInputRows(uid: Long, rows: Iterator[Event],
+        timers: TimerValues): Iterator[SessionOut] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+      var st = if (state.exists()) state.get() else null
+      rows.toSeq.sortBy(e => (eventMicros(e.ts), e.event_id)).foreach { e =>
+        val ms = eventMicros(e.ts) / 1000L
+        if (st == null) st = SessionState(ms, ms, 1L, -1L)
+        else if (ms - st.lastMs <= gapMs) st = st.copy(lastMs = ms, n = st.n + 1)
+        else {
+          out += SessionOut(uid, st.startMs, st.lastMs, st.n) // in-batch gap: close inline
+          st = SessionState(ms, ms, 1L, -1L)
+        }
+      }
+      if (st != null) {
+        if (st.timerMs >= 0 && st.timerMs != st.lastMs + gapMs)
+          getHandle.deleteTimer(st.timerMs)
+        val t = st.lastMs + gapMs
+        if (st.timerMs != t) getHandle.registerTimer(t)
+        st = st.copy(timerMs = t)
+        state.update(st)
+      }
+      out.iterator
+    }
+
+    override def handleExpiredTimer(uid: Long, timers: TimerValues,
+        expired: ExpiredTimerInfo): Iterator[SessionOut] = {
+      // a stale timer (session re-extended in the same batch) never
+      // reaches here — re-extension deletes it — but guard anyway
+      if (state.exists() && state.get().timerMs == expired.getExpiryTimeInMs) {
+        val st = state.get()
+        state.clear()
+        Iterator.single(SessionOut(uid, st.startMs, st.lastMs, st.n))
+      } else Iterator.empty
+    }
+  }
+
+  def sessionizeTws(events: Dataset[Event], gapMs: Long = 30L * 60000L): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "0 seconds")
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionGapProcessorTws(gapMs),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Append())
+  }
+
   def funnelBatchTws(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     spark.streams.active

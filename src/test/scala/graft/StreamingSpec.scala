@@ -352,6 +352,63 @@ class StreamingSpec extends SparkSpec {
     assert(!got(32L), "1h + 700µs must be late: ms-floored arithmetic would pass it")
   }
 
+  test("transformWithState event-time timers close sessions on watermark advance") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[Event]
+      val q = Streaming.sessionizeTws(ms.toDS)
+        .writeStream.format("memory").queryName("tws_sessions").outputMode("append").start()
+      def snap() = spark.table("tws_sessions")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      def msOf(t: String) = ts(t).getTime
+      try {
+        // b1: u1 one session (10:00,10:10); u3 opens at 10:00. The
+        // watermark is GLOBAL (max event time): 10:10 < every expiry,
+        // so nothing may emit.
+        ms.addData(Seq(
+          ev(1, "2024-01-01 10:00:00", 1, "click"),
+          ev(2, "2024-01-01 10:10:00", 1, "click"),
+          ev(3, "2024-01-01 10:00:00", 3, "click")))
+        q.processAllAvailable()
+        assert(snap() == Set(), s"emitted before any watermark advance: ${snap()}")
+        // b2: u3 EXTENDS (its timer must move 10:30 -> 10:50); u2's
+        // event at 10:45 advances the watermark to 10:45 — u1's timer
+        // (10:40) fires and u1's session emits; u3's MOVED timer
+        // (10:50) must not (had the 10:30 timer survived the move, it
+        // would have fired here and emitted a 1-event session)
+        ms.addData(Seq(
+          ev(6, "2024-01-01 10:20:00", 3, "click"),
+          ev(7, "2024-01-01 10:45:00", 2, "click")))
+        q.processAllAvailable()
+        val s2 = snap()
+        assert(s2 == Set((1L, msOf("2024-01-01 10:00:00"), msOf("2024-01-01 10:10:00"), 2L)),
+          s"after b2: $s2")
+        // b3: u4 arrives with an IN-BATCH gap > 30 min (first session
+        // closes inline, no timer involved) plus a far-future event —
+        // watermark 18:00 fires every remaining timer: u3 closes as
+        // ONE extended session (10:00-10:20, n=2), u2 and u4's tail
+        // session close by timer within the same drain
+        ms.addData(Seq(
+          ev(8, "2024-01-01 11:00:00", 4, "click"),
+          ev(9, "2024-01-01 11:40:00", 4, "click"),
+          ev(10, "2024-01-01 18:00:00", 9, "click")))
+        q.processAllAvailable()
+        val s3 = snap()
+        assert(s3.contains((3L, msOf("2024-01-01 10:00:00"), msOf("2024-01-01 10:20:00"), 2L)), s3.toString)
+        assert(s3.contains((4L, msOf("2024-01-01 11:00:00"), msOf("2024-01-01 11:00:00"), 1L)), s3.toString)
+        assert(s3.contains((4L, msOf("2024-01-01 11:40:00"), msOf("2024-01-01 11:40:00"), 1L)), s3.toString)
+        assert(s3.contains((2L, msOf("2024-01-01 10:45:00"), msOf("2024-01-01 10:45:00"), 1L)), s3.toString)
+      } finally q.stop()
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("transformWithState funnel equals the fMGWS kernel and the driver replay across batches") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
