@@ -1659,6 +1659,49 @@ object Oracle {
 
     // cluster collapse: the same exact J≥0.8 pair set, closed transitively
     // (recursive reachability), each doc mapped to its component's min id
+    // leakage-safe split replay: the exact-Jaccard closure above plus
+    // the identical md5-hex-bucket assignment on the canonical id
+    "q_split_leakage_safe" ->
+      """WITH RECURSIVE tok AS (
+        |  SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS pos,
+        |         unnest(string_split(text, ' ')) AS w FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS sh
+        |  FROM tok a
+        |  JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |  JOIN tok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+        |inter AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_inter
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |p AS (
+        |  SELECT a_id, b_id FROM (
+        |    SELECT a_id, b_id,
+        |           round(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 6) AS jaccard
+        |    FROM inter
+        |    JOIN sizes sa ON a_id = sa.doc_id
+        |    JOIN sizes sb ON b_id = sb.doc_id) t
+        |  WHERE jaccard >= 0.8),
+        |edges AS (
+        |  SELECT a_id AS src, b_id AS dst FROM p
+        |  UNION SELECT b_id, a_id FROM p),
+        |reach AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |canon AS (
+        |  SELECT src AS doc_id, least(src, min(dst)) AS canonical_doc
+        |  FROM reach GROUP BY src),
+        |asg AS (
+        |  SELECT d.doc_id, coalesce(c.canonical_doc, d.doc_id) AS canon
+        |  FROM documents d LEFT JOIN canon c ON d.doc_id = c.doc_id),
+        |s AS (
+        |  SELECT canon, substr(md5(CAST(canon AS VARCHAR)), 1, 1) AS h FROM asg)
+        |SELECT CASE WHEN h <= 'b' THEN 'train'
+        |            WHEN h <= 'd' THEN 'val' ELSE 'test' END AS split,
+        |       count(*) AS n_docs, count(DISTINCT canon) AS n_clusters
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q_dedup_cluster" ->
       """WITH RECURSIVE tok AS (
         |  SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS pos,

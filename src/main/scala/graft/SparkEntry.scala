@@ -98,6 +98,7 @@ object SparkEntry {
     "q_win_islands" -> Relational.winIslands _,
     "q_stream_funnel_state" -> Streaming.funnelBatch _,
     "q_funnel_tws" -> Streaming.funnelBatchTws _,
+    "q_split_leakage_safe" -> Text.splitLeakageSafe _,
     "q_cohort_retention" -> Relational.cohortRetention _,
     "q_basket_pairs" -> Relational.basketPairs _,
     "q_rfm_segments" -> Relational.rfmSegments _,

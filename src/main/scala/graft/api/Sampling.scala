@@ -108,4 +108,33 @@ object Sampling {
         min(col(idCol)).as("first_doc"),
         max(col(idCol)).as("last_doc"))
   }
+
+  /** Leakage-safe train/val/test split — the contamination guard a
+    * training pipeline runs before any split: near-duplicate CLUSTER
+    * members must land in the SAME split, or val/test leak training
+    * text. Assignment is a pure function of the cluster's canonical id
+    * (minhash pairs → [[Dedup.clusterPairs]] transitive closure;
+    * singletons are their own canonical), bucketed on the first hex
+    * char of md5(canonical): '0'–'b' → train (12/16), 'c'–'d' → val,
+    * 'e'–'f' → test — deterministic, engine-portable (same md5 hex in
+    * DuckDB), and stable under corpus growth (a doc's split never
+    * depends on other clusters). By construction no cluster spans
+    * splits; SamplingSpec pins that property on the real pair relation
+    * rather than trusting the construction. 100 TB shape: the split
+    * itself adds ONE left join against the cluster map (pairs-sized,
+    * usually broadcastable) and a per-row hash — the dedup pass it
+    * rides on is the already-measured minhash topology. */
+  def splitLeakageSafe(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val canon = Dedup.clusterPairs(
+      Dedup.minhashLsh(docs, idCol, textCol), "a_id", "b_id")
+      .withColumnRenamed("doc_id", "__cid")
+    docs.select(col(idCol))
+      .join(canon, col(idCol) === col("__cid"), "left")
+      .withColumn("canon", coalesce(col("canonical_doc"), col(idCol)))
+      .withColumn("__h", substring(md5(col("canon").cast("string")), 1, 1))
+      .withColumn("split",
+        when(col("__h") <= "b", "train")
+          .when(col("__h") <= "d", "val")
+          .otherwise("test"))
+  }
 }

@@ -992,6 +992,20 @@ object Text {
     api.Dedup.minhashLsh(Tables.documents(spark, dir), "doc_id", "text",
       n = 3, bands = 16, rowsPerBand = 4, threshold = 0.8)
 
+  /** Leakage-safe split summary (api.Sampling.splitLeakageSafe over the
+    * same J ≥ 0.8 minhash clusters as dedupMinhash/dedupCluster):
+    * per-split doc and CLUSTER counts — the n_clusters column is the
+    * leakage audit (cluster counts sum across splits exactly because
+    * no cluster spans two). Oracle replays the exact-Jaccard closure
+    * plus the identical md5-bucket assignment. */
+  def splitLeakageSafe(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    api.Sampling.splitLeakageSafe(Tables.documents(spark, dir), "doc_id", "text")
+      .groupBy($"split")
+      .agg(count(lit(1)).as("n_docs"), countDistinct($"canon").as("n_clusters"))
+      .orderBy($"split")
+  }
+
   /** Dedup cluster collapse: MinHash+LSH near-dup pairs (same
     * parameters as dedupMinhash, so the pair set is the exact J ≥ 0.8
     * set) collapsed to connected components — every doc in a transitive

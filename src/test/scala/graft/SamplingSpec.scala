@@ -93,4 +93,30 @@ class SamplingSpec extends SparkSpec {
       assert(r.getAs[Long]("sum_tokens") < 50 + 17, r.toString)
     }
   }
+
+  test("splitLeakageSafe: no near-dup pair spans two splits; buckets are the md5 hex ranges") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    val asg = api.Sampling.splitLeakageSafe(docs, "doc_id", "text")
+      .select($"doc_id", $"canon", $"split").cache()
+    // the leakage property, pinned on the REAL pair relation rather
+    // than trusted from the construction: both ends of every near-dup
+    // pair land in the same split
+    val pairs = api.Dedup.minhashLsh(docs, "doc_id", "text")
+    val leaking = pairs
+      .join(asg.select($"doc_id".as("a_id"), $"split".as("sa")), "a_id")
+      .join(asg.select($"doc_id".as("b_id"), $"split".as("sb")), "b_id")
+      .filter($"sa" =!= $"sb").count()
+    assert(leaking == 0L, s"$leaking near-dup pairs span two splits")
+    // every doc assigned exactly one split; assignment is the md5 rule
+    assert(asg.count() == docs.count())
+    val wrong = asg
+      .withColumn("h", substring(md5($"canon".cast("string")), 1, 1))
+      .filter(
+        ($"h" <= "b" && $"split" =!= "train") ||
+        ($"h" > "b" && $"h" <= "d" && $"split" =!= "val") ||
+        ($"h" > "d" && $"split" =!= "test")).count()
+    assert(wrong == 0L)
+    asg.unpersist()
+  }
 }
