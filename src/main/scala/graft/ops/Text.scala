@@ -1004,6 +1004,9 @@ object Text {
       .groupBy($"split")
       .agg(count(lit(1)).as("n_docs"), countDistinct($"canon").as("n_clusters"))
       .orderBy($"split")
+      // 3-row final cached — repeat calls plan-match and skip the
+      // cluster join + audit aggregate (house convention)
+      .cache()
   }
 
   /** Dedup cluster collapse: MinHash+LSH near-dup pairs (same
