@@ -581,7 +581,7 @@ object Dedup {
     // sf0.1 the relation is a few KB either way.
     val sigs = minhashSignatures(
         shingles(spreadDocs, idCol, textCol, n), numHashes)
-      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      .transform(graft.api.Persists.diskOnly)
     // Candidate generation is ONE grouped aggregate over the band
     // relation, not a bucket-key self-join (round-8 restructure,
     // measured at x10): the self-join's two sides each rebuilt the

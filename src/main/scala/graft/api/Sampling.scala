@@ -123,7 +123,12 @@ object Sampling {
     * rather than trusting the construction. 100 TB shape: the split
     * itself adds ONE left join against the cluster map (pairs-sized,
     * usually broadcastable) and a per-row hash — the dedup pass it
-    * rides on is the already-measured minhash topology. */
+    * rides on is the already-measured minhash topology.
+    *
+    * Output schema is STABLE: exactly (idCol, canon, split) — only the
+    * id column is carried from the input (the assignment is a pure
+    * function of it; callers keeping other columns join the result
+    * back on idCol). Internal helper columns never escape. */
   def splitLeakageSafe(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val canon = Dedup.clusterPairs(
       Dedup.minhashLsh(docs, idCol, textCol), "a_id", "b_id")
@@ -136,5 +141,6 @@ object Sampling {
         when(col("__h") <= "b", "train")
           .when(col("__h") <= "d", "val")
           .otherwise("test"))
+      .select(col(idCol), col("canon"), col("split"))
   }
 }

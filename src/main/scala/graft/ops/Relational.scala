@@ -1597,30 +1597,62 @@ object Relational {
     * strictly between adjacent distinct composite values at exactly
     * ntile's bucket boundaries. At 100 TB accuracy stays bounded and
     * tiles degrade gracefully near boundaries — the trade the scale
-    * variant exists to make. */
+    * variant exists to make.
+    *
+    * The composite base C is DERIVED FROM THE DATA, not a fixture
+    * constant: a fixed base silently mis-tiles the moment custkey
+    * outgrows it (the custkey term bleeds into the metric slot) — at
+    * TPC-H growth that is SF ≈ 14 for a 2^21 base, squarely inside the
+    * scales this variant exists for. One extra 1-row aggregate over
+    * orders' custkey COLUMN computes max(o_custkey) (→ C = the next
+    * power of two above it — a pruned single-column scan with map-side
+    * max, NO groupBy shuffle: an A/B that instead derived the bound
+    * from the per-customer relation re-paid the whole orders aggregate,
+    * +1.3 s cold at sf0.1), and the overflow guard rides the EXISTING
+    * cuts aggregate: max|metric| is folded in alongside the three
+    * percentile sketches and a codegen'd raise_error fires if
+    * max|metric|·C + max(custkey) cannot fit a long — composites may
+    * have wrapped by then, but the query dies loudly before a row is
+    * emitted (no silent wraparound regime remains; at that extreme,
+    * shard the exact variant instead). */
   def rfmSegmentsApprox(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // composite ascending total-order values: custkey < 2^21 by the
-    // fixture envelope (BoundsPinSpec class of guard below), metrics
-    // negated so DESC metric order = ASC composite order
-    val C = 1L << 21
-    val perCust = Tables.orders(spark, dir)
+    val bound = Tables.orders(spark, dir)
+      .agg(max($"o_custkey").cast("long").as("__maxck"))
+      .withColumn("__C",
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(floor(log2(__maxck)) + 1 AS INT))"))
+    // metrics negated so DESC metric order = ASC composite order;
+    // monetary in exact cents (2-dp decimal → long is lossless)
+    val withC = Tables.orders(spark, dir)
       .groupBy($"o_custkey")
       .agg(max($"o_orderdate").as("last_order"),
         count(lit(1)).as("frequency"),
         sum(dec2($"o_totalprice")).as("monetary"))
-      .withColumn("rv", -datediff($"last_order", lit("1970-01-01")) * C + $"o_custkey")
-      .withColumn("fv", -$"frequency" * C + $"o_custkey")
-      // monetary in exact cents (2-dp decimal → long is lossless)
-      .withColumn("mv", -($"monetary" * 100).cast("long") * C + $"o_custkey")
+      .crossJoin(broadcast(bound))
+      .withColumn("rm", -datediff($"last_order", lit("1970-01-01")).cast("long"))
+      .withColumn("fm", -$"frequency".cast("long"))
+      .withColumn("mm", -($"monetary" * 100).cast("long"))
+      .withColumn("rv", $"rm" * $"__C" + $"o_custkey")
+      .withColumn("fv", $"fm" * $"__C" + $"o_custkey")
+      .withColumn("mv", $"mm" * $"__C" + $"o_custkey")
     val qs = "array(0.2, 0.4, 0.6, 0.8)"
-    val cuts = perCust.agg(
+    val cuts = withC.agg(
       expr(s"approx_percentile(rv, $qs, 1000000)").as("rcuts"),
       expr(s"approx_percentile(fv, $qs, 1000000)").as("fcuts"),
-      expr(s"approx_percentile(mv, $qs, 1000000)").as("mcuts"))
+      expr(s"approx_percentile(mv, $qs, 1000000)").as("mcuts"),
+      greatest(max(abs($"rm")), max(abs($"fm")), max(abs($"mm"))).as("__maxm"),
+      first($"__maxck").as("__bck"), first($"__C").as("__bc"))
+      .select(
+        when($"__maxm" <= (lit(Long.MaxValue) - $"__bck") / $"__bc", $"rcuts")
+          .otherwise(raise_error(concat(
+            lit("rfmSegmentsApprox: composite encoding overflows long "
+              + "(max|metric| "),
+            $"__maxm", lit(" x base "), $"__bc",
+            lit(") — shard the exact rfmSegments instead")))).as("rcuts"),
+        $"fcuts", $"mcuts")
     def tile(v: Column, cutsCol: String): Column =
       (size(filter(col(cutsCol), c => v > c)) + 1).as("t")
-    perCust.crossJoin(broadcast(cuts))
+    withC.crossJoin(broadcast(cuts))
       .select($"o_custkey", $"monetary",
         tile($"rv", "rcuts").as("r"),
         tile($"fv", "fcuts").as("f"),

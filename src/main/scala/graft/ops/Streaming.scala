@@ -351,6 +351,12 @@ object Streaming {
         else if (ms - st.lastMs <= gapMs) st = st.copy(lastMs = ms, n = st.n + 1)
         else {
           out += SessionOut(uid, st.startMs, st.lastMs, st.n) // in-batch gap: close inline
+          // delete the timer a PREVIOUS batch registered for the session
+          // being closed — without this it lingers in the state store
+          // until it fires into handleExpiredTimer's stale guard (output
+          // stays correct, but dead timers accumulate on gap-heavy keys
+          // and the one-live-timer-per-session invariant breaks)
+          if (st.timerMs >= 0) getHandle.deleteTimer(st.timerMs)
           st = SessionState(ms, ms, 1L, -1L)
         }
       }

@@ -69,7 +69,7 @@ object Text {
         org.apache.spark.sql.GraftExpressionBridge.column(
           graft.plans.TokenRunLengths(
             org.apache.spark.sql.GraftExpressionBridge.expression($"text"))).as("rl"))
-      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      .transform(graft.api.Persists.diskOnly)
   }
 
   // ===========================================================================
@@ -515,7 +515,7 @@ object Text {
         org.apache.spark.sql.GraftExpressionBridge.column(
           graft.plans.NgramRunLengths(
             org.apache.spark.sql.GraftExpressionBridge.expression($"text"), 2)).as("rl"))
-      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      .transform(graft.api.Persists.diskOnly)
   }
 
   /** Corpus bigram model c(w1 w2) — shared (identical-plan cache) by
@@ -534,7 +534,7 @@ object Text {
       // NARROW (string + long), so the JavaSerializer batch-retention
       // pathology that rules DISK_ONLY out for them does not apply
       // (~300 KB retained per task, not ~2.4 GB).
-      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      .transform(graft.api.Persists.diskOnly)
   }
 
   /** Core of [[textBigramLL]] over any (doc_id, text) relation. */
@@ -545,7 +545,7 @@ object Text {
       .select($"doc_id", $"e.token".as("bg"), $"e.tf".as("rtf"))
     // DISK_ONLY persist — corpus-sized model; see [[bigramModel]]
     val model = bg.groupBy($"bg").agg(sum($"rtf").as("cbg"))
-      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      .transform(graft.api.Persists.diskOnly)
     val nBigrams: Long = api.ResultCache.getOrCompute[java.lang.Long](
       memoKey, _ => true)(model.count())
     // The bigram "vocabulary" is NOT vocab-sized on adversarial corpora:

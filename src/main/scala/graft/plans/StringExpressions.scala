@@ -130,17 +130,24 @@ object CharPolyHash {
       val b = text.getByte(i) & 0xFF
       var cp = 0
       var len = 1
+      // Malformed input guard: every continuation read is bounds-checked
+      // (UTF8String.getByte is an UNCHECKED unsafe read), and only valid
+      // leader bytes select a multibyte branch — a bare continuation byte
+      // (0x80–0xBF), a 0xF8+ leader, or a sequence truncated at the buffer
+      // end is consumed as its single leading byte. Well-formed UTF-8
+      // (every UTF8String Spark itself constructs) never takes the
+      // fallback, so the bit-equality pin vs the HOF formulation holds.
       if (b < 0x80) { cp = b }
-      else if ((b & 0xE0) == 0xC0) {
+      else if ((b & 0xE0) == 0xC0 && i + 1 < n) {
         cp = ((b & 0x1F) << 6) | (text.getByte(i + 1) & 0x3F); len = 2
-      } else if ((b & 0xF0) == 0xE0) {
+      } else if ((b & 0xF0) == 0xE0 && i + 2 < n) {
         cp = ((b & 0x0F) << 12) | ((text.getByte(i + 1) & 0x3F) << 6) |
           (text.getByte(i + 2) & 0x3F); len = 3
-      } else {
+      } else if ((b & 0xF8) == 0xF0 && i + 3 < n) {
         cp = ((b & 0x07) << 18) | ((text.getByte(i + 1) & 0x3F) << 12) |
           ((text.getByte(i + 2) & 0x3F) << 6) | (text.getByte(i + 3) & 0x3F)
         len = 4
-      }
+      } else { cp = b }
       acc = (acc * 31L + cp) % Mod
       i += len
     }

@@ -400,6 +400,34 @@ class ExpressionSpec extends SparkSpec {
     }
   }
 
+  test("CharPolyHash.compute never reads past the buffer on malformed UTF-8") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // Malformed sequences a well-formed UTF8String never contains; the
+    // unchecked unsafe getByte reads must stay inside numBytes. Each
+    // invalid/truncated byte is consumed as its own code point (= the
+    // byte value), so results are deterministic and, crucially, the
+    // fold cannot walk off the end of the buffer (the ADVICE r9 case:
+    // a truncated multibyte LEADER at the end of the buffer).
+    def fp(bytes: Array[Byte]): Long =
+      graft.plans.CharPolyHash.compute(UTF8String.fromBytes(bytes))
+    val p = 1000000007L
+    // truncated 2-byte leader at end: 0xC3 alone -> one cp 0xC3
+    assert(fp(Array(0xC3.toByte)) == 0xC3L)
+    // truncated 3-byte sequence (leader + one continuation) at end
+    assert(fp(Array(0xE4.toByte, 0xB8.toByte)) == (0xE4L * 31 + 0xB8) % p)
+    // truncated 4-byte sequence at end, after valid ASCII
+    assert(fp(Array('a'.toByte, 0xF0.toByte, 0x9F.toByte)) ==
+      (('a'.toLong * 31 + 0xF0) * 31 + 0x9F) % p)
+    // bare continuation byte: must NOT select a multibyte branch
+    assert(fp(Array(0x80.toByte)) == 0x80L)
+    // invalid 0xF8+ leader: ditto (previously fell into the 4-byte branch)
+    assert(fp(Array(0xF9.toByte)) == 0xF9L)
+    // well-formed input is untouched by the guard: "café" = 5 bytes
+    val wellFormed = "café".getBytes("UTF-8")
+    assert(fp(wellFormed) ==
+      graft.plans.CharPolyHash.compute(UTF8String.fromString("café")))
+  }
+
   test("RepetitionStats equals the interpreted gopher lambda struct on real data x2 SFs") {
     import spark.implicits._
     val lambda = expr(

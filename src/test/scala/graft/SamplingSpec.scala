@@ -97,8 +97,11 @@ class SamplingSpec extends SparkSpec {
   test("splitLeakageSafe: no near-dup pair spans two splits; buckets are the md5 hex ranges") {
     import spark.implicits._
     val docs = Tables.documents(spark, "/root/testdata/sf0.01")
-    val asg = api.Sampling.splitLeakageSafe(docs, "doc_id", "text")
-      .select($"doc_id", $"canon", $"split").cache()
+    val asgRaw = api.Sampling.splitLeakageSafe(docs, "doc_id", "text")
+    // the public schema is STABLE (r9 ADVICE): no internal helper
+    // columns escape, and only the id column is carried
+    assert(asgRaw.columns.toSeq == Seq("doc_id", "canon", "split"))
+    val asg = asgRaw.cache()
     // the leakage property, pinned on the REAL pair relation rather
     // than trusted from the construction: both ends of every near-dup
     // pair land in the same split
