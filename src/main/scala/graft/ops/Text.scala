@@ -503,75 +503,148 @@ object Text {
     * (empty run array here, empty range() in the replay). */
   def textBigramLL(spark: SparkSession, dir: String): DataFrame =
     bigramNll(Tables.documents(spark, dir),
-      memoKey = s"bigramCount:${api.ResultCache.sessionId(spark)}:$dir")
+      memoBase = s"${api.ResultCache.sessionId(spark)}:$dir")
 
-  /** Per-doc (bigram, tf) run arrays — [[tokenRuns]]' n = 2 twin, same
-    * cache-sharing-by-identical-plan contract (bigram NLL and PMI
-    * tokenize the corpus once between them). */
-  private def ngramRuns(docs: DataFrame): DataFrame = {
+  /** Dense dictionary ids for the corpus vocabulary — the id side of
+    * the round-10 n-gram model dictionary encoding (the §18.9/§18.13
+    * digest-key lesson applied to the model family: token STRINGS must
+    * not be the corpus-sized shuffle/sort keys). Assignment is the
+    * [[graft.ops.Relational.idsGlobal]] two-level shape, DETERMINISTIC
+    * in the corpus (safe under cache eviction + recompute): bucket
+    * tokens by hash into 4096 buckets, cumulative-sum the per-bucket
+    * counts over the 4096-row offsets relation (the only single-
+    * partition work — never the vocabulary, let alone the corpus), and
+    * rank within each bucket by token. Ids are dense 0..V−1, so a
+    * BIGRAM packs into ONE long (id1 << 32 | id2) while V < 2³¹ —
+    * loudly require()d where the count is taken. Vocab-sized, cached
+    * in memory. Deliberately built from the RAW text (codegen'd
+    * explode(split) + a partial-agg distinct that collapses to
+    * vocab-size per task before its exchange), NOT from [[tokenRuns]]:
+    * going through the run arrays would force that fat-array DISK_ONLY
+    * persist to materialize just for a distinct — a whole extra
+    * corpus-sized cache write when the bigram family runs alone
+    * (measured +5 s cold at x10; at x100 it is tens of GB of the very
+    * local disk this encoding exists to reclaim). */
+  private def tokenVocab(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
+    val toksRel = api.Dedup.spread(docs)
+      .select(explode(toks($"text")).as("w"))
+      .distinct()
+      .withColumn("bkt", pmod(xxhash64($"w"), lit(4096L)))
+    val offsets = toksRel.groupBy($"bkt").agg(count(lit(1)).as("cnt"))
+      .withColumn("offset",
+        coalesce(sum($"cnt").over(Window.orderBy($"bkt")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select($"bkt", $"offset")
+    toksRel.join(broadcast(offsets), Seq("bkt"))
+      .withColumn("wid", $"offset" + row_number().over(
+        Window.partitionBy($"bkt").orderBy($"w")) - 1)
+      .select($"w", $"wid")
+      .cache()
+  }
+
+  /** The vocabulary with its memoized size (the broadcast-gate count,
+    * shared with textTfidf/textUnigramLL's identical-vocabulary memo). */
+  private def vocabWithCount(docs: DataFrame, memoBase: String): (DataFrame, Long) = {
+    val vocab = tokenVocab(docs)
+    val nVocab: Long = api.ResultCache.getOrCompute[java.lang.Long](
+      s"vocabCount:$memoBase", _ => true)(vocab.count())
+    require(nVocab < Int.MaxValue.toLong,
+      s"n-gram dictionary encoding requires vocabulary < 2^31 tokens (got $nVocab)")
+    (vocab, nVocab)
+  }
+
+  /** Per-occurrence-run (doc_id, bid, rtf) bigram stream with the
+    * bigram DICTIONARY-ENCODED into one long (w1's dense id << 32 |
+    * w2's) — what the bigram model family persists, groups, sorts and
+    * joins on since round 10. The string formulation carried ~15–20
+    * byte bigram strings as the persist payload, the model groupBy key
+    * and BOTH sort-merge-join sort keys; at x100 that spilled ~40 GB of
+    * runs + ~20 GB of model for a 4.6 GB input (~13× write
+    * amplification, the round-9 verdict's one weak row) and exhausted
+    * this box's local disk. Encoding costs two broadcast hash joins
+    * riding the explode INSIDE the codegen span (vocab ≤ 2M broadcasts;
+    * a corpus-like vocabulary falls back to a spillable SMJ — one
+    * string exchange, after which everything downstream is still
+    * narrow) and makes every corpus-sized exchange/sort/spill an
+    * 8-byte-key one. Strings survive only in the vocab relation and
+    * final projections. The persist is the EXPLODED encoded stream,
+    * not run arrays: three longs a row is ~4× narrower on disk than
+    * the string-array rows were, and narrow rows are exactly the shape
+    * the DISK_ONLY serializer handles without the batch-retention
+    * pathology ([[graft.api.Persists]]). */
+  private def bigramRunsEnc(docs: DataFrame, memoBase: String): DataFrame = {
+    import docs.sparkSession.implicits._
+    val (vocab, nVocab) = vocabWithCount(docs, memoBase)
+    def vocabB(wAs: String, idAs: String) = {
+      val r = vocab.select($"w".as(wAs), $"wid".as(idAs))
+      if (nVocab <= 2000000L) broadcast(r) else r
+    }
     api.Dedup.spread(docs)
       .select($"doc_id",
-        org.apache.spark.sql.GraftExpressionBridge.column(
+        explode(org.apache.spark.sql.GraftExpressionBridge.column(
           graft.plans.NgramRunLengths(
-            org.apache.spark.sql.GraftExpressionBridge.expression($"text"), 2)).as("rl"))
+            org.apache.spark.sql.GraftExpressionBridge.expression($"text"), 2))).as("e"))
+      .select($"doc_id", $"e.token".as("bg"), $"e.tf".as("rtf"))
+      // tokens are space-split, so w1 never contains a space and the
+      // two substring_index calls recover the exact pair — including
+      // empty tokens from leading/multiple spaces
+      .withColumn("w1", substring_index($"bg", " ", 1))
+      .withColumn("w2", substring_index($"bg", " ", -1))
+      .join(vocabB("w1", "id1"), "w1")
+      .join(vocabB("w2", "id2"), "w2")
+      .select($"doc_id", shiftleft($"id1", 32).bitwiseOR($"id2").as("bid"), $"rtf")
       .transform(graft.api.Persists.diskOnly)
   }
 
-  /** Corpus bigram model c(w1 w2) — shared (identical-plan cache) by
-    * [[bigramNll]] and [[textPmi]]. */
-  private def bigramModel(docs: DataFrame): DataFrame = {
+  /** Corpus bigram model c(w1 w2), keyed by the PACKED bigram id —
+    * shared (identical-plan cache) by [[bigramNll]] and [[textPmi]].
+    * DISK_ONLY: the model is CORPUS-sized on real corpora (nearly
+    * every occurrence a distinct pair — x10 measured 27.5M distinct
+    * bigrams in 50M positions), and in-memory unroll of a corpus-sized
+    * relation starves the very aggregate that builds it (x100/8g:
+    * AGGREGATE_OUT_OF_MEMORY, round-9 measurement). Two longs a row. */
+  private def bigramModelEnc(docs: DataFrame, memoBase: String): DataFrame = {
     import docs.sparkSession.implicits._
-    ngramRuns(docs)
-      .select($"doc_id", explode($"rl").as("e"))
-      .select($"doc_id", $"e.token".as("bg"), $"e.tf".as("rtf"))
-      .groupBy($"bg").agg(sum($"rtf").as("cbg"))
-      // DISK_ONLY: the bigram model is CORPUS-sized on real corpora
-      // (nearly every occurrence a distinct pair), and in-memory
-      // unroll of a corpus-sized relation starves the very aggregate
-      // that builds it (x100/8g: AGGREGATE_OUT_OF_MEMORY, round-9
-      // measurement). Unlike the run-ARRAY relations this one is
-      // NARROW (string + long), so the JavaSerializer batch-retention
-      // pathology that rules DISK_ONLY out for them does not apply
-      // (~300 KB retained per task, not ~2.4 GB).
+    bigramRunsEnc(docs, memoBase)
+      .groupBy($"bid").agg(sum($"rtf").as("cbg"))
       .transform(graft.api.Persists.diskOnly)
   }
 
-  /** Core of [[textBigramLL]] over any (doc_id, text) relation. */
-  private[graft] def bigramNll(docs: DataFrame, memoKey: String): DataFrame = {
+  /** Core of [[textBigramLL]] over any (doc_id, text) relation.
+    * `memoBase` scopes the memoized sizing counts per (session, corpus). */
+  private[graft] def bigramNll(docs: DataFrame, memoBase: String): DataFrame = {
     import docs.sparkSession.implicits._
-    val bg = ngramRuns(docs)
-      .select($"doc_id", explode($"rl").as("e"))
-      .select($"doc_id", $"e.token".as("bg"), $"e.tf".as("rtf"))
-    // DISK_ONLY persist — corpus-sized model; see [[bigramModel]]
-    val model = bg.groupBy($"bg").agg(sum($"rtf").as("cbg"))
-      .transform(graft.api.Persists.diskOnly)
+    val bg = bigramRunsEnc(docs, memoBase)
+    val model = bigramModelEnc(docs, memoBase)
     val nBigrams: Long = api.ResultCache.getOrCompute[java.lang.Long](
-      memoKey, _ => true)(model.count())
-    // The bigram "vocabulary" is NOT vocab-sized on adversarial corpora:
-    // the x10 rehearsal measured 27.5M distinct bigrams over 50M token
-    // positions (vocab² ≈ 38M combinations, nearly every occurrence
-    // unique) — a corpus-sized model. A SHUFFLE_HASH fallback there
-    // builds ~860k-key hash maps in all 32 tasks at once and dies with
-    // SparkOutOfMemoryError (measured, x10); hash-relation builds can't
-    // spill. Over the broadcast bound the scalable plan is the plain
-    // sort-merge join: spillable, and the model's groupBy(bg) output
-    // partitioning is reused for the probe-side exchange on bg.
+      s"bigramCount:$memoBase", _ => true)(model.count())
+    // The bigram "vocabulary" is NOT vocab-sized on adversarial corpora
+    // (see [[bigramModelEnc]]) — a corpus-sized model. A SHUFFLE_HASH
+    // fallback there builds ~860k-key hash maps in all 32 tasks at once
+    // and dies with SparkOutOfMemoryError (measured, x10); hash-relation
+    // builds can't spill. Over the broadcast bound the scalable plan is
+    // the plain sort-merge join: spillable, sorting 8-BYTE PACKED KEYS
+    // since round 10 (strings before — the round-9 weak row), and the
+    // model's groupBy(bid) output partitioning is reused for the
+    // probe-side exchange on bid.
     val modelB = if (nBigrams <= 2000000L) broadcast(model) else model
     // c(w1 ·) per left token: UNIGRAM-vocab-sized by construction
     // (6,201 keys at x10 vs 27.5M bigrams), derived from the model so
     // the corpus is not re-read — gate on ITS OWN memoized count, not
-    // nBigrams (which wrongly demoted this broadcast at x10).
+    // nBigrams (which wrongly demoted this broadcast at x10). The left
+    // token is integer bit arithmetic off the packed id now, not a
+    // substring_index over the model.
     val left = model
-      .groupBy(substring_index($"bg", " ", 1).as("w1"))
+      .groupBy(shiftright($"bid", 32).as("w1id"))
       .agg(sum($"cbg").as("cw1"))
       .cache()
     val nLeft: Long = api.ResultCache.getOrCompute[java.lang.Long](
-      memoKey + ":left", _ => true)(left.count())
+      s"bigramCount:$memoBase:left", _ => true)(left.count())
     val leftB = if (nLeft <= 2000000L) broadcast(left) else left
-    bg.join(modelB, "bg")
-      .withColumn("w1", substring_index($"bg", " ", 1))
-      .join(leftB, "w1")
+    bg.join(modelB, "bid")
+      .withColumn("w1id", shiftright($"bid", 32))
+      .join(leftB, "w1id")
       .withColumn("nll", -log($"cbg".cast("double") / $"cw1".cast("double")))
       .groupBy($"doc_id")
       .agg(sum($"rtf").as("n_bigrams"),
@@ -611,17 +684,24 @@ object Text {
   def textPmi(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
-    // corpus bigram model — identical plan to bigramNll's, so the
-    // CacheManager shares one tokenize + one aggregate between them
-    val big = bigramModel(docs)
+    val memoBase = s"${api.ResultCache.sessionId(spark)}:$dir"
+    // corpus bigram model (packed-id keys) — identical plan to
+    // bigramNll's, so the CacheManager shares one tokenize + one encode
+    // + one aggregate between them
+    val big = bigramModelEnc(docs, memoBase)
+    // the dictionary, for DECODING the few surviving candidates back to
+    // strings (same cached relation the encode side used)
+    val (vocab, nVocab) = vocabWithCount(docs, memoBase)
+    def vocabDec(idAs: String, wAs: String) = {
+      val r = vocab.select($"wid".as(idAs), $"w".as(wAs))
+      if (nVocab <= 2000000L) broadcast(r) else r
+    }
     // unigram model — identical plan to textUnigramLL's (same sharing),
     // vocabulary-sized: broadcast under the same memoized-count gate
     val uni = tokenRuns(docs)
       .select($"doc_id", explode($"rl").as("e"))
       .select($"doc_id", $"e.token".as("w"), $"e.tf".as("rtf"))
       .groupBy($"w").agg(sum($"rtf").as("tf")).cache()
-    val nVocab: Long = api.ResultCache.getOrCompute[java.lang.Long](
-      s"vocabCount:${api.ResultCache.sessionId(spark)}:$dir", _ => true)(uni.count())
     def uniB(as1: String, as2: String) = {
       val r = uni.select($"w".as(as1), $"tf".as(as2))
       if (nVocab <= 2000000L) broadcast(r) else r.hint("SHUFFLE_HASH")
@@ -630,17 +710,21 @@ object Text {
       .crossJoin(uni.agg(sum($"tf").as("nu")))
     // the c12 >= 5 support filter runs FIRST, on the (possibly
     // corpus-sized) bigram model itself — only frequent collocation
-    // candidates reach the joins, so everything downstream is tiny at
-    // any corpus size
+    // candidates reach the decode + count joins, so everything
+    // downstream is tiny at any corpus size
     big.filter($"cbg" >= 5)
-      .join(uniB("w1", "c1"), substring_index($"bg", " ", 1) === $"w1")
-      .join(uniB("w2", "c2"), substring_index($"bg", " ", -1) === $"w2")
+      .withColumn("w1id", shiftright($"bid", 32))
+      .withColumn("w2id", $"bid".bitwiseAND(lit(0xFFFFFFFFL)))
+      .join(vocabDec("w1id", "w1"), "w1id")
+      .join(vocabDec("w2id", "w2"), "w2id")
+      .join(uniB("u1", "c1"), $"w1" === $"u1")
+      .join(uniB("u2", "c2"), $"w2" === $"u2")
       .crossJoin(broadcast(totals))
       .withColumn("pmi", round(
         log($"cbg".cast("double") / $"nb".cast("double"))
           - log($"c1".cast("double") / $"nu".cast("double"))
           - log($"c2".cast("double") / $"nu".cast("double")), 6))
-      .select($"bg", $"cbg", $"pmi")
+      .select(concat($"w1", lit(" "), $"w2").as("bg"), $"cbg", $"pmi")
       .orderBy($"pmi".desc, $"bg")
       .limit(20)
   }
