@@ -17,7 +17,16 @@ object MiniBench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val names = args.toSeq
-    val builder = SparkSession.builder().master("local[32]")
+    // SPARK_GRAFT_MASTER: the local-cluster rehearsal hook — e.g.
+    // "local-cluster[2,8,3072]" spawns 2 REAL executor JVMs (8 cores /
+    // 3 GB each) behind Spark's standalone scheduler, so exchanges are
+    // genuinely serialized over the wire and executor heaps are
+    // isolated, unlike local[N]'s shared-JVM shortcut. Executor JVMs
+    // need SPARK_HOME (jar dir), spark.executor.extraClassPath for the
+    // graft classes and the JDK17 --add-opens flags — see
+    // tools/local_cluster_bench.sh for the working recipe.
+    val builder = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[32]"))
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -2383,5 +2383,29 @@ object Oracle {
         |       CAST(min(th.lo) AS INT) AS lo, CAST(min(th.hi) AS INT) AS hi
         |FROM t CROSS JOIN th WHERE t.n_tok >= th.lo AND t.n_tok <= th.hi
         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // model-quality replay: the same portable per-token polynomial fold
+    // the fingerprint oracle uses (code-point walk, mod 1e9+7), feature
+    // = fold % 1024, the identical LCG weight arithmetic, all integer —
+    // the keep decision is engine-exact. DuckDB's % can return negative
+    // only for negative operands; every operand here is non-negative.
+    "q_text_quality_model" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id,
+        |         list_reduce(list_transform(string_split_regex(w, ''),
+        |           x -> CAST(ascii(x) AS BIGINT)),
+        |           (a, b) -> (a * 31 + b) % 1000000007) % 1024 AS feat
+        |  FROM tok),
+        |s AS (
+        |  SELECT doc_id, count(*) AS n_tokens,
+        |         sum((feat * 1103515245 + 12345) % 2001 - 1000) AS score
+        |  FROM f GROUP BY 1)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |       CAST(score AS BIGINT) AS score,
+        |       CAST(CASE WHEN score >= 0 THEN 1 ELSE 0 END AS INT) AS keep
+        |FROM s ORDER BY doc_id""".stripMargin,
   )
 }

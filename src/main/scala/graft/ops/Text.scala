@@ -1048,9 +1048,17 @@ object Text {
     // spans); the DuckDB oracle keeps grouping by the span STRING, so
     // the gate also re-proves collision-freedom on the graded corpus
     // every run.
+    // DISK_ONLY, not the default MEMORY_AND_DISK (round-10, found by
+    // the local-cluster rehearsal): the shingle arrays are a
+    // corpus-sized FAT relation (~3.4 GB at x10), and its in-memory
+    // unroll reproducibly OOM'd a 2.5 GB executor (exit 52, executor
+    // lost, stages resubmitted) where the 8 GB single-JVM local[32]
+    // had quietly absorbed it — exactly the per-executor-isolation
+    // failure the rehearsal exists to surface. The disk leg is the
+    // scalable leg (the tokenRuns/minhash-sigs lesson, wall #1/#3).
     val shingled = api.Dedup.shingles(
         graft.api.Dedup.spread(Tables.documents(spark, dir)), "doc_id", "text", n = 8)
-      .cache()
+      .transform(graft.api.Persists.diskOnly)
     val spans = shingled
       .select($"doc_id", explode($"shingles").as("sh"))
       .select($"doc_id", xxhash64($"sh").as("h1"), xxhash64(lit(7), $"sh").as("h2"))
@@ -1169,6 +1177,59 @@ object Text {
     * construction — |domain| rows, not |corpus|). The 1-row threshold
     * relation broadcasts back onto the scan; integer rank arithmetic
     * (`div`), so both engines compute identical cutoffs. */
+  /** Model-based quality filter (fastText-style proxy) — the standard
+    * LLM-pipeline slot between the heuristic filters ([[textQuality]],
+    * [[textGopher]]) and dedup: a LINEAR scorer over hashed token
+    * features, score(doc) = Σ_tokens tf(w) · weight(feature(w)), keep
+    * when score ≥ 0. The hash family is the portable polynomial fold
+    * the fingerprint family already replays in DuckDB (CharPolyHash,
+    * compiled, codegen'd), so feature ids — and therefore the whole
+    * decision — are engine-exact: feature(w) = charpoly(w) mod D.
+    *
+    * The graded query uses DETERMINISTIC pseudo-random weights (an LCG
+    * over the feature id, integers in [−1000, 1000]) standing in for a
+    * trained model's coefficients; [[scoreLinear]] itself takes ANY
+    * (feat, weight) relation — swap in real fastText-distilled weights
+    * without touching the plan. 100 TB shape: the weights relation is
+    * model-sized (D rows) and BROADCAST; the corpus side rides
+    * [[tokenRuns]]' shared compiled pass (a session running
+    * tfidf/unigram/quality tokenizes once), the feature hash and the
+    * broadcast probe stay inside one codegen span, and the only
+    * exchange is the per-doc sum whose map-side partial collapses each
+    * doc's runs locally (runs of a doc are colocated in its cached
+    * row) — ~|docs| rows cross the wire, integer arithmetic end to
+    * end. */
+  def qualityModel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val nFeatures = 1024
+    // LCG weights over the feature id: deterministic, integer,
+    // replayed verbatim by the oracle
+    val weights = spark.range(nFeatures).select($"id".as("feat"),
+      (($"id" * 1103515245L + 12345L) % 2001L - 1000L).as("weight"))
+    scoreLinear(Tables.documents(spark, dir), weights, nFeatures)
+  }
+
+  /** Core of [[qualityModel]] over any (doc_id, text) relation and any
+    * (feat, weight) model relation. */
+  private[graft] def scoreLinear(docs: DataFrame, weights: DataFrame,
+      nFeatures: Int): DataFrame = {
+    import docs.sparkSession.implicits._
+    tokenRuns(docs)
+      .select($"doc_id", explode($"rl").as("e"))
+      .select($"doc_id", $"e.token".as("w"), $"e.tf".as("rtf"))
+      .withColumn("feat", pmod(
+        org.apache.spark.sql.GraftExpressionBridge.column(
+          graft.plans.CharPolyHash(
+            org.apache.spark.sql.GraftExpressionBridge.expression($"w"))),
+        lit(nFeatures.toLong)))
+      .join(broadcast(weights), "feat")
+      .groupBy($"doc_id")
+      .agg(sum($"rtf").as("n_tokens"),
+        sum($"rtf" * $"weight").as("score"))
+      .withColumn("keep", ($"score" >= 0).cast("int"))
+      .orderBy($"doc_id")
+  }
+
   def qualityAdaptive(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     // ONE corpus scan: the per-(lang, n_tok) histogram is everything the

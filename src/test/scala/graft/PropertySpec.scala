@@ -441,6 +441,39 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("pageRankConverged reaches the integer fixpoint on random graphs and agrees with long fixed runs") {
+    import spark.implicits._
+    // deterministic LCG random graphs (three shapes), no Gen shrinkage
+    // needed — the property is convergence, not arithmetic (that is the
+    // fixed-iteration replay test above)
+    def lcgEdges(seed: Long, n: Int, m: Int): Seq[(Long, Long)] = {
+      var x = seed
+      def next(): Long = { x = (x * 6364136223846793005L + 1442695040888963407L); (x >>> 33) }
+      (1 to m).map(_ => (next() % n, next() % n)).filter(p => p._1 != p._2).distinct
+    }
+    for ((seed, n, m) <- Seq((1L, 30, 120), (7L, 100, 400), (42L, 12, 20))) {
+      val e = lcgEdges(seed, n, m).toDF("src", "dst")
+      // eps = 0: run to the EXACT integer fixpoint (truncation quantizes
+      // the geometric tail, so delta reaches literal 0) — epsMicro = 1
+      // means "stop when nothing moved"
+      val (ranks, iters) = graft.ops.Graph.pageRankConverged(e, epsMicro = 1L, maxSupersteps = 200)
+      assert(iters < 200, s"seed=$seed: no fixpoint within 200 supersteps")
+      // the fixpoint is genuinely stationary: one more superstep is a no-op
+      val deg = e.groupBy($"src").agg(count(lit(1)).as("deg"))
+      val nodes = e.select($"src".as("node")).union(e.select($"dst".as("node"))).distinct()
+      val again = graft.ops.Graph.pageRankIterate(e, deg, nodes, ranks)
+        .withColumnRenamed("pr", "pr2")
+        .join(ranks, "node").filter($"pr2" =!= $"pr").count()
+      assert(again == 0L, s"seed=$seed: fixpoint not stationary")
+      // and a generous fixed-iteration run lands on the same ranks
+      var fixed = nodes.withColumn("pr", lit(1000000L))
+      for (_ <- 1 to iters) fixed = graft.ops.Graph.pageRankIterate(e, deg, nodes, fixed)
+      val diff = fixed.withColumnRenamed("pr", "prf").join(ranks, "node")
+        .filter($"prf" =!= $"pr").count()
+      assert(diff == 0L, s"seed=$seed: converged ranks != fixed-$iters ranks")
+    }
+  }
+
   private val vecsGen: Gen[List[List[Float]]] = {
     val coord = Gen.chooseNum(-1000, 1000).map(_ / 777.0f)
     val vec = Gen.listOfN(6, coord)

@@ -52,6 +52,84 @@ class RecoverySpec extends SparkSpec {
     assert(counts() == Map(1L -> 3L, 2L -> 1L), counts().toString)
   }
 
+  test("transformWithState restarted from checkpoint: RocksDB state AND timers carry; no loss, no redelivery") {
+    import spark.implicits._
+    // the arbitrary-state v2 recovery contract (round-9 verdict item 4):
+    // stop a tws query mid-stream with OPEN sessions and LIVE event-time
+    // timers in the RocksDB store, restart from the checkpoint, and the
+    // restarted query must (a) fire a timer REGISTERED BEFORE THE STOP
+    // (u9), (b) extend a session whose state predates the stop — which
+    // also deletes its pre-stop timer (u1), and (c) emit nothing twice.
+    val src = java.nio.file.Files.createTempDirectory("graft_tws_src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_tws_ck").toString
+    def land(rows: Seq[(Long, java.sql.Timestamp, Long, String, Double, String)]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_twsb").toString
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      java.nio.file.Files.list(java.nio.file.Paths.get(tmp)).forEach { p =>
+        if (p.toString.endsWith(".parquet"))
+          java.nio.file.Files.copy(p, java.nio.file.Paths.get(src, p.getFileName.toString))
+      }
+    }
+    def ev(id: Long, t: String, u: Long) = (id, ts(t), u, "click", 1.0, "{}")
+    def msOf(t: String) = ts(t).getTime
+    // the memory sink REFUSES append-mode checkpoint recovery (it is
+    // not fault-tolerant) -- the restart contract needs a real sink;
+    // the file sink is the production-shaped choice
+    val out = java.nio.file.Files.createTempDirectory("graft_tws_out").toString
+    def snap() =
+      try spark.read.parquet(out)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      catch { case _: org.apache.spark.sql.AnalysisException => Set.empty[(Long, Long, Long, Long)] }
+
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    def start() = Streaming.sessionizeTws(
+        spark.readStream.schema(Schemas.events).parquet(src).as[Schemas.Event])
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    try {
+      // b1: u1 session (10:00, 10:10) -> timer 10:40; u9 session (10:05)
+      // -> timer 10:35. Watermark after b1 = 10:10: nothing emits.
+      land(Seq(
+        ev(1, "2024-01-01 10:00:00", 1),
+        ev(2, "2024-01-01 10:10:00", 1),
+        ev(3, "2024-01-01 10:05:00", 9)))
+      val q1 = start()
+      try q1.processAllAvailable() finally q1.stop()
+      assert(snap() == Set(), s"emitted before any watermark advance: ${snap()}")
+
+      // while DOWN: u1 extends (the restarted query must delete the
+      // carried 10:40 timer and register 10:50); u2 drives the
+      // watermark to 11:30, past u9's carried 10:35 timer and u1's
+      // moved 10:50 timer, but short of u2's own 12:00.
+      land(Seq(
+        ev(4, "2024-01-01 10:20:00", 1),
+        ev(5, "2024-01-01 11:30:00", 2)))
+      val q2 = start()
+      try q2.processAllAvailable() finally q2.stop()
+      val s2 = snap()
+      assert(s2 == Set(
+        (1L, msOf("2024-01-01 10:00:00"), msOf("2024-01-01 10:20:00"), 3L),
+        (9L, msOf("2024-01-01 10:05:00"), msOf("2024-01-01 10:05:00"), 1L)),
+        s"after restart 1: $s2")
+
+      // second restart: a far event fires u2's timer (registered in the
+      // restarted run, fired after ANOTHER restart); u1/u9 must NOT
+      // re-emit (their state was cleared exactly once).
+      land(Seq(ev(6, "2024-01-01 20:00:00", 7)))
+      val q3 = start()
+      try q3.processAllAvailable() finally q3.stop()
+      val s3 = snap()
+      assert(s3 == s2 + ((2L, msOf("2024-01-01 11:30:00"), msOf("2024-01-01 11:30:00"), 1L)),
+        s"after restart 2: $s3")
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("Trigger.AvailableNow drains the backlog in rate-limited batches and STOPS") {
     import spark.implicits._
     // the production periodic-ingest pattern: process everything

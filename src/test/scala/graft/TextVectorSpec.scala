@@ -267,6 +267,39 @@ class TextVectorSpec extends SparkSpec {
     assert(out(1L)._1 == 2L && math.abs(out(1L)._2 - d1) < 1e-9, s"doc 1: ${out(1L)} want $d1")
   }
 
+  test("qualityModel scorer: planted separation and exact hand-computed scores") {
+    import spark.implicits._
+    import org.apache.spark.unsafe.types.UTF8String
+    // the same deterministic weight the operator derives: LCG over the
+    // portable polynomial feature hash
+    def weightOf(w: String): Long = {
+      val feat = graft.plans.CharPolyHash.compute(UTF8String.fromString(w)) % 1024L
+      (feat * 1103515245L + 12345L) % 2001L - 1000L
+    }
+    // plant: pick clearly-positive and clearly-negative tokens from a
+    // candidate pool (deterministic — the pool and thresholds are fixed)
+    val pool = (0 until 400).map(i => s"tok$i")
+    val good = pool.filter(weightOf(_) > 300).take(5)
+    val bad = pool.filter(weightOf(_) < -300).take(5)
+    assert(good.size == 5 && bad.size == 5, "candidate pool must yield 5+5 planted tokens")
+    val docs = Seq(
+      (1L, good.mkString(" ")),                      // strongly positive
+      (2L, bad.mkString(" ")),                       // strongly negative
+      (3L, (good.take(2) ++ bad.take(2)).mkString(" ")), // mixed
+    ).toDF("doc_id", "text")
+    val weights = spark.range(1024).select($"id".as("feat"),
+      (($"id" * 1103515245L + 12345L) % 2001L - 1000L).as("weight"))
+    val out = graft.ops.Text.scoreLinear(docs, weights, 1024)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getInt(3))).toMap
+    def expScore(ws: Seq[String]) = ws.map(weightOf).sum
+    assert(out(1L) == ((5L, expScore(good), 1)), s"good doc: ${out(1L)}")
+    assert(out(2L) == ((5L, expScore(bad), 0)), s"bad doc: ${out(2L)}")
+    val mixed = expScore(good.take(2) ++ bad.take(2))
+    assert(out(3L) == ((4L, mixed, if (mixed >= 0) 1 else 0)), s"mixed doc: ${out(3L)}")
+    // separation: the planted-good doc outscores mixed outscores planted-bad
+    assert(out(1L)._2 > out(3L)._2 && out(3L)._2 > out(2L)._2)
+  }
+
   test("RRF fusion equals the hand-fused legs on the real sf0.001 tables") {
     import spark.implicits._
     val dir = "/root/testdata/sf0.001"
