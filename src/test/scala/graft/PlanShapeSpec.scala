@@ -122,6 +122,67 @@ class PlanShapeSpec extends SparkSpec {
     dedupPins("semantic", graft.ops.Vector.dedupSemantic(spark, dir), 7)
   }
 
+  test("bigram NLL (dictionary-encoded): vocab lookups broadcast, bounded exchanges, no all-pairs join") {
+    // the round-10 encode claims made structural: the two vocab-id
+    // lookups ride the explode as BROADCAST hash joins (a shuffled
+    // encode join would re-exchange the corpus stream on token
+    // strings — the thing the encoding removes), and the whole
+    // pipeline (vocab build + encode + model + left-context + probe +
+    // per-doc agg + sort) stays within its measured exchange budget
+    // with zero nested-loop/cartesian nodes.
+    spark.catalog.clearCache()
+    val df = graft.ops.Text.textBigramLL(spark, dir)
+    df.collect()
+    val nodes = collectExecDeep(df.queryExecution.executedPlan)
+    val n = nodes.count(_.isInstanceOf[ShuffleExchangeLike])
+    // measured 11 at sf0.001: 4 are the VOCAB build (distinct + bucket
+    // groupBy + tiny-offsets window + in-bucket rank window — all
+    // vocab-sized), the rest the corpus pipeline (spread, model, left,
+    // probe-side, per-doc agg, sort)
+    assert(n <= 11, s"bigramNll: expected <=11 exchanges, got $n")
+    val bhj = nodes.count(_.nodeName.contains("BroadcastHashJoin"))
+    assert(bhj >= 2, s"bigramNll: vocab encode must broadcast (>=2 BHJ), got $bhj")
+    val nl = nodes.count(p => p.nodeName.contains("BroadcastNestedLoopJoin") ||
+      p.nodeName.contains("CartesianProduct"))
+    assert(nl == 0, s"bigramNll: found $nl all-pairs join nodes")
+    info(s"bigramNll: $n exchanges, $bhj broadcast hash joins, 0 all-pairs")
+  }
+
+  test("rfm approx: no window, no ntile, no single-reducer sort — cuts broadcast back") {
+    // the 100 TB variant's reason to exist, pinned: the exact
+    // formulation's three UNPARTITIONED ntile windows (each a
+    // single-task corpus sort) must not appear — no Window node at
+    // all — and the only joins are broadcasts of the 1-row bound/cut
+    // relations (BroadcastNestedLoopJoin over a 1-row broadcast side
+    // is the crossJoin's plan and is fine; a CartesianProduct is not).
+    val df = graft.ops.Relational.rfmSegmentsApprox(spark, dir)
+    df.collect()
+    val nodes = collectExecDeep(df.queryExecution.executedPlan)
+    val win = nodes.count(_.nodeName.contains("Window"))
+    assert(win == 0, s"rfmApprox: expected no Window operator, got $win")
+    val cart = nodes.count(_.nodeName.contains("CartesianProduct"))
+    assert(cart == 0, s"rfmApprox: found $cart CartesianProduct nodes")
+    val n = nodes.count(_.isInstanceOf[ShuffleExchangeLike])
+    assert(n <= 5, s"rfmApprox: expected <=5 exchanges, got $n")
+    info(s"rfmApprox: $n exchanges, 0 windows")
+  }
+
+  test("quality model: weights join broadcasts; one per-doc aggregate exchange plus sort") {
+    spark.catalog.clearCache()
+    val df = graft.ops.Text.qualityModel(spark, dir)
+    df.collect()
+    val nodes = collectExecDeep(df.queryExecution.executedPlan)
+    val bhj = nodes.count(_.nodeName.contains("BroadcastHashJoin"))
+    assert(bhj >= 1, s"qualityModel: weights must broadcast, got $bhj BHJ")
+    val smj = nodes.count(_.nodeName.contains("SortMergeJoin"))
+    assert(smj == 0, s"qualityModel: no shuffled join allowed, got $smj SMJ")
+    val n = nodes.count(_.isInstanceOf[ShuffleExchangeLike])
+    // spread repartition + per-doc agg + output sort (the runs cache
+    // is shared infra; its exchange is the spread)
+    assert(n <= 3, s"qualityModel: expected <=3 exchanges, got $n")
+    info(s"qualityModel: $n exchanges, $bhj broadcast joins, 0 SMJ")
+  }
+
   test("crossCorpus: filter relation joins by sort-merge, never broadcasts to the driver") {
     // the partitioned-bloom scale claim made structural: the (bucket,
     // filter_bytes) relation must reach the probe through a sort-merge
