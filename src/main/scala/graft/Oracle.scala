@@ -2407,5 +2407,32 @@ object Oracle {
         |       CAST(score AS BIGINT) AS score,
         |       CAST(CASE WHEN score >= 0 THEN 1 ELSE 0 END AS INT) AS keep
         |FROM s ORDER BY doc_id""".stripMargin,
+
+    // longest-dup-span replay: enumerate EVERY (position, length) span
+    // as its exact string (no digests anywhere — an independent
+    // derivation that also re-proves the Spark side's digest-steered
+    // search landed on the true maximum), keep the duplicated ones,
+    // report the rows at the maximum length
+    "q_text_longest_dup_span" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |         len(string_split(text, ' ')) AS n
+        |  FROM documents),
+        |ls AS (SELECT unnest(generate_series(1, (SELECT max(n) FROM t))) AS L),
+        |pos AS (
+        |  SELECT doc_id, toks, n, unnest(generate_series(1, n)) AS p FROM t),
+        |spans AS (
+        |  SELECT pos.doc_id, ls.L,
+        |         array_to_string(list_slice(toks, p, p + ls.L - 1), ' ') AS span
+        |  FROM pos JOIN ls ON p + ls.L - 1 <= n),
+        |dup AS (
+        |  SELECT L, span, count(*) AS occ, count(DISTINCT doc_id) AS nd,
+        |         min(doc_id) AS fd
+        |  FROM spans GROUP BY 1, 2 HAVING count(*) >= 2),
+        |mx AS (SELECT max(L) AS lmax FROM dup)
+        |SELECT span, CAST(L AS INT) AS span_len,
+        |       CAST(occ AS BIGINT) AS n_occurrences,
+        |       CAST(nd AS BIGINT) AS n_docs, fd AS first_doc
+        |FROM dup, mx WHERE L = mx.lmax ORDER BY span""".stripMargin,
   )
 }

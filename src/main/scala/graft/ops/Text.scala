@@ -1230,6 +1230,115 @@ object Text {
       .orderBy($"doc_id")
   }
 
+  /** Longest duplicated token span across the corpus — the substring-
+    * level dedup primitive (Lee et al. 2022, "Deduplicating Training
+    * Data Makes Language Models Better": the suffix-array pass that
+    * finds verbatim repeated sequences no document-level Jaccard
+    * catches). Single-node tooling builds a suffix array; the
+    * DISTRIBUTED formulation here is Karp-Rabin DOUBLING: per-doc
+    * level arrays h_k(i) = hash(h_{k-1}(i), h_{k-1}(i + 2^{k-1}))
+    * (span-of-2^k digests, built in-row with zip_with — log(maxlen)
+    * levels, no exchange), then a driver BINARY SEARCH on the span
+    * length: "some span of length L occurs ≥ 2 times" is monotone in
+    * L, and each trial is ONE narrow exchange of 8-byte digests
+    * (h_L(i) = hash(h_k(i), h_k(i + L - 2^k)), the overlapping-powers
+    * trick — O(1) per position from the level table). log2(maxlen)
+    * trials ≈ 7 exchanges on this corpus; the driver holds one boolean
+    * per trial plus the scalar maxlen (bounded fits, the kmeans
+    * convention).
+    *
+    * Digests steer the SEARCH only — the REPORTED spans at the found
+    * length are grouped by their exact STRINGS (one positions-sized
+    * exchange at that single length), so the output is collision-free
+    * and the DuckDB oracle replays it by enumerating every (position,
+    * length) span exactly. A 64-bit digest collision could only aim
+    * the search one length too high; the string pass would then find
+    * no duplicate and a guard loop steps down (never taken on real
+    * data; spec-covered). 100 TB shape: level arrays are per-row
+    * (DISK_ONLY, the tokenRuns tier), every search exchange carries
+    * longs, and the one string exchange happens at a single length.
+    * The in-row zip_with/transform lambdas evaluate interpreted (HOFs
+    * do not codegen) — linear per row, acceptable here; a compiled
+    * RollingDigest expression is the upgrade path if levels ever
+    * dominate a profile. */
+  def textLongestDupSpan(spark: SparkSession, dir: String): DataFrame =
+    longestDupSpan(Tables.documents(spark, dir),
+      memoBase = s"${api.ResultCache.sessionId(spark)}:$dir")
+
+  /** `memoBase` (nullable): when set, the FOUND LENGTH memoizes per
+    * (session, corpus) — the binary search's ~log2(maxlen) jobs run
+    * once and a repeat call goes straight to the (plan-cached) string
+    * grouping at that length, the same warm-repeat contract as the
+    * dedup family's finals. Library callers on ad-hoc relations leave
+    * it null (no safe cache key exists for an arbitrary plan). */
+  private[graft] def longestDupSpan(docs: DataFrame, memoBase: String = null): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toksRel = api.Dedup.spread(docs)
+      .select($"doc_id", split($"text", " ").as("toks"))
+      .withColumn("n", size($"toks"))
+    // exact string grouping at a given length (the output path and the
+    // collision guard both use it)
+    def stringDups(len: Int): DataFrame = toksRel
+      .select($"doc_id", explode(expr(
+        s"case when n >= $len then transform(sequence(1, n - $len + 1), p -> array_join(slice(toks, p, $len), ' ')) else array() end")).as("span"))
+      .groupBy($"span").agg(count(lit(1)).as("n_occurrences"),
+        countDistinct($"doc_id").as("n_docs"), min($"doc_id").as("first_doc"))
+      .filter($"n_occurrences" >= 2)
+    def search(): Int = {
+      val maxLen: Int = toksRel.agg(coalesce(max($"n"), lit(0)))
+        .collect()(0).getInt(0) // 1-value bounded fit (kmeans convention)
+      if (maxLen == 0) return 0
+      val kMax = 31 - Integer.numberOfLeadingZeros(maxLen) // floor(log2)
+      var lv = toksRel.withColumn("h0", expr("transform(toks, t -> xxhash64(t))"))
+      for (k <- 1 to kMax) {
+        val off = 1 << (k - 1)
+        lv = lv.withColumn(s"h$k",
+          expr(s"zip_with(h${k - 1}, slice(h${k - 1}, ${off + 1}, ${1 << 30}), (a, b) -> xxhash64(a, b))"))
+      }
+      val levels = lv.transform(graft.api.Persists.diskOnly)
+      def dupExists(len: Int): Boolean = {
+        val k = 31 - Integer.numberOfLeadingZeros(len)
+        val dcol =
+          if (len == (1 << k)) s"h$k"
+          else s"zip_with(h$k, slice(h$k, ${len - (1 << k) + 1}, ${1 << 30}), (a, b) -> xxhash64(a, b))"
+        !levels.select(explode(expr(dcol)).as("d"))
+          .groupBy($"d").agg(count(lit(1)).as("c"))
+          .filter($"c" >= 2).isEmpty
+      }
+      // binary search the largest L with a duplicate: monotone because
+      // a duplicated span of length L duplicates every prefix
+      var lo = 0
+      var hi = maxLen
+      while (lo < hi) {
+        val mid = (lo + hi + 1) / 2
+        if (dupExists(mid)) lo = mid else hi = mid - 1
+      }
+      // 64-bit collision guard: confirm with exact strings, step down
+      // if the digests over-aimed (never taken on real data)
+      var best = lo
+      while (best >= 1 && stringDups(best).isEmpty) best -= 1
+      best
+    }
+    val best: Int =
+      if (memoBase == null) search()
+      else api.ResultCache.getOrCompute[java.lang.Integer](
+        s"ldspan:$memoBase", _ => true)(Int.box(search())).intValue()
+    if (best == 0)
+      spark.emptyDataFrame
+        .select(lit("").as("span"), lit(0).as("span_len"),
+          lit(0L).as("n_occurrences"), lit(0L).as("n_docs"), lit(0L).as("first_doc"))
+        .limit(0)
+    else
+      stringDups(best).select($"span", lit(best).as("span_len"),
+          $"n_occurrences", $"n_docs", $"first_doc")
+        .orderBy($"span")
+        // bounded-final cache: by maximality the dup set at best is
+        // tiny, and a repeat call (memoized best) plan-matches it and
+        // skips the search entirely — the dedup-family warm contract
+        .cache()
+  }
+
   def qualityAdaptive(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     // ONE corpus scan: the per-(lang, n_tok) histogram is everything the

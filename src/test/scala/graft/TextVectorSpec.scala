@@ -300,6 +300,34 @@ class TextVectorSpec extends SparkSpec {
     assert(out(1L)._2 > out(3L)._2 && out(3L)._2 > out(2L)._2)
   }
 
+  test("longestDupSpan: planted cross-doc span, within-doc repeat, and a dup-free corpus") {
+    import spark.implicits._
+    // cross-doc: "a b c d" (4 tokens) planted in docs 1 and 2; nothing
+    // longer repeats
+    val docs = Seq(
+      (1L, "x a b c d y"),
+      (2L, "q a b c d z"),
+      (3L, "completely unrelated words here"),
+    ).toDF("doc_id", "text")
+    val got = graft.ops.Text.longestDupSpan(docs).collect()
+    assert(got.length == 1, got.mkString("; "))
+    val r = got(0)
+    assert(r.getString(0) == "a b c d" && r.getInt(1) == 4 &&
+      r.getLong(2) == 2L && r.getLong(3) == 2L && r.getLong(4) == 1L, r.toString)
+
+    // within-doc repeat counts positions: "a b a b a" has "a b a"
+    // twice (positions 1 and 3) and no duplicated 4-span
+    val self = Seq((7L, "a b a b a")).toDF("doc_id", "text")
+    val g2 = graft.ops.Text.longestDupSpan(self).collect()
+    assert(g2.length == 1, g2.mkString("; "))
+    assert(g2(0).getString(0) == "a b a" && g2(0).getInt(1) == 3 &&
+      g2(0).getLong(2) == 2L && g2(0).getLong(3) == 1L, g2(0).toString)
+
+    // no duplicate anywhere (all tokens globally distinct) -> empty
+    val uniq = Seq((1L, "p q r"), (2L, "s t u")).toDF("doc_id", "text")
+    assert(graft.ops.Text.longestDupSpan(uniq).collect().isEmpty)
+  }
+
   test("RRF fusion equals the hand-fused legs on the real sf0.001 tables") {
     import spark.implicits._
     val dir = "/root/testdata/sf0.001"
