@@ -288,3 +288,87 @@ object WordShingles {
     new GenericArrayData(out)
   }
 }
+
+/** Rolling polynomial digests of every `len`-token span — the
+  * q_text_longest_dup_span search kernel as ONE compiled O(n) pass.
+  * Replaces the interpreted Karp-Rabin DOUBLING formulation (log n
+  * zip_with/transform levels per row — HOF lambdas evaluate
+  * interpreted and the level table needed a corpus-sized DISK_ONLY
+  * persist; measured 103.6 s cold at x10 against 6.9 s at sf0.1 —
+  * the per-element-lambda trap this file exists to remove).
+  *
+  * digest(i) = Σ_{j<len} fnv64(tok_{i+j}) · B^{len-1-j} mod 2^64,
+  * computed rolling (subtract the leading term, multiply by B, add
+  * the trailing hash — Java long arithmetic wraps mod 2^64 by
+  * definition, no overflow concern outside ANSI SQL). Digests steer
+  * the caller's binary SEARCH only; reported spans are re-grouped by
+  * exact strings, so a collision can at worst aim the search one
+  * length high and the caller's guard steps down (spec-covered).
+  *
+  * Semantics: fewer than `len` tokens → EMPTY array (no spans);
+  * null text → null (the TokenRunLengths convention). */
+case class SpanDigests(child: Expression, len: Int)
+  extends UnaryExpression {
+
+  require(len >= 1, s"span length must be positive, got $len")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"span_digests requires a string input, got $t")
+  }
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "span_digests"
+
+  override def nullSafeEval(a: Any): Any =
+    SpanDigests.compute(a.asInstanceOf[UTF8String], len)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.plans.SpanDigests.compute($a, ${len.toString});")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): SpanDigests = copy(child = newChild)
+}
+
+object SpanDigests {
+  private val SPACE = UTF8String.fromString(" ")
+  private final val B = 1000000007L
+
+  def compute(text: UTF8String, len: Int): ArrayData = {
+    val toks = text.split(SPACE, -1)
+    val n = toks.length
+    if (n < len)
+      return org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(Array.emptyLongArray)
+    val h = new Array[Long](n)
+    var i = 0
+    while (i < n) { h(i) = fnv64(toks(i)); i += 1 }
+    var bl = 1L // B^(len-1), wrapping
+    i = 1
+    while (i < len) { bl *= B; i += 1 }
+    val out = new Array[Long](n - len + 1)
+    var d = 0L
+    i = 0
+    while (i < len) { d = d * B + h(i); i += 1 }
+    out(0) = d
+    i = 1
+    while (i <= n - len) {
+      d = (d - h(i - 1) * bl) * B + h(i + len - 1)
+      out(i) = d
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /** FNV-1a over the token's UTF-8 bytes — cheap, allocation-free. */
+  private def fnv64(s: UTF8String): Long = {
+    var hash = 0xcbf29ce484222325L
+    val nb = s.numBytes()
+    var i = 0
+    while (i < nb) { hash ^= (s.getByte(i) & 0xFFL); hash *= 0x100000001b3L; i += 1 }
+    hash
+  }
+}

@@ -428,6 +428,32 @@ class ExpressionSpec extends SparkSpec {
       graft.plans.CharPolyHash.compute(UTF8String.fromString("café")))
   }
 
+  test("SpanDigests: rolling digests equal direct recomputation; equal spans collide; edges") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def dig(text: String, len: Int): Seq[Long] = {
+      val a = graft.plans.SpanDigests.compute(UTF8String.fromString(text), len)
+      (0 until a.numElements()).map(a.getLong)
+    }
+    // rolling == direct: every window digest equals the digest of that
+    // window rendered as its own text (the rolling subtraction must be
+    // exact under mod-2^64 wraparound)
+    val toks = Seq("alpha", "b", "gamma42", "b", "alpha", "zz")
+    val text = toks.mkString(" ")
+    for (len <- 1 to toks.length) {
+      val rolled = dig(text, len)
+      val direct = toks.sliding(len).map(w => dig(w.mkString(" "), len).head).toSeq
+      assert(rolled == direct, s"len=$len: $rolled != $direct")
+    }
+    // equal spans collide, unequal spans don't (on this fixture)
+    val d2 = dig(text, 1)
+    assert(d2(0) == d2(4) && d2(1) == d2(3), "equal tokens must share a digest")
+    assert(d2.distinct.size == 4, s"distinct tokens collided: $d2")
+    // edges: fewer tokens than len -> empty; null handled by the
+    // expression's null-safe wrapper (not compute)
+    assert(dig("a b", 3).isEmpty)
+    assert(dig("", 1).size == 1) // split("") = [""] -> one span
+  }
+
   test("RepetitionStats equals the interpreted gopher lambda struct on real data x2 SFs") {
     import spark.implicits._
     val lambda = expr(
