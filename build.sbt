@@ -28,3 +28,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Belt for deep-plan task serialization in tests: plan-tree recursion
+// during ObjectOutputStream writes scales with plan depth, and the
+// default 1 MiB stack sits at the edge for iterate-in-a-loop specs.
+// The real fix is lineage truncation in the tests themselves; this
+// keeps ambient-JVM-state variance from flipping a green suite.
+Test / javaOptions += "-Xss4m"
