@@ -2434,5 +2434,48 @@ object Oracle {
         |       CAST(occ AS BIGINT) AS n_occurrences,
         |       CAST(nd AS BIGINT) AS n_docs, fd AS first_doc
         |FROM dup, mx WHERE L = mx.lmax ORDER BY span""".stripMargin,
+
+    // dedup-trim replay: the full decision from scratch, no digests —
+    // enumerate every 8-token window, rank occurrences globally by
+    // (doc_id, position), mark everything past rank 1, union the
+    // covered intervals, and rebuild the survivors as contiguous
+    // segments (gaps-and-islands). 1-based positions throughout (the
+    // Spark side is 0-based; only CONSISTENCY of the (doc_id, p)
+    // order matters, and both are ascending).
+    "q_text_dedup_trim" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |         len(string_split(text, ' ')) AS n
+        |  FROM documents),
+        |spans AS (
+        |  SELECT doc_id, p, array_to_string(list_slice(toks, p, p + 7), ' ') AS span
+        |  FROM (SELECT doc_id, toks, unnest(generate_series(1, n - 7)) AS p
+        |        FROM t WHERE n >= 8)),
+        |marked AS (
+        |  SELECT doc_id, p FROM (
+        |    SELECT doc_id, p,
+        |           row_number() OVER (PARTITION BY span ORDER BY doc_id, p) AS rn,
+        |           count(*) OVER (PARTITION BY span) AS c
+        |    FROM spans) WHERE c >= 2 AND rn >= 2),
+        |covered AS (
+        |  SELECT DISTINCT doc_id, p + i AS q
+        |  FROM marked, (SELECT unnest(generate_series(0, 7)) AS i)),
+        |tok AS (
+        |  SELECT doc_id, toks[q] AS tok, q
+        |  FROM (SELECT doc_id, toks, unnest(generate_series(1, n)) AS q FROM t)),
+        |surv AS (
+        |  SELECT tok.doc_id, tok.q, tok.tok
+        |  FROM tok ANTI JOIN covered
+        |    ON tok.doc_id = covered.doc_id AND tok.q = covered.q),
+        |segtext AS (
+        |  SELECT doc_id, isl, min(q) AS q0, string_agg(tok, ' ' ORDER BY q) AS text
+        |  FROM (SELECT doc_id, q, tok,
+        |               q - row_number() OVER (PARTITION BY doc_id ORDER BY q) AS isl
+        |        FROM surv)
+        |  GROUP BY doc_id, isl)
+        |SELECT doc_id,
+        |       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY q0) - 1 AS INT) AS seg_id,
+        |       text
+        |FROM segtext ORDER BY doc_id, seg_id""".stripMargin,
   )
 }

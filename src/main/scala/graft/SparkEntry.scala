@@ -129,6 +129,7 @@ object SparkEntry {
     "q_text_quality_adaptive" -> Text.qualityAdaptive _,
     "q_text_quality_model" -> Text.qualityModel _,
     "q_text_longest_dup_span" -> Text.textLongestDupSpan _,
+    "q_text_dedup_trim" -> Text.textDedupTrim _,
     "q_text_unigram_ll" -> Text.textUnigramLL _,
     "q_text_redact" -> Text.textRedact _,
     "q_gen_outer" -> Text.genOuter _,

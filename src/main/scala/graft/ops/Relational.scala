@@ -1620,7 +1620,12 @@ object Relational {
     val bound = Tables.orders(spark, dir)
       .agg(max($"o_custkey").cast("long").as("__maxck"))
       .withColumn("__C",
-        expr("shiftleft(CAST(1 AS BIGINT), CAST(floor(log2(__maxck)) + 1 AS INT))"))
+        // smallest power of two STRICTLY greater than __maxck, via bit
+        // arithmetic: length(bin(x)) = floor(log2(x)) + 1 EXACTLY for
+        // x >= 1 — no libm log2, whose under-rounding on an exact
+        // power-of-two maxck would set C = maxck and silently bleed
+        // the max-custkey customer one metric unit (round-10 ADVICE)
+        expr("shiftleft(CAST(1 AS BIGINT), length(bin(__maxck)))"))
     // metrics negated so DESC metric order = ASC composite order;
     // monetary in exact cents (2-dp decimal → long is lossless)
     val withC = Tables.orders(spark, dir)
@@ -1643,7 +1648,16 @@ object Relational {
       greatest(max(abs($"rm")), max(abs($"fm")), max(abs($"mm"))).as("__maxm"),
       first($"__maxck").as("__bck"), first($"__C").as("__bc"))
       .select(
-        when($"__maxm" <= (lit(Long.MaxValue) - $"__bck") / $"__bc", $"rcuts")
+        // integer `div`, not Column./ (floating Divide): Long.MaxValue
+        // is not double-representable, so FP rounding near 2^63 could
+        // admit a wrapping composite or spuriously raise — the exact
+        // regime the guard exists for (round-10 ADVICE). The
+        // coalesce(..., true) short-circuits empty orders (every
+        // aggregate null) to the empty result instead of firing
+        // raise_error with null-concatenated message parts.
+        when(coalesce(
+            expr("__maxm <= (9223372036854775807 - __bck) div __bc"),
+            lit(true)), $"rcuts")
           .otherwise(raise_error(concat(
             lit("rfmSegmentsApprox: composite encoding overflows long "
               + "(max|metric| "),

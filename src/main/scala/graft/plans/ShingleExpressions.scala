@@ -364,11 +364,253 @@ object SpanDigests {
   }
 
   /** FNV-1a over the token's UTF-8 bytes — cheap, allocation-free. */
-  private def fnv64(s: UTF8String): Long = {
+  private[plans] def fnv64(s: UTF8String): Long = {
     var hash = 0xcbf29ce484222325L
     val nb = s.numBytes()
     var i = 0
     while (i < nb) { hash ^= (s.getByte(i) & 0xFFL); hash *= 0x100000001b3L; i += 1 }
     hash
+  }
+}
+
+/** Rolling polynomial digests for a whole LADDER of span lengths in
+  * ONE compiled pass — the multi-length upgrade of [[SpanDigests]]
+  * for q_text_longest_dup_span's search: instead of one corpus scan
+  * per binary-search trial (~log2(maxlen) scans, each with its own
+  * exchange — measured as the whole cost of the operator under
+  * local-cluster serialization), a single scan emits (len, digest)
+  * for every rung of a geometric ladder, the per-token FNV hashing
+  * (the expensive part: UTF-8 byte iteration) is paid ONCE and each
+  * rung's rolling pass reuses the shared `h` array. One exchange of
+  * Σ_rungs(n − len + 1) ≈ 2n·(2 − 2^{1−rungs}) rows replaces
+  * log2(maxlen) exchanges of ~n rows each — less total volume AND
+  * one stage instead of a serial trial chain.
+  *
+  * Per-rung digests are IDENTICAL to `SpanDigests(text, len)` (same
+  * base, same token hash), pinned by spec — callers may mix the two
+  * freely (the refinement trials do).
+  *
+  * Semantics: rungs longer than the row's token count emit nothing;
+  * null text → null; output structs are ordered rung-major then
+  * position (deterministic, spec-pinned). */
+/** Exact span strings at a GIVEN list of 0-based token positions —
+  * the second phase of q_text_dedup_trim: digests nominate candidate
+  * positions (tiny vs the corpus), this expression renders only those
+  * spans as exact strings for the collision-free duplicate grouping.
+  * One compiled pass per row: tokenize once, concatWs per requested
+  * position. Positions outside [0, n − len] are skipped (they cannot
+  * start a full span); output structs keep the input position order.
+  *
+  * Null text or null positions → null; empty positions → empty. */
+case class SpansAt(left: Expression, right: Expression, len: Int)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  require(len >= 1, s"span length must be positive, got $len")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, ArrayType(org.apache.spark.sql.types.IntegerType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"spans_at requires (string, array<int>), got ($l, $r)")
+    }
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("p",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("span", StringType,
+        nullable = false))),
+    containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "spans_at"
+
+  override def nullSafeEval(t: Any, ps: Any): Any =
+    SpansAt.compute(t.asInstanceOf[UTF8String], ps.asInstanceOf[ArrayData], len)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, ps) =>
+      s"${ev.value} = graft.plans.SpansAt.compute($t, $ps, ${len.toString});")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SpansAt =
+    copy(left = newLeft, right = newRight)
+}
+
+object SpansAt {
+  private val SPACE = UTF8String.fromString(" ")
+
+  def compute(text: UTF8String, ps: ArrayData, len: Int): ArrayData = {
+    val toks = text.split(SPACE, -1)
+    val n = toks.length
+    val m = ps.numElements()
+    val window = new Array[UTF8String](len)
+    val out = new scala.collection.mutable.ArrayBuffer[Any](m)
+    var i = 0
+    while (i < m) {
+      val p = ps.getInt(i)
+      if (p >= 0 && p + len <= n) {
+        System.arraycopy(toks, p, window, 0, len)
+        out += new org.apache.spark.sql.catalyst.expressions
+          .GenericInternalRow(Array[Any](p, UTF8String.concatWs(SPACE, window: _*)))
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
+/** Surviving SEGMENTS of a document after excising every span
+  * [s, s+len) for the given 0-based start positions — the REMOVE half
+  * of q_text_dedup_trim (Lee et al. 2022's actual intervention: drop
+  * every occurrence of a duplicated span beyond the first). Removal
+  * SPLITS the document instead of splicing the remainder together:
+  * each output segment is a contiguous run of surviving tokens, so no
+  * seam n-gram is fabricated across a cut — which is what makes the
+  * whole operator IDEMPOTENT (every window of a segment is a window
+  * of the original document; see the dedupTrim scaladoc for the
+  * proof the spec pins).
+  *
+  * `starts` must be sorted ascending (the caller sort_array's it);
+  * overlapping and adjacent intervals union via a single
+  * coverage-sweep pointer. Empty starts → one segment, the whole
+  * text. Fully-covered text → empty array. Null text or null starts
+  * → null. */
+case class TrimSpans(left: Expression, right: Expression, len: Int)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  require(len >= 1, s"span length must be positive, got $len")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, ArrayType(org.apache.spark.sql.types.IntegerType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"trim_spans requires (string, array<int>), got ($l, $r)")
+    }
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "trim_spans"
+
+  override def nullSafeEval(t: Any, ss: Any): Any =
+    TrimSpans.compute(t.asInstanceOf[UTF8String], ss.asInstanceOf[ArrayData], len)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, ss) =>
+      s"${ev.value} = graft.plans.TrimSpans.compute($t, $ss, ${len.toString});")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): TrimSpans =
+    copy(left = newLeft, right = newRight)
+}
+
+object TrimSpans {
+  private val SPACE = UTF8String.fromString(" ")
+
+  def compute(text: UTF8String, starts: ArrayData, len: Int): ArrayData = {
+    val toks = text.split(SPACE, -1)
+    val n = toks.length
+    val m = starts.numElements()
+    val out = new scala.collection.mutable.ArrayBuffer[Any]()
+    val seg = new scala.collection.mutable.ArrayBuffer[UTF8String]()
+    var coverEnd = -1L // exclusive end of the union of intervals seen
+    var si = 0
+    var i = 0
+    while (i < n) {
+      while (si < m && starts.getInt(si) <= i) {
+        val e = starts.getInt(si).toLong + len
+        if (e > coverEnd) coverEnd = e
+        si += 1
+      }
+      if (i < coverEnd) {
+        if (seg.nonEmpty) {
+          out += UTF8String.concatWs(SPACE, seg.toSeq: _*)
+          seg.clear()
+        }
+      } else seg += toks(i)
+      i += 1
+    }
+    if (seg.nonEmpty) out += UTF8String.concatWs(SPACE, seg.toSeq: _*)
+    new GenericArrayData(out.toArray)
+  }
+}
+
+case class SpanDigestsLadder(child: Expression, lens: Seq[Int])
+  extends UnaryExpression {
+
+  require(lens.nonEmpty && lens.forall(_ >= 1) && lens == lens.sorted,
+    s"ladder must be non-empty ascending positive lengths, got $lens")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"span_digests_ladder requires a string input, got $t")
+  }
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("len",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("d",
+        org.apache.spark.sql.types.LongType, nullable = false))),
+    containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "span_digests_ladder"
+
+  override def nullSafeEval(a: Any): Any =
+    SpanDigestsLadder.compute(a.asInstanceOf[UTF8String], lens.toArray)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lensRef = ctx.addReferenceObj("ladderLens", lens.toArray, "int[]")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.plans.SpanDigestsLadder.compute($a, $lensRef);")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): SpanDigestsLadder = copy(child = newChild)
+}
+
+object SpanDigestsLadder {
+  private val SPACE = UTF8String.fromString(" ")
+  private final val B = 1000000007L
+
+  def compute(text: UTF8String, lens: Array[Int]): ArrayData = {
+    val toks = text.split(SPACE, -1)
+    val n = toks.length
+    val h = new Array[Long](n)
+    var i = 0
+    while (i < n) { h(i) = SpanDigests.fnv64(toks(i)); i += 1 }
+    var total = 0
+    var r = 0
+    while (r < lens.length) {
+      if (lens(r) <= n) total += n - lens(r) + 1
+      r += 1
+    }
+    val out = new Array[Any](total)
+    var idx = 0
+    r = 0
+    while (r < lens.length) {
+      val len = lens(r)
+      if (len <= n) {
+        var bl = 1L // B^(len-1), wrapping
+        i = 1
+        while (i < len) { bl *= B; i += 1 }
+        var d = 0L
+        i = 0
+        while (i < len) { d = d * B + h(i); i += 1 }
+        out(idx) = new org.apache.spark.sql.catalyst.expressions
+          .GenericInternalRow(Array[Any](len, d))
+        idx += 1
+        i = 1
+        while (i <= n - len) {
+          d = (d - h(i - 1) * bl) * B + h(i + len - 1)
+          out(idx) = new org.apache.spark.sql.catalyst.expressions
+            .GenericInternalRow(Array[Any](len, d))
+          idx += 1
+          i += 1
+        }
+      }
+      r += 1
+    }
+    new GenericArrayData(out)
   }
 }
