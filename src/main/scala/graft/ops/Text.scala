@@ -1236,32 +1236,31 @@ object Text {
     * finds verbatim repeated sequences no document-level Jaccard
     * catches). Single-node tooling builds a suffix array; the
     * DISTRIBUTED formulation here is digest search in two phases,
-    * both riding compiled rolling-polynomial passes
-    * ([[graft.plans.SpanDigests]] / [[graft.plans.SpanDigestsLadder]]):
+    * both riding the compiled rolling-polynomial pass
+    * ([[graft.plans.SpanDigests]]):
     *
-    *   1. LADDER: one scan emits span digests for every power-of-two
-    *      length ≤ maxlen at once (the per-token FNV hashing paid
-    *      once, each rung a rolling pass over the shared hash array);
-    *      one exchange + one (len, digest) count aggregate answers
-    *      "has a duplicate" for ALL rungs. Monotonicity ("a
-    *      duplicated span of length L duplicates every prefix") makes
-    *      the dup rungs a prefix — the largest one brackets the
-    *      answer into [base, 2·base).
-    *   2. REFINE: only docs containing a duplicated base-length
-    *      digest can contain any longer duplicate (its base-prefix is
-    *      duplicated too), so the bracket's binary search runs
-    *      against that small candidate relation — each trial a
-    *      [[graft.plans.SpanDigests]] pass over candidates only.
+    *   1. PROBE: one scan + one narrow 8-byte exchange at a fixed
+    *      16-token length finds the duplicated probe digests. If none
+    *      exist the answer is < 16 and a plain ≤4-trial binary search
+    *      finishes; otherwise monotonicity ("a duplicated span
+    *      duplicates every prefix") localizes everything: any longer
+    *      duplicate's occurrences all live in docs carrying a
+    *      duplicated probe digest.
+    *   2. REFINE: one more corpus scan extracts those CANDIDATE docs
+    *      (a semi-join against the broadcast duplicated-digest set),
+    *      and the whole binary search over [16, max candidate doc
+    *      length] runs against that small relation — every trial a
+    *      SpanDigests pass over candidates only.
     *
-    * Versus the round-10 formulation (one full-corpus SpanDigests
+    * Versus the round-10 formulation (one FULL-CORPUS SpanDigests
     * trial per binary-search step, ~log2(maxlen) scans AND
     * positions-sized exchanges — measured as the entire cost of the
     * operator under local-cluster serialization: 213.3 s vs 90.1 s
-    * single-JVM at x100), the ladder pays ONE exchange of
-    * Σ_rungs(n−len+1) ≈ 2n rows·log-shaped and the refinement trials
-    * shrink to the candidate subset. The driver holds one int per
-    * rung plus the scalar maxlen (bounded fits, the kmeans
-    * convention).
+    * single-JVM at x100), this pays ~3 corpus-sized passes TOTAL
+    * (probe, candidate extraction, final string grouping) regardless
+    * of maxlen; the trials that remain touch only the near-dup
+    * working set. The driver holds two scalars (bounded fits, the
+    * kmeans convention).
     *
     * Digests steer the SEARCH only — the REPORTED spans at the found
     * length are grouped by their exact STRINGS (one positions-sized
@@ -1272,10 +1271,10 @@ object Text {
     * duplicate and the guard RESUMES THE BINARY SEARCH over
     * [0, best−1] with the exact-string predicate (logarithmic worst
     * case, round-10 ADVICE; never taken on real data; spec-covered).
-    * 100 TB shape: no persist of anything corpus-sized except the
-    * narrow duplicated-digest relation (DISK_ONLY), every search
-    * exchange carries (int, long) rows, and the one string exchange
-    * happens at a single length. */
+    * 100 TB shape: the only persists are the narrow duplicated-digest
+    * relation and the candidate-doc subset (both DISK_ONLY), every
+    * search exchange carries 8-byte digests, and the one string
+    * exchange happens at a single length. */
   def textLongestDupSpan(spark: SparkSession, dir: String): DataFrame =
     longestDupSpan(Tables.documents(spark, dir),
       memoBase = s"${api.ResultCache.sessionId(spark)}:$dir")
@@ -1305,69 +1304,73 @@ object Text {
       def digestsAt(rel: DataFrame, len: Int): DataFrame = rel
         .select(explode(bridge.column(graft.plans.SpanDigests(
           bridge.expression($"text"), len))).as("d"))
-      val maxLen: Int = toksRel.agg(coalesce(max($"n"), lit(0)))
-        .collect()(0).getInt(0) // 1-value bounded fit (kmeans convention)
-      if (maxLen == 0) return 0
-      // Phase 1 — ladder: ONE compiled scan emits (rung, digest) for
-      // every power-of-two length at once, ONE exchange, and the
-      // count aggregate keeps only DUPLICATED digests — a narrow
-      // relation (bounded by duplicated positions, vocab-sized at
-      // rung 1) reused below for both the rung set and the base-rung
-      // candidate filter.
-      val rungs: Seq[Int] =
-        Iterator.iterate(1)(_ * 2).takeWhile(_ <= maxLen).toVector
-      val dupRungs = api.Persists.diskOnly(api.Dedup.spread(docs)
-        .select(explode(bridge.column(graft.plans.SpanDigestsLadder(
-          bridge.expression($"text"), rungs))).as("s"))
-        .select($"s.len".as("len"), $"s.d".as("d"))
-        .groupBy($"len", $"d").agg(count(lit(1)).as("c"))
-        .filter($"c" >= 2)
-        .select($"len", $"d"))
+      def dupExistsOn(rel: DataFrame, len: Int): Boolean =
+        !digestsAt(rel, len).groupBy($"d").agg(count(lit(1)).as("c"))
+          .filter($"c" >= 2).isEmpty
+      // Phase 1 — PROBE: one compiled pass + one narrow exchange at a
+      // fixed length nominates everything. (An A/B'd alternative — a
+      // multi-rung ladder pass answering every power-of-two length at
+      // once — measured SLOWER at x10, 63.4 s vs 46.9 s: the low
+      // rungs' struct-shaped exchange outweighed the trials it saved.
+      // One primitive-long probe is the whole price worth paying.)
+      val probeLen = 16
+      val dupD = api.Persists.diskOnly(api.Dedup.spread(docs)
+        .select(explode(bridge.column(graft.plans.SpanDigests(
+          bridge.expression($"text"), probeLen))).as("d"))
+        .groupBy($"d").agg(count(lit(1)).as("c"))
+        .filter($"c" >= 2).select($"d"))
       try {
-        val withDup: Set[Int] = dupRungs.select($"len").distinct()
-          .collect().map(_.getInt(0)).toSet // ≤ log2(maxlen) values
-        // no duplicate single token anywhere → no duplicate at any
-        // length (string-equal spans imply digest-equal spans)
-        if (!withDup.contains(1)) return 0
-        val base = rungs.filter(withDup.contains).max
-        // dup rungs form a prefix, so the answer is in [base, hiBound]
-        val hiBound = math.min(2 * base - 1, maxLen)
-        var best = base
-        if (hiBound > base) {
-          // Phase 2 — refine on CANDIDATE DOCS only: any duplicated
-          // span of length > base has a duplicated base-length prefix,
-          // so both of its occurrences live in docs that carry a
-          // duplicated base digest. (A collision can only ADD
-          // candidates or aim high — the exact-string guard below
-          // owns that case.)
-          val dupD = dupRungs.filter($"len" === base).select($"d")
-          val candIds = api.Dedup.spread(docs)
-            .select($"doc_id", explode(bridge.column(graft.plans.SpanDigests(
-              bridge.expression($"text"), base))).as("d"))
-            .join(dupD, "d") // dupD is runtime-small; AQE broadcasts
-            .select($"doc_id").distinct()
-          val cand = api.Persists.diskOnly(docs
-            .select($"doc_id", $"text")
-            .join(candIds, Seq("doc_id"), "left_semi"))
-          try {
-            var lo = base
-            var hi = hiBound
+        var best =
+          if (dupD.isEmpty) {
+            // answer < probeLen: the remaining range is small and
+            // candidate pruning has no anchor — plain binary search
+            // with full-corpus trials, ≤ log2(probeLen) of them
+            var lo = 0
+            var hi = probeLen - 1
             while (lo < hi) {
               val mid = (lo + hi + 1) / 2
-              if (!digestsAt(cand, mid).groupBy($"d")
-                    .agg(count(lit(1)).as("c")).filter($"c" >= 2).isEmpty)
-                lo = mid
+              if (dupExistsOn(api.Dedup.spread(docs), mid)) lo = mid
               else hi = mid - 1
             }
-            best = lo
-          } finally cand.unpersist()
-        }
+            lo
+          } else {
+            // Phase 2 — the whole search at CANDIDATE scale: any
+            // duplicated span of length ≥ probeLen contains a
+            // duplicated probeLen-window, so both of its occurrences
+            // live in docs that carry a duplicated probe digest. One
+            // more corpus scan extracts those docs; every binary-
+            // search trial then runs against that small relation.
+            // (A collision can only ADD candidates or aim the search
+            // high — the exact-string guard below owns that case.)
+            val candIds = api.Dedup.spread(docs)
+              .select($"doc_id", explode(bridge.column(graft.plans.SpanDigests(
+                bridge.expression($"text"), probeLen))).as("d"))
+              .join(dupD, "d") // dupD is runtime-small; AQE broadcasts
+              .select($"doc_id").distinct()
+            val cand = api.Persists.diskOnly(docs
+              .select($"doc_id", $"text")
+              .join(candIds, Seq("doc_id"), "left_semi"))
+            try {
+              // the answer cannot exceed the longest candidate doc
+              val hiCand = cand.select(size(split($"text", " ")).as("n"))
+                .agg(coalesce(max($"n"), lit(probeLen)))
+                .collect()(0).getInt(0) // 1-value bounded fit
+              var lo = probeLen
+              var hi = math.max(hiCand, probeLen)
+              while (lo < hi) {
+                val mid = (lo + hi + 1) / 2
+                if (dupExistsOn(cand, mid)) lo = mid else hi = mid - 1
+              }
+              lo
+            } finally cand.unpersist()
+          }
         // 64-bit collision guard: confirm with exact strings; if the
         // digests over-aimed, RESUME the binary search over
-        // [0, best−1] with the exact predicate (monotone for the same
-        // prefix reason) — logarithmic worst case instead of one
-        // corpus-sized string pass per stepped-down length
-        // (round-10 ADVICE; never taken on real data, spec-covered).
+        // [0, best−1] with the exact predicate (monotone: a duplicated
+        // span duplicates every prefix) — logarithmic worst case
+        // instead of one corpus-sized string pass per stepped-down
+        // length (round-10 ADVICE; never taken on real data,
+        // spec-covered).
         if (best >= 1 && stringDups(best).isEmpty) {
           var lo = 0
           var hi = best - 1
@@ -1378,7 +1381,7 @@ object Text {
           best = lo
         }
         best
-      } finally dupRungs.unpersist()
+      } finally dupD.unpersist()
     }
     val best: Int =
       if (memoBase == null) search()

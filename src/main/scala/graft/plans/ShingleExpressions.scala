@@ -373,26 +373,7 @@ object SpanDigests {
   }
 }
 
-/** Rolling polynomial digests for a whole LADDER of span lengths in
-  * ONE compiled pass — the multi-length upgrade of [[SpanDigests]]
-  * for q_text_longest_dup_span's search: instead of one corpus scan
-  * per binary-search trial (~log2(maxlen) scans, each with its own
-  * exchange — measured as the whole cost of the operator under
-  * local-cluster serialization), a single scan emits (len, digest)
-  * for every rung of a geometric ladder, the per-token FNV hashing
-  * (the expensive part: UTF-8 byte iteration) is paid ONCE and each
-  * rung's rolling pass reuses the shared `h` array. One exchange of
-  * Σ_rungs(n − len + 1) ≈ 2n·(2 − 2^{1−rungs}) rows replaces
-  * log2(maxlen) exchanges of ~n rows each — less total volume AND
-  * one stage instead of a serial trial chain.
-  *
-  * Per-rung digests are IDENTICAL to `SpanDigests(text, len)` (same
-  * base, same token hash), pinned by spec — callers may mix the two
-  * freely (the refinement trials do).
-  *
-  * Semantics: rungs longer than the row's token count emit nothing;
-  * null text → null; output structs are ordered rung-major then
-  * position (deterministic, spec-pinned). */
+
 /** Exact span strings at a GIVEN list of 0-based token positions —
   * the second phase of q_text_dedup_trim: digests nominate candidate
   * positions (tiny vs the corpus), this expression renders only those
@@ -532,85 +513,5 @@ object TrimSpans {
     }
     if (seg.nonEmpty) out += UTF8String.concatWs(SPACE, seg.toSeq: _*)
     new GenericArrayData(out.toArray)
-  }
-}
-
-case class SpanDigestsLadder(child: Expression, lens: Seq[Int])
-  extends UnaryExpression {
-
-  require(lens.nonEmpty && lens.forall(_ >= 1) && lens == lens.sorted,
-    s"ladder must be non-empty ascending positive lengths, got $lens")
-
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case StringType => TypeCheckResult.TypeCheckSuccess
-    case t => TypeCheckResult.TypeCheckFailure(
-      s"span_digests_ladder requires a string input, got $t")
-  }
-  override def dataType: DataType = ArrayType(
-    org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("len",
-        org.apache.spark.sql.types.IntegerType, nullable = false),
-      org.apache.spark.sql.types.StructField("d",
-        org.apache.spark.sql.types.LongType, nullable = false))),
-    containsNull = false)
-  override def nullable: Boolean = true
-  override def prettyName: String = "span_digests_ladder"
-
-  override def nullSafeEval(a: Any): Any =
-    SpanDigestsLadder.compute(a.asInstanceOf[UTF8String], lens.toArray)
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val lensRef = ctx.addReferenceObj("ladderLens", lens.toArray, "int[]")
-    nullSafeCodeGen(ctx, ev, a =>
-      s"${ev.value} = graft.plans.SpanDigestsLadder.compute($a, $lensRef);")
-  }
-
-  override protected def withNewChildInternal(
-      newChild: Expression): SpanDigestsLadder = copy(child = newChild)
-}
-
-object SpanDigestsLadder {
-  private val SPACE = UTF8String.fromString(" ")
-  private final val B = 1000000007L
-
-  def compute(text: UTF8String, lens: Array[Int]): ArrayData = {
-    val toks = text.split(SPACE, -1)
-    val n = toks.length
-    val h = new Array[Long](n)
-    var i = 0
-    while (i < n) { h(i) = SpanDigests.fnv64(toks(i)); i += 1 }
-    var total = 0
-    var r = 0
-    while (r < lens.length) {
-      if (lens(r) <= n) total += n - lens(r) + 1
-      r += 1
-    }
-    val out = new Array[Any](total)
-    var idx = 0
-    r = 0
-    while (r < lens.length) {
-      val len = lens(r)
-      if (len <= n) {
-        var bl = 1L // B^(len-1), wrapping
-        i = 1
-        while (i < len) { bl *= B; i += 1 }
-        var d = 0L
-        i = 0
-        while (i < len) { d = d * B + h(i); i += 1 }
-        out(idx) = new org.apache.spark.sql.catalyst.expressions
-          .GenericInternalRow(Array[Any](len, d))
-        idx += 1
-        i = 1
-        while (i <= n - len) {
-          d = (d - h(i - 1) * bl) * B + h(i + len - 1)
-          out(idx) = new org.apache.spark.sql.catalyst.expressions
-            .GenericInternalRow(Array[Any](len, d))
-          idx += 1
-          i += 1
-        }
-      }
-      r += 1
-    }
-    new GenericArrayData(out)
   }
 }

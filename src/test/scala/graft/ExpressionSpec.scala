@@ -454,43 +454,6 @@ class ExpressionSpec extends SparkSpec {
     assert(dig("", 1).size == 1) // split("") = [""] -> one span
   }
 
-  test("SpanDigestsLadder: per-rung digests equal SpanDigests bit-for-bit; ordering; edges") {
-    import org.apache.spark.unsafe.types.UTF8String
-    def single(text: String, len: Int): Seq[Long] = {
-      val a = graft.plans.SpanDigests.compute(UTF8String.fromString(text), len)
-      (0 until a.numElements()).map(a.getLong)
-    }
-    def ladder(text: String, lens: Array[Int]): Seq[(Int, Long)] = {
-      val a = graft.plans.SpanDigestsLadder.compute(UTF8String.fromString(text), lens)
-      (0 until a.numElements()).map { i =>
-        val r = a.getStruct(i, 2); (r.getInt(0), r.getLong(1))
-      }
-    }
-    // the contract the refinement trials rely on: a ladder rung's
-    // digests are IDENTICAL to a standalone SpanDigests pass at that
-    // length, and the output is rung-major then position
-    val text = "alpha b gamma42 b alpha zz q alpha b"
-    val lens = Array(1, 2, 4, 8)
-    assert(ladder(text, lens) ==
-      lens.toSeq.flatMap(l => single(text, l).map(d => (l, d))))
-    // rungs longer than the token count emit nothing; all-too-long -> empty
-    assert(ladder("a b", Array(1, 2, 4)).count(_._1 == 4) == 0)
-    assert(ladder("a b", Array(4)).isEmpty)
-    // and on the real corpus, rung-4 digest multiset == SpanDigests(4)
-    import spark.implicits._
-    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
-    def col4(c: org.apache.spark.sql.catalyst.expressions.Expression) =
-      org.apache.spark.sql.GraftExpressionBridge.column(c)
-    val te = org.apache.spark.sql.GraftExpressionBridge.expression($"text")
-    val lad = docs.select(explode(col4(
-        graft.plans.SpanDigestsLadder(te, Seq(1, 4)))).as("s"))
-      .filter($"s.len" === 4).groupBy($"s.d".as("d")).count()
-    val sing = docs.select(explode(col4(
-        graft.plans.SpanDigests(te, 4))).as("d"))
-      .groupBy($"d").count()
-    assert(lad.except(sing).isEmpty && sing.except(lad).isEmpty)
-  }
-
   test("RepetitionStats equals the interpreted gopher lambda struct on real data x2 SFs") {
     import spark.implicits._
     val lambda = expr(
