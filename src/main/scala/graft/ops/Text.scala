@@ -312,7 +312,14 @@ object Text {
     // tokenRuns: the cached per-doc run arrays (see the helper's doc) —
     // both consumers (df aggregate + score join) explode from the cache
     // at codegen speed, and the materialized entry is |docs| array rows
-    // rather than the ~tokens-sized exploded stream.
+    // rather than the ~tokens-sized exploded stream. (A round-11 A/B
+    // dictionary-encoded this stream through a tokenRunsEnc persist —
+    // the bigram treatment; REJECTED on the numbers: every exchange
+    // here is already vocab-bounded post-partial-agg, so the encode's
+    // extra tokenize + vocab build bought only persist WIDTH, and that
+    // does not pay even at x100 on this box — tfidf cold sf0.1 7.3 →
+    // 9.0 s, x10 20.3 → 24.2 s, x100 parity 200.5 vs 202.2 s. Numbers
+    // in BASELINE.md round-11; textPmi keeps the one piece that won.)
     val tf = tokenRuns(docs)
       .select($"doc_id", explode($"rl").as("e"))
       .select($"doc_id", $"e.token".as("token"), $"e.tf".as("tf"))
@@ -454,7 +461,11 @@ object Text {
     // x30, the un-hinted plan sort-merge-joins and SORTS the exploded
     // token stream. Materialize the model (needed anyway), then
     // broadcast it, falling back to a sort-free SHUFFLE_HASH join only
-    // if the vocabulary is somehow corpus-like.
+    // if the vocabulary is somehow corpus-like. (Round-11 A/B: the
+    // dictionary-encoded variant — wid keys via a tokenRunsEnc persist
+    // — was REJECTED here like in textTfidf: cold sf0.1 2.07 → 2.54 s,
+    // x10 11.8 → 13.0 s, and the model exchange it narrows was already
+    // vocab-bounded. BASELINE.md round-11 has the table.)
     val model = tok.groupBy($"w").agg(sum($"rtf").as("tf")).cache()
     // same memo key as textTfidf's idf sizing: identical tokenization,
     // identical vocabulary count
@@ -675,9 +686,11 @@ object Text {
     * pipeline runs before merging multi-word units.
     *
     * 100 TB shape: reuses the compiled NgramRunLengths/TokenRunLengths
-    * passes and their cached models (identical plans to bigramNll's and
-    * textUnigramLL's — one corpus tokenize each, shared by plan-cache
-    * lookup). The support filter runs FIRST on the (possibly
+    * passes and the encoded bigram model (identical plan to
+    * bigramNll's — one corpus tokenize + encode, shared by plan-cache
+    * lookup); the unigram leg is id-keyed off the same dictionary
+    * (non-persisted — see the in-body note). The support filter runs
+    * FIRST on the (possibly
     * corpus-sized) bigram model, so only frequent candidates reach the
     * two vocabulary-broadcast joins; ranks on the 6-dp ROUNDED pmi with
     * a bigram tie-break (the bm25 determinism convention). */
@@ -696,14 +709,26 @@ object Text {
       val r = vocab.select($"wid".as(idAs), $"w".as(wAs))
       if (nVocab <= 2000000L) broadcast(r) else r
     }
-    // unigram model — identical plan to textUnigramLL's (same sharing),
-    // vocabulary-sized: broadcast under the same memoized-count gate
-    val uni = tokenRuns(docs)
-      .select($"doc_id", explode($"rl").as("e"))
-      .select($"doc_id", $"e.token".as("w"), $"e.tf".as("rtf"))
-      .groupBy($"w").agg(sum($"rtf").as("tf")).cache()
-    def uniB(as1: String, as2: String) = {
-      val r = uni.select($"w".as(as1), $"tf".as(as2))
+    // unigram model KEYED BY wid, so the count joins below run on the
+    // packed ids the bigram model already carries — no string-side
+    // joins, and the decode touches only the few surviving candidates.
+    // (Round-11 A/B: this id-keyed leg is the one piece of the
+    // unigram-family dictionary encode that WON — pmi cold x10
+    // 29.7 → 22.3 s, sf0.1 3.8 → 2.9 s — because pmi pays the vocab
+    // build for its bigram side anyway and the encode deletes two
+    // candidate-stream string joins. NOT persisted: built once, read
+    // once — the tokenize + broadcast vocab join rides one codegen
+    // span and the groupBy's partial agg collapses to vocab size
+    // in-task, so nothing corpus-sized materializes anywhere.)
+    val uni = api.Dedup.spread(docs)
+      .select(explode(org.apache.spark.sql.GraftExpressionBridge.column(
+        graft.plans.TokenRunLengths(
+          org.apache.spark.sql.GraftExpressionBridge.expression($"text")))).as("e"))
+      .select($"e.token".as("w"), $"e.tf".as("rtf"))
+      .join(if (nVocab <= 2000000L) broadcast(vocab) else vocab, "w")
+      .groupBy($"wid").agg(sum($"rtf").as("tf")).cache()
+    def uniB(idAs: String, cAs: String) = {
+      val r = uni.select($"wid".as(idAs), $"tf".as(cAs))
       if (nVocab <= 2000000L) broadcast(r) else r.hint("SHUFFLE_HASH")
     }
     val totals = big.agg(sum($"cbg").as("nb"))
@@ -715,10 +740,10 @@ object Text {
     big.filter($"cbg" >= 5)
       .withColumn("w1id", shiftright($"bid", 32))
       .withColumn("w2id", $"bid".bitwiseAND(lit(0xFFFFFFFFL)))
+      .join(uniB("w1id", "c1"), "w1id")
+      .join(uniB("w2id", "c2"), "w2id")
       .join(vocabDec("w1id", "w1"), "w1id")
       .join(vocabDec("w2id", "w2"), "w2id")
-      .join(uniB("u1", "c1"), $"w1" === $"u1")
-      .join(uniB("u2", "c2"), $"w2" === $"u2")
       .crossJoin(broadcast(totals))
       .withColumn("pmi", round(
         log($"cbg".cast("double") / $"nb".cast("double"))
