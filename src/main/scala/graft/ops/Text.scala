@@ -1255,37 +1255,88 @@ object Text {
       .orderBy($"doc_id")
   }
 
+  /** Prune a corpus-positions stream (any relation carrying a long
+    * digest column `d`) down to rows whose digest is in the EXACT,
+    * persisted duplicated-digest relation `dupD` — WITHOUT exchanging
+    * the stream. ≤ 2M dup digests: a broadcast LEFT SEMI join (exact,
+    * the dedupSpans shape). Above that: ONE bloom filter over the
+    * digests (fpp 1%, bits clamped at 2²⁷ ≈ 16 MB so the broadcast is
+    * bounded at ANY dup cardinality — past the clamp fpp degrades
+    * gracefully instead of the filter growing), broadcast as a 1-row
+    * relation and probed by the codegen'd [[graft.plans
+    * .BloomMightContainKeyed]] under a constant bucket. False
+    * positives only ADD candidate rows; every consumer re-decides with
+    * exact strings, so output is unaffected at any fpp.
+    *
+    * Round-11 scale fix, measured at x100: both span operators
+    * originally left this join to the planner, and with dupD at ~6M
+    * digests (over the 10 MB auto-broadcast bound) AQE planned a
+    * SORT-MERGE join that sorted the ~450M-row position stream — and
+    * materialized that sort CONCURRENTLY with dupD's own corpus-sized
+    * partial agg, which heap-OOM'd q_text_dedup_trim at 8 g. The prune
+    * never exchanges the probe side, and forcing `dupD.count()` first
+    * (the gate needs it anyway) sequences the big aggregate to run
+    * ALONE. The filter bytes ride the plan as a binary LITERAL, not a
+    * crossJoin'd broadcast relation: BroadcastNestedLoopJoin's codegen
+    * eagerly materializes build-side columns per STREAM row
+    * (genBuildSideVars), which re-copied the 7 MB filter out of its
+    * UnsafeRow 450M times — the second GC wall this helper's history
+    * retired. A binary literal codegens as one reference object; the
+    * probe expression deserializes it once per task. The driver
+    * holding the ≤ 16 MB bytes is a bounded fit (the bits clamp is the
+    * bound), same convention as the kmeans centroids. */
+  private[graft] def pruneByDupDigest(stream: DataFrame, dupD: DataFrame): DataFrame = {
+    import stream.sparkSession.implicits._
+    val bridge = org.apache.spark.sql.GraftExpressionBridge
+    val nDup = dupD.count()
+    if (nDup <= 2000000L) stream.join(broadcast(dupD), Seq("d"), "left_semi")
+    else {
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+      val (_, items, bits) = api.Dedup.bloomBucketPlan(nDup, 0.01, 1)
+      val bfBytes: Array[Byte] = dupD.agg(bridge.column(
+          new BloomFilterAggregate(
+            bridge.expression($"d"),
+            Literal(items), Literal(math.min(bits, 1L << 27)))
+            .toAggregateExpression()).as("__bf"))
+        .head().getAs[Array[Byte]](0)
+      stream.filter(bridge.column(graft.plans.BloomMightContainKeyed(
+        bridge.expression(lit(0L)),
+        Literal.create(bfBytes, org.apache.spark.sql.types.BinaryType),
+        bridge.expression($"d"))))
+    }
+  }
+
   /** Longest duplicated token span across the corpus — the substring-
     * level dedup primitive (Lee et al. 2022, "Deduplicating Training
     * Data Makes Language Models Better": the suffix-array pass that
     * finds verbatim repeated sequences no document-level Jaccard
     * catches). Single-node tooling builds a suffix array; the
-    * DISTRIBUTED formulation here is digest search in two phases,
-    * both riding the compiled rolling-polynomial pass
-    * ([[graft.plans.SpanDigests]]):
+    * DISTRIBUTED formulation here is a SHRINKING-CANDIDATES top-down
+    * binary search riding the compiled rolling-polynomial pass
+    * ([[graft.plans.SpanDigests]]): each trial asks "does any `mid`-
+    * token window digest occur ≥ 2 times in the CURRENT relation?",
+    * and every SUCCESSFUL trial shrinks that relation to the docs
+    * carrying a duplicated mid-digest (valid for every longer length
+    * by monotonicity — a duplicated span duplicates every window
+    * inside it, so both occurrences of any ≥ mid duplicate live in
+    * docs with a duplicated mid-digest; the prune goes through
+    * [[pruneByDupDigest]], so a huge dup set degrades to a bounded
+    * bloom, never an unbounded broadcast). The search descends from
+    * the max doc length, so the corpus-sized work is exactly the
+    * FAILED trials above the answer — inherent (any formulation must
+    * refute those lengths) — plus ONE shrink scan at the first
+    * success; every later trial runs at candidate scale.
     *
-    *   1. PROBE: one scan + one narrow 8-byte exchange at a fixed
-    *      16-token length finds the duplicated probe digests. If none
-    *      exist the answer is < 16 and a plain ≤4-trial binary search
-    *      finishes; otherwise monotonicity ("a duplicated span
-    *      duplicates every prefix") localizes everything: any longer
-    *      duplicate's occurrences all live in docs carrying a
-    *      duplicated probe digest.
-    *   2. REFINE: one more corpus scan extracts those CANDIDATE docs
-    *      (a semi-join against the broadcast duplicated-digest set),
-    *      and the whole binary search over [16, max candidate doc
-    *      length] runs against that small relation — every trial a
-    *      SpanDigests pass over candidates only.
-    *
-    * Versus the round-10 formulation (one FULL-CORPUS SpanDigests
-    * trial per binary-search step, ~log2(maxlen) scans AND
-    * positions-sized exchanges — measured as the entire cost of the
-    * operator under local-cluster serialization: 213.3 s vs 90.1 s
-    * single-JVM at x100), this pays ~3 corpus-sized passes TOTAL
-    * (probe, candidate extraction, final string grouping) regardless
-    * of maxlen; the trials that remain touch only the near-dup
-    * working set. The driver holds two scalars (bounded fits, the
-    * kmeans convention).
+    * History, A/B'd same-day at both decades (BASELINE.md round-11):
+    * the round-10 form ran every trial full-corpus (x10 41.3 s /
+    * x100 89.7 s); a fixed 16-token PROBE + candidate extraction
+    * (round-11 first cut) paid the WORST-case length — at 16 every
+    * doc explodes, ~350M positions at x100 — twice, on every corpus
+    * shape (x10 24.7 s but x100 138.5 s, a scale CROSSOVER). The
+    * shrinking-candidates form subsumes both: no fixed probe, no
+    * full-corpus post-success trials. The driver holds two scalars
+    * (bounded fits, the kmeans convention).
     *
     * Digests steer the SEARCH only — the REPORTED spans at the found
     * length are grouped by their exact STRINGS (one positions-sized
@@ -1326,69 +1377,72 @@ object Text {
       .filter($"n_occurrences" >= 2)
     def search(): Int = {
       val bridge = org.apache.spark.sql.GraftExpressionBridge
-      def digestsAt(rel: DataFrame, len: Int): DataFrame = rel
+      def dupDigestsAt(rel: DataFrame, len: Int): DataFrame = rel
         .select(explode(bridge.column(graft.plans.SpanDigests(
           bridge.expression($"text"), len))).as("d"))
-      def dupExistsOn(rel: DataFrame, len: Int): Boolean =
-        !digestsAt(rel, len).groupBy($"d").agg(count(lit(1)).as("c"))
-          .filter($"c" >= 2).isEmpty
-      // Phase 1 — PROBE: one compiled pass + one narrow exchange at a
-      // fixed length nominates everything. (An A/B'd alternative — a
-      // multi-rung ladder pass answering every power-of-two length at
-      // once — measured SLOWER at x10, 63.4 s vs 46.9 s: the low
-      // rungs' struct-shaped exchange outweighed the trials it saved.
-      // One primitive-long probe is the whole price worth paying.)
-      val probeLen = 16
-      val dupD = api.Persists.diskOnly(api.Dedup.spread(docs)
-        .select(explode(bridge.column(graft.plans.SpanDigests(
-          bridge.expression($"text"), probeLen))).as("d"))
         .groupBy($"d").agg(count(lit(1)).as("c"))
-        .filter($"c" >= 2).select($"d"))
+        .filter($"c" >= 2).select($"d")
+      // the answer cannot exceed the longest doc: one column-pruned
+      // aggregate over the token counts (1-value bounded fit)
+      val hi0 = api.Dedup.spread(docs)
+        .agg(coalesce(max(size(split($"text", " "))), lit(0)))
+        .collect()(0).getInt(0)
+      // SHRINKING-CANDIDATES binary search (see the operator doc).
+      // `rel` is the current search relation, valid for every trial
+      // length ≥ the length it was last shrunk at — maintained by the
+      // invariant that after a success at mid, all future mids exceed
+      // mid. (Alternatives A/B'd and retired, numbers in BASELINE.md
+      // round-11: a multi-rung ladder pass — the low rungs' struct
+      // exchange outweighed the trials it saved; a fixed 16-token
+      // probe — paid the worst-case length twice on every corpus
+      // shape and lost 89.7 → 138.5 s at x100.)
+      var rel = api.Dedup.spread(docs).select($"doc_id", $"text")
+      var relPersisted: DataFrame = null
+      var lo = 0
+      var hi = hi0
       try {
-        var best =
-          if (dupD.isEmpty) {
-            // answer < probeLen: the remaining range is small and
-            // candidate pruning has no anchor — plain binary search
-            // with full-corpus trials, ≤ log2(probeLen) of them
-            var lo = 0
-            var hi = probeLen - 1
-            while (lo < hi) {
-              val mid = (lo + hi + 1) / 2
-              if (dupExistsOn(api.Dedup.spread(docs), mid)) lo = mid
-              else hi = mid - 1
-            }
-            lo
+        while (lo < hi) {
+          val mid = (lo + hi + 1) / 2
+          if (relPersisted != null) {
+            // post-shrink trials: candidate-scale, plain existence ask
+            if (dupDigestsAt(rel, mid).isEmpty) hi = mid - 1 else lo = mid
           } else {
-            // Phase 2 — the whole search at CANDIDATE scale: any
-            // duplicated span of length ≥ probeLen contains a
-            // duplicated probeLen-window, so both of its occurrences
-            // live in docs that carry a duplicated probe digest. One
-            // more corpus scan extracts those docs; every binary-
-            // search trial then runs against that small relation.
-            // (A collision can only ADD candidates or aim the search
-            // high — the exact-string guard below owns that case.)
-            val candIds = api.Dedup.spread(docs)
-              .select($"doc_id", explode(bridge.column(graft.plans.SpanDigests(
-                bridge.expression($"text"), probeLen))).as("d"))
-              .join(dupD, "d") // dupD is runtime-small; AQE broadcasts
-              .select($"doc_id").distinct()
-            val cand = api.Persists.diskOnly(docs
-              .select($"doc_id", $"text")
-              .join(candIds, Seq("doc_id"), "left_semi"))
+            // pre-shrink trials run full-corpus, so the dup-digest
+            // relation is persisted (narrow, working-set-sized): on
+            // success it feeds the shrink prune without re-running the
+            // corpus aggregate (a failed trial's persist holds ~0 rows)
+            val dupD = api.Persists.diskOnly(dupDigestsAt(rel, mid))
             try {
-              // the answer cannot exceed the longest candidate doc
-              val hiCand = cand.select(size(split($"text", " ")).as("n"))
-                .agg(coalesce(max($"n"), lit(probeLen)))
-                .collect()(0).getInt(0) // 1-value bounded fit
-              var lo = probeLen
-              var hi = math.max(hiCand, probeLen)
-              while (lo < hi) {
-                val mid = (lo + hi + 1) / 2
-                if (dupExistsOn(cand, mid)) lo = mid else hi = mid - 1
+              if (dupD.isEmpty) hi = mid - 1
+              else {
+                lo = mid
+                // shrink ONCE, at the first success: rel drops to the
+                // docs carrying a duplicated mid-digest — the
+                // operator's working set — and every later trial runs
+                // on it. Re-shrinking would only re-pay persist/
+                // broadcast/count fixed costs to prune an already-tiny
+                // relation (an every-success variant measured 135.8 s
+                // at sf0.1 from exactly those ~8 extra jobs per
+                // trial). A digest collision — or a bloom false
+                // positive from the prune — can only ADD candidates or
+                // aim the search high; the exact-string guard below
+                // owns that case.
+                val candIds = pruneByDupDigest(
+                    rel.select($"doc_id", explode(bridge.column(
+                      graft.plans.SpanDigests(
+                        bridge.expression($"text"), mid))).as("d")),
+                    dupD)
+                  .select($"doc_id").distinct()
+                val next = api.Persists.diskOnly(
+                  rel.join(candIds, Seq("doc_id"), "left_semi"))
+                next.count() // materialize off the un-persisted parent
+                relPersisted = next
+                rel = next
               }
-              lo
-            } finally cand.unpersist()
+            } finally dupD.unpersist()
           }
+        }
+        var best = lo
         // 64-bit collision guard: confirm with exact strings; if the
         // digests over-aimed, RESUME the binary search over
         // [0, best−1] with the exact predicate (monotone: a duplicated
@@ -1397,16 +1451,16 @@ object Text {
         // length (round-10 ADVICE; never taken on real data,
         // spec-covered).
         if (best >= 1 && stringDups(best).isEmpty) {
-          var lo = 0
-          var hi = best - 1
-          while (lo < hi) {
-            val mid = (lo + hi + 1) / 2
-            if (!stringDups(mid).isEmpty) lo = mid else hi = mid - 1
+          var glo = 0
+          var ghi = best - 1
+          while (glo < ghi) {
+            val gmid = (glo + ghi + 1) / 2
+            if (!stringDups(gmid).isEmpty) glo = gmid else ghi = gmid - 1
           }
-          best = lo
+          best = glo
         }
         best
-      } finally dupD.unpersist()
+      } finally if (relPersisted != null) relPersisted.unpersist()
     }
     val best: Int =
       if (memoBase == null) search()
@@ -1482,9 +1536,14 @@ object Text {
     val pos = base.select($"doc_id",
       posexplode(bridge.column(graft.plans.SpanDigests(
         bridge.expression($"text"), len))).as(Seq("p", "d")))
-    val dupD = pos.groupBy($"d").agg(count(lit(1)).as("c"))
-      .filter($"c" >= 2).select($"d")
-    val candPerDoc = pos.join(dupD, "d") // dupD runtime-small: AQE broadcasts
+    // persisted (DISK_ONLY, dup-working-set-sized) so the prune's
+    // count gate and its probe read one materialization — and so the
+    // corpus-sized partial agg runs ALONE before any sibling stage
+    // (the x100/8g OOM fix; see pruneByDupDigest)
+    val dupD = api.Persists.diskOnly(
+      pos.groupBy($"d").agg(count(lit(1)).as("c"))
+        .filter($"c" >= 2).select($"d"))
+    val candPerDoc = pruneByDupDigest(pos, dupD)
       .groupBy($"doc_id").agg(sort_array(collect_list($"p")).as("ps"))
     // 2. exact window strings at candidate positions only
     val occ = base.join(candPerDoc, "doc_id")

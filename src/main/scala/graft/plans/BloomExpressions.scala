@@ -63,26 +63,56 @@ case class BloomMightContainKeyed(bucket: Expression, filter: Expression,
     bf.mightContainLong(h.asInstanceOf[Long])
   }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (b, f, h) => {
-      val has = ctx.addMutableState("boolean", "graftBloomHas")
-      val last = ctx.addMutableState("long", "graftBloomLastBucket")
-      val bf = ctx.addMutableState("org.apache.spark.util.sketch.BloomFilter",
-        "graftBloomFilter")
-      s"""
-         |if (!$has || $last != $b) {
-         |  try {
-         |    $bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
-         |      new java.io.ByteArrayInputStream($f));
-         |  } catch (java.io.IOException e) {
-         |    throw new RuntimeException(e);
+  /** Hand-rolled (not nullSafeCodeGen): the filter child must be
+    * evaluated ONLY on a bucket-cache miss. nullSafeCodeGen splices
+    * every child's evaluation before the body, and the filter child is
+    * typically an UnsafeRow getBinary — a fresh O(filter-size) byte
+    * copy PER ROW. Measured round-11 at x100: a 7 MB single-bucket
+    * filter probed by a 450M-position stream allocated ~3 PB of
+    * short-lived arrays — the executor sat at 100% old-gen with 13k
+    * concurrent-GC cycles. With the lazy evaluation each task copies
+    * each of its buckets once. Sound under the operator contract
+    * (bucket → filter is functional, from a groupBy(bucket)): a bucket
+    * whose filter is null is null on EVERY row (crossCorpus' left
+    * join), so the null path never caches and never misreports. */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val bEv = bucket.genCode(ctx)
+    val hEv = valueHash.genCode(ctx)
+    val fEv = filter.genCode(ctx)
+    val has = ctx.addMutableState("boolean", "graftBloomHas")
+    val last = ctx.addMutableState("long", "graftBloomLastBucket")
+    val bf = ctx.addMutableState("org.apache.spark.util.sketch.BloomFilter",
+      "graftBloomFilter")
+    val resultCode =
+      code"""
+         |${bEv.code}
+         |${hEv.code}
+         |boolean ${ev.isNull} = ${bEv.isNull} || ${hEv.isNull};
+         |boolean ${ev.value} = false;
+         |if (!${ev.isNull}) {
+         |  if (!$has || $last != ${bEv.value}) {
+         |    ${fEv.code}
+         |    if (${fEv.isNull}) {
+         |      ${ev.isNull} = true;
+         |    } else {
+         |      try {
+         |        $bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+         |          new java.io.ByteArrayInputStream(${fEv.value}));
+         |      } catch (java.io.IOException e) {
+         |        throw new RuntimeException(e);
+         |      }
+         |      $last = ${bEv.value};
+         |      $has = true;
+         |    }
          |  }
-         |  $last = $b;
-         |  $has = true;
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $bf.mightContainLong(${hEv.value});
+         |  }
          |}
-         |${ev.value} = $bf.mightContainLong($h);
        """.stripMargin
-    })
+    ev.copy(code = resultCode)
+  }
 
   override protected def withNewChildrenInternal(newFirst: Expression,
       newSecond: Expression, newThird: Expression): BloomMightContainKeyed =

