@@ -402,7 +402,17 @@ object Dedup {
     * from the shingle cache uncached). Same clearCache guidance as
     * [[minhashLsh]]. */
   private[graft] def jaccardPairs(shingled0: DataFrame, thr: Double, maxDf: Int): DataFrame = {
-    val shingled = shingled0.cache()
+    // DISK_ONLY, not .cache(): the shingle relation is CORPUS-sized
+    // fat arrays, and a MEMORY_AND_DISK in-memory leg fills unified
+    // storage to its protected floor and starves the posting/pair
+    // aggregates it feeds — the identical wall dedupSpans hit in the
+    // round-10 local-cluster rehearsal (exit 52). Round-11 measured it
+    // here: x100 under 2×5 g executors died UNABLE_TO_ACQUIRE_MEMORY →
+    // heap OOM in the posting aggregate with .cache(), runs clean
+    // DISK_ONLY (numbers in BASELINE.md). The disk leg is the scalable
+    // leg; warm repeats are plan-cache hits on the final pair relation
+    // anyway.
+    val shingled = graft.api.Persists.diskOnly(shingled0)
     val sizes = shingled.select(col("doc_id"), size(col("shingles")).as("sz"))
     // The MULTI-doc grouped posting relation is built ONCE and cached:
     // it feeds the in-bucket pair expansion AND the per-doc over-cap
