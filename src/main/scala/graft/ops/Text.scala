@@ -1555,9 +1555,23 @@ object Text {
     val firsts = occ.groupBy($"span")
       .agg(count(lit(1)).as("c"), min(struct($"doc_id", $"p")).as("first"))
       .filter($"c" >= 2)
-    val marks = occ.join(firsts, "span")
+    // persisted (DISK_ONLY, dup-working-set-sized — docs that LOSE a
+    // window, with their start arrays): the whole decision pipeline
+    // above collapses into this one small relation, so a repeat call
+    // recomputes only the scan + compiled sweep below instead of the
+    // digest agg + string grouping chain. Deliberately NOT the
+    // corpus-sized trimmed OUTPUT: a 3-way A/B at x100 (BASELINE.md
+    // round-11) read cold/warm 149/61.8 s unpersisted, 222/6.7 s
+    // persisting the final (the +73 s is single-disk write-back of a
+    // corpus-sized artifact), 146.5/41.7 s persisting the marks —
+    // cold parity, no corpus-sized write, and the residual warm is
+    // the scan + compiled sweep + output sort, all of which divide by
+    // cluster width. A pipeline that replays the trimmed corpus many
+    // times should persist the RESULT itself instead (the final-
+    // persist numbers above are that option, measured).
+    val marks = api.Persists.diskOnly(occ.join(firsts, "span")
       .filter(struct($"doc_id", $"p") =!= $"first")
-      .groupBy($"doc_id").agg(sort_array(collect_list($"p")).as("starts"))
+      .groupBy($"doc_id").agg(sort_array(collect_list($"p")).as("starts")))
     // 4. one compiled coverage sweep per doc; docs fully covered emit
     // zero segments, untouched docs emit their original text at seg 0
     base.join(marks, Seq("doc_id"), "left")
