@@ -330,9 +330,26 @@ object Dedup {
     if (cap == Int.MaxValue) collect_list(child)
     else graft.plans.BoundedCollectList.agg(child, cap)
 
+  /** 128-bit shingle digest (two independently-seeded xxhash64 passes,
+    * computed map-side inside the explode's codegen span) — the
+    * posting exchange's key. The raw 3-gram strings average ~20–25
+    * bytes plus UTF8String overhead and cost string comparisons in
+    * every sort/merge; the digest pair is 16 fixed bytes. Exactness
+    * budget: a spurious digest merge is a ~2^-128-per-pair event —
+    * the SAME budget [[exact]] documents and accepts — and here a
+    * merge can only create a candidate pair the full-array verify
+    * rejects, merge two postings lists (more candidates, same
+    * verify), or push a merged df over the cap (losing those pairs
+    * from candidate generation, the one lossy direction — at 2^-128,
+    * below any cluster's bit-flip rate, and zero at every tested
+    * scale by the oracle). */
+  private def shDigest(sh: Column): Column =
+    struct(xxhash64(sh).as("h1"), xxhash64(lit("__graft_sh2"), sh).as("h2"))
+
   private def multiPostings(shingled: DataFrame, maxDf: Int): DataFrame = {
     val g = shingled
-      .select(col("doc_id"), explode(col("shingles")).as("sh"))
+      .select(col("doc_id"), explode(col("shingles")).as("sh0"))
+      .select(col("doc_id"), shDigest(col("sh0")).as("sh"))
       .groupBy(col("sh"))
     // capped: BOUNDED lists (memory contract in BoundedCollectList's
     // scaladoc) + the true df as a count column — kept groups
@@ -448,7 +465,8 @@ object Dedup {
         // posting re-derivation above it) to an empty relation.
         val badKeys = multi.filter(col("__df") > maxDf).select(col("sh"))
         val ocCnt = shingled
-          .select(col("doc_id"), explode(col("shingles")).as("sh"))
+          .select(col("doc_id"), explode(col("shingles")).as("sh0"))
+          .select(col("doc_id"), shDigest(col("sh0")).as("sh"))
           .join(broadcast(badKeys), Seq("sh"), "left_semi")
           .groupBy(col("doc_id")).agg(count(lit(1)).as("__oc"))
         sizes.join(ocCnt, Seq("doc_id"), "left")
