@@ -346,4 +346,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"),
       "expected WindowGroupLimitExec in the plan for a rank() <= k filter")
   }
+
+  test("dedup-trim never sorts the position stream: no SortMergeJoin anywhere") {
+    // The round-11 x100/8g OOM shape: left to the planner, the
+    // positions × dupD join became an SMJ that SORTED the ~450M-row
+    // position stream concurrently with the corpus partial agg. The
+    // prune (broadcast semi ≤ 2M dup digests / clamped-bloom literal
+    // above) keeps the probe side exchange-free; this pin fails if a
+    // refactor reintroduces a sort-requiring join ANYWHERE in the trim
+    // plan — every join in it (prune, first-occurrence, marks) must
+    // stay broadcast-shaped at fixture scale.
+    val df = graft.ops.Text.textDedupTrim(spark, dir)
+    df.collect()
+    val smj = collectExecDeep(df.queryExecution.executedPlan)
+      .count(_.nodeName.contains("SortMergeJoin"))
+    assert(smj == 0, s"dedup-trim must not plan a SortMergeJoin, got $smj")
+  }
 }
