@@ -1745,6 +1745,50 @@ object Oracle {
         |WHERE vec_id <> 0
         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
 
+    // MMR greedy re-rank, replayed EXACTLY: both cosine legs round to
+    // 6 dp then scale to ×10⁶ BIGINTs, λ = 7/10 makes every selection
+    // score the integer 7·c − 3·maxPair, and each of the 10 greedy
+    // picks is one struct-max (lexicographic: score desc, then smaller
+    // vec_id via negid) over the not-yet-chosen candidates — unrolled
+    // as 10 chained CTEs carrying the chosen/scores lists (no
+    // recursion, no float in any decision).
+    "q_sim_mmr" -> {
+      def pick(prev: String): String =
+        s"""(SELECT max(struct_pack(
+           |   sc := 7*c.c - 3*coalesce((SELECT max(p.p) FROM pair p
+           |          WHERE p.ai = c.vec_id AND list_contains($prev.chosen, p.bi)), 0),
+           |   negid := -c.vec_id))
+           | FROM cand c WHERE NOT list_contains($prev.chosen, c.vec_id))""".stripMargin
+      val steps = (2 to 10).map { i =>
+        s"""sel$i AS (
+           |  SELECT list_append(s.chosen, -(${pick("s")}).negid) AS chosen,
+           |         list_append(s.scores, (${pick("s")}).sc) AS scores
+           |  FROM sel${i - 1} s)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH probe AS (
+         |  SELECT CAST(embedding AS DOUBLE[]) AS pe FROM embeddings WHERE vec_id = 0),
+         |cand AS (
+         |  SELECT vec_id,
+         |         CAST(round(round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), pe), 6) * 1e6, 0) AS BIGINT) AS c
+         |  FROM embeddings, probe
+         |  WHERE vec_id <> 0
+         |  ORDER BY c DESC, vec_id LIMIT 20),
+         |pair AS (
+         |  SELECT a.vec_id AS ai, b.vec_id AS bi,
+         |         CAST(round(round(list_cosine_similarity(
+         |             CAST(ea.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[])), 6) * 1e6, 0) AS BIGINT) AS p
+         |  FROM cand a JOIN embeddings ea ON ea.vec_id = a.vec_id,
+         |       cand b JOIN embeddings eb ON eb.vec_id = b.vec_id
+         |  WHERE a.vec_id <> b.vec_id),
+         |sel1 AS (
+         |  SELECT [-(x.pk).negid] AS chosen, [(x.pk).sc] AS scores
+         |  FROM (SELECT (SELECT max(struct_pack(sc := 7*c.c, negid := -c.vec_id)) FROM cand c) AS pk) x),
+         |$steps
+         |SELECT CAST(t.i AS BIGINT) AS rank, s.chosen[t.i] AS vec_id, s.scores[t.i] AS mmr_scaled
+         |FROM sel10 s, (SELECT unnest(generate_series(1, 10)) AS i) t
+         |ORDER BY rank""".stripMargin
+    },
+
     // blocked by the sign-LSH sketch bucket (mirrors signLshBuckets) —
     // same-bucket candidates, exact cosine, hash-checked output
     "q_sim_pairs" ->

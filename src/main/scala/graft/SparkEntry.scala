@@ -149,6 +149,7 @@ object SparkEntry {
     "q_dedup_simhash" -> Text.dedupSimhash _,
     // §2.8 similarity search / vectors
     "q_sim_knn" -> Vector.simKnn _,
+    "q_sim_mmr" -> Vector.simMmr _,
     "q_sim_pairs" -> Vector.simPairs _,
     "q_udaf_centroid" -> Vector.udafCentroid _,
     "q_ann_lsh" -> Vector.annLsh _,

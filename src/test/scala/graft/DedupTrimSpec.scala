@@ -174,4 +174,35 @@ class DedupTrimSpec extends SparkSpec {
     // fpp sanity: the 500 non-member probes shouldn't mostly pass
     assert((pruned -- exact).size <= 100, s"fpp implausibly high: ${(pruned -- exact).size}/500")
   }
+
+  test("mmrTopK trades the near-duplicate runner-up for the diverse candidate") {
+    import spark.implicits._
+    // probe 0 along e1; 1 (10°) and 2 (11°) cluster on one side of the
+    // probe, 3 (−12°) sits on the other side. Plain top-2 by cosine is
+    // {1, 2}; MMR at λ = 0.7 must pick {1, 3}: after choosing 1,
+    // candidate 2 scores 0.7·cos11° − 0.3·cos1° ≈ 0.387 while 3 scores
+    // 0.7·cos12° − 0.3·cos22° ≈ 0.407 — the angular spread beats the
+    // 1° relevance edge.
+    val df = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Seq(0.9848078f, 0.1736482f, 0.0f, 0.0f)),
+      (2L, Seq(0.9816272f, 0.1908090f, 0.0f, 0.0f)),
+      (3L, Seq(0.9781476f, -0.2079117f, 0.0f, 0.0f)),
+      (4L, Seq(0.0f, 0.0f, 0.0f, 1.0f)),
+    ).toDF("vec_id", "embedding")
+    val knn = graft.api.Similarity.cosineTopK(df, "vec_id", "embedding", 0L, 2)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(knn == Set(1L, 2L), s"fixture broken: plain top-2 was $knn")
+    val mmr = graft.api.Similarity.mmrTopK(df, "vec_id", "embedding", 0L, kCand = 4, kOut = 2)
+      .orderBy($"rank").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(mmr.toSeq == Seq((1L, 1L), (2L, 3L)),
+      s"expected MMR picks 1 then 3, got ${mmr.toSeq}")
+    // rank-1 score is pure relevance: 7 × scaled cos(q, 1)
+    val out = graft.api.Similarity.mmrTopK(df, "vec_id", "embedding", 0L, 4, 2)
+      .orderBy($"rank").collect()
+    val c1 = graft.api.Similarity.cosineTopK(df, "vec_id", "embedding", 0L, 1)
+      .select(org.apache.spark.sql.functions.round($"cos_sim" * 1e6, 0).cast("long"))
+      .as[Long].head()
+    assert(out(0).getLong(2) == 7L * c1)
+  }
 }
