@@ -108,7 +108,7 @@ object Oracle {
     * shared with the Spark side via Dedup.simhashPlanes) → majority
     * signature → chunk banding → exact hamming over candidates. MD5 and
     * integer arithmetic agree bit-for-bit across engines. */
-  private def simhashOracle(maxHamming: Int): String = {
+  private def simhashCtes(maxHamming: Int): String = {
     val planes = graft.api.Dedup.simhashPlanes.zipWithIndex
       .map { case ((a, b), j) => s"($j, $a, $b)" }.mkString(", ")
     val chunkBits = 64 / (maxHamming + 1)
@@ -118,7 +118,7 @@ object Oracle {
       s"list_reduce(list_transform(string_split_regex(substring(md5(sh), $start, 8), ''), " +
         "x -> CAST(CASE WHEN ascii(x) >= 97 THEN ascii(x) - 87 ELSE ascii(x) - 48 END AS BIGINT)), " +
         "(a, b) -> a * 16 + b)"
-    s"""WITH tok AS (
+    s"""tok AS (
        |  SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS pos,
        |         unnest(string_split(text, ' ')) AS w FROM documents),
        |sh AS (
@@ -142,17 +142,121 @@ object Oracle {
        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
        |  FROM chunks a JOIN chunks b
        |    ON a.chunk_idx = b.chunk_idx AND a.chunk_key = b.chunk_key
-       |   AND a.doc_id < b.doc_id)
-       |SELECT a_id, b_id, hamming FROM (
-       |  SELECT c.a_id, c.b_id,
-       |         CAST(sum(CASE WHEN va.bit <> vb.bit THEN 1 ELSE 0 END) AS INTEGER) AS hamming
-       |  FROM cand c
-       |  JOIN votes va ON va.doc_id = c.a_id
-       |  JOIN votes vb ON vb.doc_id = c.b_id AND vb.j = va.j
-       |  GROUP BY c.a_id, c.b_id) t
-       |WHERE hamming <= $maxHamming
-       |ORDER BY a_id, b_id""".stripMargin
+       |   AND a.doc_id < b.doc_id),
+       |prs AS (
+       |  SELECT a_id, b_id, hamming FROM (
+       |    SELECT c.a_id, c.b_id,
+       |           CAST(sum(CASE WHEN va.bit <> vb.bit THEN 1 ELSE 0 END) AS INTEGER) AS hamming
+       |    FROM cand c
+       |    JOIN votes va ON va.doc_id = c.a_id
+       |    JOIN votes vb ON vb.doc_id = c.b_id AND vb.j = va.j
+       |    GROUP BY c.a_id, c.b_id) t
+       |  WHERE hamming <= $maxHamming)""".stripMargin
   }
+
+  private def simhashOracle(maxHamming: Int): String =
+    s"""WITH ${simhashCtes(maxHamming)}
+       |SELECT a_id, b_id, hamming FROM prs
+       |ORDER BY a_id, b_id""".stripMargin
+
+  /** Per-document near-dup verdict under the streaming "earlier doc"
+    * rule (mirrors graft.ops.Streaming.simhashDedupBatchTws): a doc is
+    * a dup iff some doc with a smaller doc_id sits within hamming ≤
+    * maxHamming — i.e. iff it appears as the b side of any matched
+    * pair. Banding completeness (4 bands, ≤ 3 differing bits ⇒ one
+    * band identical by pigeonhole) makes the banded Spark kernel and
+    * this unblocked replay agree exactly. */
+  private def simhashStreamDedupOracle(maxHamming: Int): String =
+    s"""WITH ${simhashCtes(maxHamming)}
+       |SELECT d.doc_id,
+       |       CASE WHEN dup.b_id IS NOT NULL THEN 1 ELSE 0 END AS is_dup
+       |FROM documents d
+       |LEFT JOIN (SELECT DISTINCT b_id FROM prs) dup ON d.doc_id = dup.b_id
+       |ORDER BY d.doc_id""".stripMargin
+
+  /** Chained-CTE replay of the FULL BPE training loop (mirrors
+    * graft.ops.Text.bpeTrain, the q_sim_mmr replay pattern): w0 is the
+    * word-frequency table with each word rendered in the double-space
+    * padded symbol representation; round i counts adjacent pairs
+    * weighted by word frequency (single-symbol words vanish via an
+    * empty generate_series), picks the argmax under the exact Spark
+    * tie-break (cnt DESC, l, r ASC — integer counts, binary string
+    * order), and applies the merge with the same non-overlapping
+    * left-to-right `replace` the Spark side uses (identical semantics,
+    * verified; adjacent matches share the 2-space separator's outer
+    * space, so greedy BPE merging falls out of plain string replace).
+    * Every CTE is MATERIALIZED: round i references w(i-1) from two
+    * places and m(i) from four, so DuckDB's default inlining would
+    * re-expand the base scan ~5^rounds times (the signBucketCteDeep
+    * linearity lesson) — it died on file handles before dying on time. */
+  private def bpeCtes(nMerges: Int): String = {
+    val init =
+      s"""w0 AS MATERIALIZED (
+         |  SELECT w, CAST(count(*) AS BIGINT) AS freq,
+         |         ' ' || regexp_replace(w, '(.)', ' \\1 ', 'g') || ' ' AS syms
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+         |  WHERE length(w) > 0
+         |  GROUP BY w)""".stripMargin
+    val rounds = (1 to nMerges).map { i =>
+      val prev = s"w${i - 1}"
+      s"""p$i AS MATERIALIZED (
+         |  SELECT sy[j] AS l, sy[j + 1] AS r, CAST(sum(freq) AS BIGINT) AS cnt
+         |  FROM (SELECT freq, sy, unnest(generate_series(1, len(sy) - 1)) AS j
+         |        FROM (SELECT freq, string_split(trim(syms), '  ') AS sy FROM $prev) s0) s1
+         |  GROUP BY 1, 2),
+         |m$i AS MATERIALIZED (SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l, r LIMIT 1),
+         |w$i AS MATERIALIZED (
+         |  SELECT w, freq,
+         |         replace(syms,
+         |                 ' ' || (SELECT l FROM m$i) || '  ' || (SELECT r FROM m$i) || ' ',
+         |                 ' ' || (SELECT l FROM m$i) || (SELECT r FROM m$i) || ' ') AS syms
+         |  FROM $prev)""".stripMargin
+    }
+    (init +: rounds).mkString(",\n")
+  }
+
+  private def bpeTrainOracle(nMerges: Int): String = {
+    val unions = (1 to nMerges).map(i =>
+      s"SELECT $i AS step, l AS lhs, r AS rhs, l || r AS merged, cnt AS pair_count FROM m$i")
+      .mkString("\n  UNION ALL ")
+    s"""WITH ${bpeCtes(nMerges)}
+       |SELECT * FROM (
+       |  $unions) u
+       |ORDER BY step""".stripMargin
+  }
+
+  private def bpeTokensOracle(nMerges: Int): String =
+    s"""WITH ${bpeCtes(nMerges)}
+       |SELECT d.lang,
+       |       CAST(sum(len(string_split(trim(f.syms), '  '))) AS BIGINT) AS sum_bpe_tokens,
+       |       CAST(count(*) AS BIGINT) AS n_words
+       |FROM (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents) d
+       |JOIN w$nMerges f ON d.w = f.w
+       |GROUP BY d.lang
+       |ORDER BY d.lang""".stripMargin
+
+  /** Paragraph-dedup replay (mirrors graft.ops.Text.textDedupPara):
+    * 20-token aligned paragraph view, keep = first occurrence by
+    * (doc_id, para_idx) — replayed digest-free on the paragraph
+    * strings themselves — then per-doc reconstruction in paragraph
+    * order (docs whose every paragraph was a repeat reconstruct to
+    * the empty string). */
+  private def dedupParaOracle(paraTokens: Int): String =
+    s"""WITH sy AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |par AS (
+       |  SELECT doc_id, k AS para_idx,
+       |         array_to_string(t[k * $paraTokens + 1 : k * $paraTokens + $paraTokens], ' ') AS ptext
+       |  FROM (SELECT doc_id, t, unnest(generate_series(0, (len(t) - 1) // $paraTokens)) AS k
+       |        FROM sy) s0),
+       |flag AS (
+       |  SELECT doc_id, para_idx, ptext,
+       |         row_number() OVER (PARTITION BY ptext ORDER BY doc_id, para_idx) AS rn
+       |  FROM par)
+       |SELECT doc_id,
+       |       coalesce(string_agg(CASE WHEN rn = 1 THEN ptext END, ' ' ORDER BY para_idx), '') AS text,
+       |       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |       CAST(sum(CASE WHEN rn <> 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+       |FROM flag GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** Full LSH-ANN replay (mirrors graft.api.Similarity.annLsh): bucket
     * bit p of table t = sign of coordinate lshCoords(t)(p) — the coord
@@ -216,6 +320,15 @@ object Oracle {
   val sql: Map[String, String] = Map(
 
     "q_dedup_simhash" -> simhashOracle(3),
+
+    "q_stream_simhash_dedup" -> simhashStreamDedupOracle(3),
+
+    // BPE tokenizer training + tokenizer-true counting (nMerges must
+    // match Text.BpeMergeCount)
+    "q_text_bpe_train" -> bpeTrainOracle(12),
+    "q_text_bpe_tokens" -> bpeTokensOracle(12),
+
+    "q_text_dedup_para" -> dedupParaOracle(20),
 
     // ANN: the axis-aligned LSH family and the sign-bucket inverted file
     // are pure sign tests + integer arithmetic — fully replayable.

@@ -98,6 +98,7 @@ object SparkEntry {
     "q_win_islands" -> Relational.winIslands _,
     "q_stream_funnel_state" -> Streaming.funnelBatch _,
     "q_funnel_tws" -> Streaming.funnelBatchTws _,
+    "q_stream_simhash_dedup" -> Streaming.simhashDedupBatchTws _,
     "q_split_leakage_safe" -> Text.splitLeakageSafe _,
     "q_cohort_retention" -> Relational.cohortRetention _,
     "q_basket_pairs" -> Relational.basketPairs _,
@@ -130,6 +131,9 @@ object SparkEntry {
     "q_text_quality_model" -> Text.qualityModel _,
     "q_text_longest_dup_span" -> Text.textLongestDupSpan _,
     "q_text_dedup_trim" -> Text.textDedupTrim _,
+    "q_text_dedup_para" -> Text.textDedupPara _,
+    "q_text_bpe_train" -> Text.textBpeTrain _,
+    "q_text_bpe_tokens" -> Text.textBpeTokens _,
     "q_text_unigram_ll" -> Text.textUnigramLL _,
     "q_text_redact" -> Text.textRedact _,
     "q_gen_outer" -> Text.genOuter _,

@@ -401,6 +401,102 @@ object Streaming {
       .orderBy(col("event_id"))
   }
 
+  // ---------------------------------------------------------------------------
+  // streaming near-dup dedup (simhash signatures in transformWithState)
+  // ---------------------------------------------------------------------------
+
+  /** One (doc, band) admission row for the streaming near-dup dedup:
+    * the doc's packed 64-bit simhash signature routed to one of its
+    * chunk buckets (4 × 16-bit under maxHamming = 3 — pigeonhole makes
+    * band blocking COMPLETE for hamming ≤ 3, so the banded kernel's
+    * verdicts are exact, not approximate). */
+  case class SigBand(doc_id: Long, sig: Long, chunk_idx: Int, chunk_key: Long)
+  case class SigSeen(doc_id: Long, sig: Long)
+  case class BandFlag(doc_id: Long, matched: Int)
+
+  /** Stateful near-dup membership per chunk bucket: state is the list
+    * of (doc_id, signature) pairs seen in this bucket; an incoming doc
+    * MATCHES when some already-seen doc with a SMALLER doc_id sits
+    * within hamming ≤ maxHamming of it (seen, not kept — chains of
+    * near-dups all mark against whatever arrived before them, the
+    * exactly-replayable rule). Rows within a micro-batch are processed
+    * in doc_id order, so with in-order arrival the stream computes the
+    * same verdicts as the batch twin (pinned in StreamingSpec across
+    * micro-batches, state carried); out-of-order arrival degrades only
+    * the verdicts of rows that overtook their predecessors — the
+    * inherent streaming-dedup caveat, same as
+    * dropDuplicatesWithinWatermark's.
+    *
+    * State size: one 16-byte entry per doc per band, partitioned by
+    * bucket key across executors (RocksDB-backed); at web scale the
+    * 16-bit-chunk config keeps occupancy near-uniform (Manku et al.
+    * WWW'07), and a production stream bounds it further with a TTL on
+    * the state (config hook below) — dedup-against-recent semantics. */
+  class SimhashDedupProcessor(maxHamming: Int, ttl: org.apache.spark.sql.streaming.TTLConfig)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[(Int, Long), SigBand, BandFlag] {
+    import org.apache.spark.sql.streaming.{ListState, TimeMode, TimerValues}
+    import org.apache.spark.sql.Encoders
+
+    @transient private var seen: ListState[SigSeen] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      seen = getHandle.getListState[SigSeen](
+        "seen", Encoders.product[SigSeen], ttl)
+
+    override def handleInputRows(key: (Int, Long), rows: Iterator[SigBand],
+        timers: TimerValues): Iterator[BandFlag] = {
+      val prior = seen.get().toArray
+      val out = scala.collection.mutable.ArrayBuffer.empty[BandFlag]
+      val fresh = scala.collection.mutable.ArrayBuffer.empty[SigSeen]
+      rows.toSeq.sortBy(_.doc_id).foreach { b =>
+        def hits(e: SigSeen): Boolean =
+          e.doc_id < b.doc_id &&
+            java.lang.Long.bitCount(e.sig ^ b.sig) <= maxHamming
+        val matched = prior.exists(hits) || fresh.exists(hits)
+        out += BandFlag(b.doc_id, if (matched) 1 else 0)
+        fresh += SigSeen(b.doc_id, b.sig)
+      }
+      if (fresh.nonEmpty) seen.appendList(fresh.toArray)
+      out.iterator
+    }
+  }
+
+  /** The banded verdict stream: groupByKey on the chunk bucket,
+    * transformWithState with [[SimhashDedupProcessor]]. A doc's final
+    * verdict is the OR of its band verdicts (computed downstream —
+    * grouped per doc in batch, or collected per sink in streaming). */
+  def simhashDedupFlags(bands: Dataset[SigBand], maxHamming: Int = 3,
+      ttl: org.apache.spark.sql.streaming.TTLConfig =
+        org.apache.spark.sql.streaming.TTLConfig.NONE): Dataset[BandFlag] = {
+    import bands.sparkSession.implicits._
+    bands
+      .groupByKey(b => (b.chunk_idx, b.chunk_key))
+      .transformWithState(new SimhashDedupProcessor(maxHamming, ttl),
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+  }
+
+  /** [[simhashDedupFlags]] in BATCH mode as an oracle-gradeable query
+    * (the funnelBatchTws treatment): signatures + banding come from the
+    * SAME kernels as q_dedup_simhash (graft.api.Dedup), the stateful
+    * verdict from the SAME processor the stream runs, and DuckDB
+    * replays signatures, banding, hamming and the earlier-doc rule
+    * from scratch. Output: every document with its near-dup verdict
+    * (docs under 3 tokens have no signature and are never dups). */
+  def simhashDedupBatchTws(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.streams.active
+    val docs = graft.Tables.documents(spark, dir)
+    val flags = simhashDedupFlags(
+      graft.api.Dedup.simhashChunkBuckets(
+        graft.api.Dedup.simhashSignatures(docs, "doc_id", "text", n = 3),
+        maxHamming = 3).as[SigBand])
+    docs.select(col("doc_id"))
+      .join(flags.toDF().groupBy(col("doc_id")).agg(max(col("matched")).as("m")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("m"), lit(0)).as("is_dup"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Land a stream into parquet via foreachBatch. Idempotent under
     * micro-batch REPLAY: each batch overwrites its own batch_id=N
     * subdirectory, so a batch re-run after a crash-before-commit lands

