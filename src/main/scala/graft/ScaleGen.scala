@@ -27,7 +27,7 @@ import org.apache.spark.sql.functions._
   *     (the IVF/LSH structure); row i ≡ 0 (mod 40) is row (i-20)'s
   *     vector plus 0.5% jitter (the cosine near-dup pairs).
   *
-  * Usage: runMain graft.ScaleGen <outDir> <mult> [docsMult] [embMult] [skew]
+  * Usage: runMain graft.ScaleGen <outDir> <mult> [docsMult] [embMult] [skew] [paras]
   * where mult scales the sf0.1-equivalent base counts (600k lineitem,
   * 150k orders, 100k events, 15k customer, …); docsMult/embMult default
   * to mult but are separately amplifiable (the rehearsal runs docs at
@@ -86,7 +86,8 @@ object ScaleGen {
     val mult = args(1).toDouble
     val docsMult = if (args.length > 2) args(2).toDouble else mult
     val embMult = if (args.length > 3) args(3).toDouble else mult
-    val skew = args.length > 4 && args(4) == "skew"
+    val skew = args.drop(4).contains("skew")
+    val paras = args.drop(4).contains("paras")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -94,12 +95,13 @@ object ScaleGen {
       .config("spark.ui.enabled", "false")
       .appName("graft-scalegen").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    write(spark, outDir, mult, docsMult, embMult, skew)
+    write(spark, outDir, mult, docsMult, embMult, skew, paras)
     spark.stop()
   }
 
   def write(spark: SparkSession, outDir: String, mult: Double,
-      docsMult: Double, embMult: Double, skew: Boolean = false): Unit = {
+      docsMult: Double, embMult: Double, skew: Boolean = false,
+      paras: Boolean = false): Unit = {
     def n(base: Long, m: Double): Long = math.max(1L, (base * m).toLong)
     val nLi = n(BaseLineitem, mult); val nOrd = n(BaseOrders, mult)
     val nCust = n(BaseCustomer, mult); val nPart = n(BasePart, mult)
@@ -251,8 +253,19 @@ object ScaleGen {
       concat(element_at(vocabArr, pmod(wid, lit(31)).cast("int") + 1),
         lit("_"), floor(wid / 31.0).cast("long"))
     }
+    // paras mode (round-12): inject an explicit paragraph-break token
+    // between words (~every 12 words, hash-placed from the SEED so
+    // exact/near-dup rows share paragraph structure with their source
+    // row — whole duplicated paragraphs exist by construction). A
+    // SEPARATE mode, not a change to the standard dirs: the x10/x100
+    // tables were measured on marker-free text and must stay
+    // re-runnable bit-identically.
+    def wordAt(j: Column): Column =
+      if (!paras) word(j)
+      else when(j > 0 && hmod("pb", 12, seed, j) === 0,
+        concat(lit("<p> "), word(j))).otherwise(word(j))
     val baseText = array_join(
-      transform(sequence(lit(0), nWords - 1), j => word(j)), " ")
+      transform(sequence(lit(0), nWords - 1), j => wordAt(j)), " ")
     // near dups (not exact) append one word: shingle set ± 2
     val text0 = when(isNear, concat(baseText, lit(" shuffle")))
       .otherwise(baseText)
@@ -290,6 +303,6 @@ object ScaleGen {
 
     println(s"SCALEGEN_DONE $outDir lineitem=$nLi orders=$nOrd customer=$nCust " +
       s"part=$nPart supplier=$nSupp events=$nEv documents=$nDocs embeddings=$nEmb " +
-      s"skew=$skew")
+      s"skew=$skew paras=$paras")
   }
 }

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev probe for the round-12 operators at rehearsal scale: prints the
+  * streaming-simhash-dedup verdict distribution (cross-checked against
+  * the q_dedup_simhash pair relation's dup side on the same dir) and
+  * the paragraph-dedup excision totals. Not part of the graded surface.
+  *
+  *   tools/run_main.sh graft.SdProbe /root/repo/scaledata/x10 [simhash|para|paraSep]
+  */
+object SdProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val mode = if (args.length > 1) args(1) else "simhash"
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.serializer.objectStreamReset", "1")
+      .config("spark.ui.enabled", "false")
+      .appName("graft-sdprobe").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    def timed[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"PROBE $label ${(System.nanoTime() - t0) / 1e9}%.3f s"); r
+    }
+    mode match {
+      case "simhash" =>
+        val verdicts = timed("tws_verdicts") {
+          ops.Streaming.simhashDedupBatchTws(spark, dir)
+            .groupBy($"is_dup").count().collect()
+            .map(r => r.getInt(0) -> r.getLong(1)).toMap
+        }
+        println(s"PROBE verdicts=$verdicts")
+        // cross-check: the pair relation's distinct b side = the docs
+        // flagged 1 (uncapped banding both sides at this scale or not —
+        // a cap-dropped bucket would show here as a diff)
+        val dupSide = timed("pair_dup_side") {
+          api.Dedup.simhash(Tables.documents(spark, dir), "doc_id", "text",
+              n = 3, maxHamming = 3, maxChunkOccupancy = Int.MaxValue)
+            .select($"b_id").distinct().count()
+        }
+        println(s"PROBE pair_b_side=$dupSide tws_flagged=${verdicts.getOrElse(1, 0L)} " +
+          s"agree=${dupSide == verdicts.getOrElse(1, 0L)}")
+      case "para" =>
+        val agg = timed("dedup_para") {
+          ops.Text.textDedupPara(spark, dir)
+            .agg(sum($"n_kept"), sum($"n_dropped")).collect()(0)
+        }
+        println(s"PROBE para kept=${agg.getLong(0)} dropped=${agg.getLong(1)}")
+      case "paraSep" =>
+        val agg = timed("dedup_para_sep") {
+          ops.Text.dedupParagraphs(
+            ops.Text.paragraphViewSep(Tables.documents(spark, dir), "<p>"))
+            .agg(sum($"n_kept"), sum($"n_dropped")).collect()(0)
+        }
+        println(s"PROBE paraSep kept=${agg.getLong(0)} dropped=${agg.getLong(1)}")
+    }
+    spark.stop()
+  }
+}

@@ -1796,7 +1796,7 @@ object Text {
     * a row_number window, then one exchange on doc_id for the
     * reconstruction agg whose per-doc state is bounded by the doc's
     * own paragraph count. Nothing O(pairs), nothing collected. */
-  private[graft] def dedupParagraphs(paras: DataFrame): DataFrame = {
+  private[graft] def dedupParagraphs(paras: DataFrame, joiner: String = " "): DataFrame = {
     import paras.sparkSession.implicits._
     paras
       .withColumn("__d", struct(xxhash64($"ptext"), xxhash64(lit(7), $"ptext")))
@@ -1809,7 +1809,7 @@ object Text {
             array_sort(collect_list(when($"__keep",
               struct($"para_idx", $"ptext")))),
             x => x.getField("ptext")),
-          " ").as("text"),
+          joiner).as("text"),
         sum(when($"__keep", 1L).otherwise(0L)).as("n_kept"),
         sum(when($"__keep", 0L).otherwise(1L)).as("n_dropped"))
       .orderBy($"doc_id")
@@ -1818,6 +1818,17 @@ object Text {
   /** Graded: [[dedupParagraphs]] over the 20-token paragraph view. */
   def textDedupPara(spark: SparkSession, dir: String): DataFrame =
     dedupParagraphs(paragraphView(Tables.documents(spark, dir), ParaTokens))
+
+  /** [[dedupParagraphs]] over a separator-token corpus, reconstructing
+    * WITH the separator — so the output's paragraph structure is the
+    * surviving input structure and the operator is IDEMPOTENT on the
+    * non-empty docs (every output paragraph re-splits to exactly one
+    * surviving input paragraph, all pairwise-distinct, so a second
+    * pass keeps everything; spec-pinned). Docs whose every paragraph
+    * was a repeat emit text = '' (no paragraphs to re-split — they
+    * leave the corpus on the next pass, the honest fixpoint). */
+  private[graft] def dedupParagraphsSep(docs: DataFrame, sep: String): DataFrame =
+    dedupParagraphs(paragraphViewSep(docs, sep), s" $sep ")
 
   def qualityAdaptive(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

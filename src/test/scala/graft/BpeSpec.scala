@@ -161,6 +161,31 @@ class BpeSpec extends SparkSpec {
     ()
   }
 
+  test("separator-reconstructing paragraph dedup is idempotent on the surviving docs") {
+    import spark.implicits._
+    // mixed structure: cross-doc repeats, in-doc repeats, a doc that is
+    // entirely repeats (empties), and unique paragraphs
+    val docs = Seq(
+      (0L, "a b <p> c d <p> a b"),
+      (1L, "c d <p> e f"),
+      (2L, "a b <p> c d"),
+      (3L, "g h")).toDF("doc_id", "text")
+    val once = ops.Text.dedupParagraphsSep(docs, "<p>")
+      .select($"doc_id", $"text").cache()
+    val onceRows = once.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(onceRows == Seq(
+      (0L, "a b <p> c d"), (1L, "e f"), (2L, ""), (3L, "g h")))
+    // second pass over the FIRST pass's output: identity on non-empty
+    // docs (empty docs have no paragraphs and leave the corpus — the
+    // documented fixpoint)
+    val twice = ops.Text.dedupParagraphsSep(once, "<p>")
+      .select($"doc_id", $"text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(twice == onceRows.filter(_._2.nonEmpty), s"twice: $twice")
+    once.unpersist()
+    ()
+  }
+
   test("separator paragraph view splits on the marker and feeds the same operator") {
     import spark.implicits._
     val docs = Seq(
