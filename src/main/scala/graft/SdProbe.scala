@@ -30,6 +30,14 @@ object SdProbe {
     }
     mode match {
       case "simhash" =>
+        // the Bench metric is .count(): time it FIRST on the cold cache,
+        // then the verdict materialization — a big gap means count()
+        // still prunes part of the kernel
+        val n = timed("tws_count") {
+          ops.Streaming.simhashDedupBatchTws(spark, dir).count()
+        }
+        println(s"PROBE count=$n")
+        spark.catalog.clearCache()
         val verdicts = timed("tws_verdicts") {
           ops.Streaming.simhashDedupBatchTws(spark, dir)
             .groupBy($"is_dup").count().collect()

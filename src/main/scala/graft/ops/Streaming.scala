@@ -486,21 +486,30 @@ object Streaming {
     import spark.implicits._
     spark.streams.active
     val docs = graft.Tables.documents(spark, dir)
-    val flags = simhashDedupFlags(
-      graft.api.Dedup.simhashChunkBuckets(
+    // Signature-less docs (< 3 tokens — no shingles) ride the SAME
+    // stateful path under a sentinel band keyed by their own doc_id
+    // (singleton bucket ⇒ no earlier member ⇒ matched = 0), so the
+    // output covers every document WITHOUT a docs join-back. That
+    // join-back shape is a count()-prunability trap twice over,
+    // both measured: joining the pre-aggregated (unique-keyed) flags
+    // lets Catalyst eliminate the outer join and the whole tws
+    // subtree (0.25 s at x10 vs 16.5 s real); joining the RAW flags
+    // and aggregating after still dies to distinct-over-left-keys
+    // elimination (Distinct(left keys) over a left join needs no
+    // right side — 5.9 s vs 13.3 s). With the union, the stateful
+    // kernel is the only source of doc_ids and no consumer can prune
+    // it.
+    val sigless = docs
+      .filter(size(split(col("text"), " ")) < 3)
+      .select(col("doc_id"), lit(0L).as("sig"),
+        lit(-1).as("chunk_idx"), col("doc_id").as("chunk_key"))
+    val bands = graft.api.Dedup.simhashChunkBuckets(
         graft.api.Dedup.simhashSignatures(docs, "doc_id", "text", n = 3),
-        maxHamming = 3).as[SigBand])
-    // aggregate AFTER the join, not before: joining a pre-aggregated
-    // (hence provably unique-keyed) flags relation lets Catalyst
-    // ELIMINATE the left join — and the whole tws subtree — under a
-    // bare count() (measured: MiniBench read 0.25 s at x10 where the
-    // materialized verdicts cost 16.5 s), so benchmarks would time a
-    // pruned plan. The raw (doc, band) rows carry no uniqueness
-    // guarantee, forcing every consumer through the real kernel.
-    docs.select(col("doc_id"))
-      .join(flags.toDF(), Seq("doc_id"), "left")
+        maxHamming = 3)
+      .unionByName(sigless)
+    simhashDedupFlags(bands.as[SigBand]).toDF()
       .groupBy(col("doc_id"))
-      .agg(coalesce(max(col("matched")), lit(0)).as("is_dup"))
+      .agg(max(col("matched")).as("is_dup"))
       .orderBy(col("doc_id"))
   }
 

@@ -86,6 +86,25 @@ class BpeSpec extends SparkSpec {
     assert(full.forall(m => m.merged == m.lhs + m.rhs))
   }
 
+  test("bpeTrain matches the driver replay on randomized corpora (fixed seeds)") {
+    // property-style sweep: 5 seeded corpora over a small alphabet (high
+    // pair-collision rate -> tie-breaks actually exercised), 6 merges each
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed * 7919)
+      val alphabet = "abcd"
+      val docs = (0L until 3L).map { d =>
+        d -> Seq.fill(8 + rnd.nextInt(8))(
+          Seq.fill(1 + rnd.nextInt(6))(alphabet(rnd.nextInt(alphabet.length))).mkString
+        ).mkString(" ")
+      }
+      val freq: Map[String, Long] = docs.flatMap(_._2.split(" ")).groupBy(identity)
+        .map { case (w, g) => w -> g.size.toLong }
+      val expected = replayBpe(freq, 6)
+      val got = Text.bpeTrain(wordsDf(docs), 6).map(m => (m.lhs, m.rhs, m.pair_count))
+      assert(got == expected, s"seed=$seed corpus=$docs\ngot:      $got\nexpected: $expected")
+    }
+  }
+
   test("bpeTrain is deterministic across invocations (fresh plans, no memo)") {
     val docs = Seq((0L, "aa ab aa ba ab aa"), (1L, "ba ba ab"))
     val a = Text.bpeTrain(wordsDf(docs), 6)
