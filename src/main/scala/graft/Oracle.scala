@@ -323,10 +323,10 @@ object Oracle {
 
     "q_stream_simhash_dedup" -> simhashStreamDedupOracle(3),
 
-    // BPE tokenizer training + tokenizer-true counting (nMerges must
-    // match Text.BpeMergeCount)
-    "q_text_bpe_train" -> bpeTrainOracle(12),
-    "q_text_bpe_tokens" -> bpeTokensOracle(12),
+    // BPE tokenizer training + tokenizer-true counting (merge count
+    // shared with the Spark side — no drift possible)
+    "q_text_bpe_train" -> bpeTrainOracle(graft.ops.Text.BpeMergeCount),
+    "q_text_bpe_tokens" -> bpeTokensOracle(graft.ops.Text.BpeMergeCount),
 
     "q_text_dedup_para" -> dedupParaOracle(20),
 

@@ -305,7 +305,9 @@ object Text {
         expr(s"replace(syms, ' ${m.lhs}  ${m.rhs} ', ' ${m.merged} ')"))
     }
 
-  private val BpeMergeCount = 12
+  /** Merge count for the graded BPE queries — referenced by Oracle's
+    * replay generator so the two can never drift. */
+  private[graft] val BpeMergeCount = 12
 
   private def bpeMergesFor(spark: SparkSession, dir: String): Seq[BpeMerge] =
     api.ResultCache.getOrCompute[Seq[BpeMerge]](

@@ -127,6 +127,22 @@ class BpeSpec extends SparkSpec {
     assert(got == seg)
   }
 
+  test("public api.Bpe trains over any text column and emits the vocab-bounded segmentation") {
+    import spark.implicits._
+    val docs = Seq((1, "lower lower newer newer new"), (2, "wide wider lowest"))
+      .toDF("k", "body")
+    val merges = api.Bpe.train(docs, "body", 5)
+    assert(merges.map(_.step) == (1 to 5))
+    val seg = api.Bpe.segmentation(docs, "body", merges)
+    assert(seg.columns.toSeq == Seq("word", "freq", "subtokens"))
+    val rows = seg.collect().map(r =>
+      r.getString(0) -> (r.getLong(1), r.getSeq[String](2).toList)).toMap
+    assert(rows.keySet == Set("lower", "newer", "new", "wide", "wider", "lowest"))
+    assert(rows("lower")._1 == 2L)
+    // every word's subtokens concatenate back to the word
+    assert(rows.forall { case (w, (_, sub)) => sub.mkString == w })
+  }
+
   // ---- paragraph-granularity dedup ----
 
   private def paraDedup(docs: Seq[(Long, String)], p: Int = 2) = {
@@ -151,6 +167,30 @@ class BpeSpec extends SparkSpec {
     val got = paraDedup(Seq((7L, "x y x y z w x y")))
     // paragraphs: [x y][x y][z w][x y] -> keep idx 0 and 2
     assert(got.toSeq == Seq((7L, "x y z w", 2L, 2L)))
+  }
+
+  test("paragraph dedup matches a driver-side replay on randomized corpora (fixed seeds)") {
+    for (seed <- 1 to 4) {
+      val rnd = new scala.util.Random(seed * 104729)
+      val vocab = Seq("a", "b", "c", "d")
+      // small vocab + 2-token paragraphs -> dense collisions across and
+      // within docs, first-occurrence ordering genuinely exercised
+      val docs = (0L until 6L).map { d =>
+        d -> Seq.fill(2 + rnd.nextInt(8))(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+      }
+      val p = 2
+      // driver replay: keep-first by (doc_id, para_idx) per paragraph string
+      val paras = docs.flatMap { case (d, text) =>
+        text.split(" ").grouped(p).zipWithIndex.map { case (ws, i) => (d, i, ws.mkString(" ")) }
+      }
+      val seen = scala.collection.mutable.Set.empty[String]
+      val expected = paras.groupBy(_._1).toSeq.sortBy(_._1).map { case (d, ps) =>
+        val kept = ps.sortBy(_._2).filter(x => seen.add(x._3))
+        (d, kept.map(_._3).mkString(" "), kept.size.toLong, (ps.size - kept.size).toLong)
+      }
+      val got = paraDedup(docs, p).toSeq
+      assert(got == expected, s"seed=$seed corpus=$docs\ngot:      $got\nexpected: $expected")
+    }
   }
 
   test("paragraph dedup on the real sf0.001 corpus: acts, conserves, accounts") {
