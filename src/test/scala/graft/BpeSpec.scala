@@ -105,6 +105,17 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("bpeTrain degrades gracefully when the corpus exhausts before nMerges") {
+    // all single-char words -> zero adjacent pairs -> zero merges, no
+    // error (the oracle side truncates identically: an empty argmax CTE
+    // nulls the symbol strings and every later round's pair set is
+    // empty, so both engines emit the same short merge table)
+    assert(Text.bpeTrain(wordsDf(Seq((0L, "a b c a b"))), 5).isEmpty)
+    // two-char words exhaust after exactly one merge per distinct pair
+    val m = Text.bpeTrain(wordsDf(Seq((0L, "ab ab cd"))), 5)
+    assert(m.map(x => (x.lhs, x.rhs)) == Seq(("a", "b"), ("c", "d")))
+  }
+
   test("bpeTrain is deterministic across invocations (fresh plans, no memo)") {
     val docs = Seq((0L, "aa ab aa ba ab aa"), (1L, "ba ba ab"))
     val a = Text.bpeTrain(wordsDf(docs), 6)

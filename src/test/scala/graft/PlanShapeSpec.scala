@@ -295,6 +295,32 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("paragraph dedup: digest window + doc_id reconstruction + output sort, nothing else") {
+    // the dedupParagraphs scaladoc claim: ONE exchange keyed on the
+    // 128-bit paragraph digest (the keep-first window), ONE on doc_id
+    // (reconstruction agg), plus the deterministic ORDER BY's range
+    // shuffle — no join, nothing O(pairs)
+    val df = graft.ops.Text.textDedupPara(spark, dir)
+    val n = hashShuffles(df)
+    assert(n == 3, s"expected 3 exchanges (digest window + doc_id agg + sort), got $n")
+    val joins = collectExec(df.queryExecution.executedPlan)
+      .count(p => p.nodeName.contains("Join"))
+    assert(joins == 0, s"paragraph dedup must not plan a join, got $joins")
+  }
+
+  test("streaming simhash dedup (batch twin): NO join anywhere — the kernel is un-prunable") {
+    // the round-12 count-prunability fix, pinned structurally: the
+    // sentinel-band union makes the transformWithState output the only
+    // source of doc_ids, so the plan has no join for Catalyst to
+    // eliminate under a count() consumer
+    spark.catalog.clearCache()
+    val df = graft.ops.Streaming.simhashDedupBatchTws(spark, dir)
+    df.collect()
+    val joins = collectExecDeep(df.queryExecution.executedPlan)
+      .count(p => p.nodeName.contains("Join"))
+    assert(joins == 0, s"expected a join-free plan (sentinel-band union), got $joins joins")
+  }
+
   test("dpp join: the fact scan carries a dynamic-pruning partition filter") {
     // the joinDpp scaladoc claim: the dim's runtime key set reaches the
     // partitioned fact scan as a dynamicpruning subquery in
