@@ -330,6 +330,28 @@ object Oracle {
 
     "q_text_dedup_para" -> dedupParaOracle(20),
 
+    // BPE-budget packing: the full training replay feeds per-doc
+    // subtoken counts, then the q_pack_chunks window
+    "q_pack_chunks_bpe" -> {
+      s"""WITH ${bpeCtes(graft.ops.Text.BpeMergeCount)},
+         |d AS (
+         |  SELECT t.lang, t.doc_id,
+         |         CAST(sum(len(string_split(trim(f.syms), '  '))) AS BIGINT) AS n_tokens
+         |  FROM (SELECT lang, doc_id, unnest(string_split(text, ' ')) AS w
+         |        FROM documents) t
+         |  JOIN w${graft.ops.Text.BpeMergeCount} f ON t.w = f.w
+         |  GROUP BY t.lang, t.doc_id),
+         |c AS (
+         |  SELECT lang, doc_id, n_tokens,
+         |         coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before_toks
+         |  FROM d)
+         |SELECT lang, CAST(floor(before_toks / 320) AS BIGINT) AS chunk_id,
+         |       count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+         |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM c GROUP BY 1, 2 ORDER BY lang, chunk_id""".stripMargin
+    },
+
     // ANN: the axis-aligned LSH family and the sign-bucket inverted file
     // are pure sign tests + integer arithmetic — fully replayable.
     // q_ann_ivf and q_ann_ivfpq deliberately have NO entries: their
@@ -1847,6 +1869,57 @@ object Oracle {
         |  SELECT src AS doc_id, least(src, min(dst)) AS canonical_doc
         |  FROM reach GROUP BY src) t
         |ORDER BY doc_id""".stripMargin,
+
+    // quality-canonical near-dup dedup: the q_dedup_cluster closure +
+    // the q_text_quality composite + an exact struct-argmax
+    "q_dedup_keep_best" ->
+      """WITH RECURSIVE tok AS (
+        |  SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS pos,
+        |         unnest(string_split(text, ' ')) AS w FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS sh
+        |  FROM tok a
+        |  JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |  JOIN tok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+        |inter AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_inter
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |p AS (
+        |  SELECT a_id, b_id FROM (
+        |    SELECT a_id, b_id,
+        |           round(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 6) AS jaccard
+        |    FROM inter
+        |    JOIN sizes sa ON a_id = sa.doc_id
+        |    JOIN sizes sb ON b_id = sb.doc_id) t
+        |  WHERE jaccard >= 0.8),
+        |edges AS (
+        |  SELECT a_id AS src, b_id AS dst FROM p
+        |  UNION SELECT b_id, a_id FROM p),
+        |reach AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |canon AS (
+        |  SELECT src AS doc_id, least(src, min(dst)) AS canonical_doc
+        |  FROM reach GROUP BY src),
+        |q AS (
+        |  SELECT doc_id,
+        |         round(least(n / 50.0, 1.0) * 0.4 + (nd / n) * 0.4 + (1.0 - ns / n) * 0.2, 6) AS quality
+        |  FROM (SELECT doc_id,
+        |          CAST(len(string_split(text, ' ')) AS DOUBLE) AS n,
+        |          CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS nd,
+        |          CAST(len(list_filter(string_split(text, ' '),
+        |            t -> list_contains(['the','a','of','and','to','in','is','it'], t))) AS DOUBLE) AS ns
+        |        FROM documents) t),
+        |m AS (
+        |  SELECT c.canonical_doc AS cluster_canon, c.doc_id, q.quality
+        |  FROM canon c JOIN q USING (doc_id))
+        |SELECT cluster_canon,
+        |       CAST(count(*) AS BIGINT) AS n_members,
+        |       -max(struct_pack(q := quality, negid := -doc_id)).negid AS kept_doc,
+        |       max(struct_pack(q := quality, negid := -doc_id)).q AS kept_quality
+        |FROM m GROUP BY cluster_canon ORDER BY cluster_canon""".stripMargin,
 
     // §2.8 similarity search -------------------------------------------------
     "q_sim_knn" ->

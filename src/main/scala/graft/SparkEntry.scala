@@ -134,6 +134,7 @@ object SparkEntry {
     "q_text_dedup_para" -> Text.textDedupPara _,
     "q_text_bpe_train" -> Text.textBpeTrain _,
     "q_text_bpe_tokens" -> Text.textBpeTokens _,
+    "q_pack_chunks_bpe" -> Text.packChunksBpe _,
     "q_text_unigram_ll" -> Text.textUnigramLL _,
     "q_text_redact" -> Text.textRedact _,
     "q_gen_outer" -> Text.genOuter _,
@@ -149,6 +150,7 @@ object SparkEntry {
     "q_dedup_minhash" -> Text.dedupMinhash _,
     "q_dedup_spans" -> Text.dedupSpans _,
     "q_dedup_cluster" -> Text.dedupCluster _,
+    "q_dedup_keep_best" -> Text.dedupKeepBest _,
     "q_dedup_crosscorpus" -> Text.dedupCrossCorpus _,
     "q_dedup_simhash" -> Text.dedupSimhash _,
     // §2.8 similarity search / vectors

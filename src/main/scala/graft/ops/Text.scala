@@ -347,6 +347,30 @@ object Text {
       .orderBy($"lang")
   }
 
+  /** Sequence packing with budgets in TRAINED-tokenizer tokens — what
+    * a production packer actually bins by (whitespace counts under-
+    * count subword inflation; q_pack_chunks keeps the whitespace
+    * variant). Per-doc BPE counts come from one broadcast join of the
+    * vocab-bounded segmentation onto the exploded corpus, then the
+    * same greedy per-language cumulative packing as
+    * [[graft.api.Sampling.packChunks]]. Budget 320 ≈ 256 whitespace
+    * tokens at this corpus' subword inflation. The oracle replays
+    * training + counting + packing end to end. */
+  def packChunksBpe(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val seg = bpeApply(bpeWords(docs), bpeMergesFor(spark, dir))
+      .select($"w", size(bpeSymArray($"syms")).as("n_sub"))
+    val counts = docs
+      .select($"lang", $"doc_id", explode(toks($"text")).as("w"))
+      .join(broadcast(seg), "w")
+      .groupBy($"lang", $"doc_id")
+      .agg(sum($"n_sub".cast("long")).as("n_bpe_tokens"))
+    api.Sampling.packChunks(counts, "lang", "doc_id", "n_bpe_tokens",
+        targetTokens = 320)
+      .orderBy($"lang", $"chunk_id")
+  }
+
   /** Gopher-style repetition filter: per-document top-token fraction
     * (occurrences of the most frequent token / token count) and
     * duplicate-bigram fraction (repeated bigram occurrences / bigram
@@ -1315,6 +1339,44 @@ object Text {
       api.Dedup.minhashLsh(Tables.documents(spark, dir), "doc_id", "text",
         n = 3, bands = 16, rowsPerBand = 4, threshold = 0.8),
       "a_id", "b_id")
+
+  /** Quality-canonical near-dup dedup: for each minhash near-dup
+    * CLUSTER, keep the member with the BEST quality score (the
+    * q_text_quality composite, 6-dp rounded; ties to the smaller
+    * doc_id) — the selection rule real curation pipelines use, where
+    * [[dedupCluster]]'s min-id canonical is the arbitrary-but-cheap
+    * default. Emits one row per multi-member cluster. Decisions are a
+    * max over struct(quality, −doc_id) — both fields deterministic on
+    * both engines (quality hash-matches per row via q_text_quality),
+    * so the DuckDB oracle replays pairs, closure, quality and the
+    * argmax exactly.
+    *
+    * 100 TB shape: quality is a per-row map riding the scan; clusters
+    * are the already-measured minhash topology + pointer-jumping
+    * closure; the final agg is one exchange keyed on the canonical id,
+    * cluster-count-sized. */
+  def dedupKeepBest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val n = size(toks($"text")).cast("double")
+    val nDistinct = size(array_distinct(toks($"text"))).cast("double")
+    val nStop = size(filter(toks($"text"), t => t.isin(stopwords.map(lit): _*))).cast("double")
+    val quality = docs.select($"doc_id",
+      round(least(n / lit(50.0), lit(1.0)) * 0.4 + (nDistinct / n) * 0.4
+        + (lit(1.0) - nStop / n) * 0.2, 6).as("quality"))
+    val clusters = api.Dedup.clusterPairs(
+      api.Dedup.minhashLsh(docs, "doc_id", "text",
+        n = 3, bands = 16, rowsPerBand = 4, threshold = 0.8),
+      "a_id", "b_id")
+    quality.join(clusters, Seq("doc_id"))
+      .groupBy($"canonical_doc")
+      .agg(
+        count(lit(1)).as("n_members"),
+        max(struct($"quality", (-$"doc_id").as("negid"))).as("best"))
+      .select($"canonical_doc".as("cluster_canon"), $"n_members",
+        (-$"best.negid").as("kept_doc"), $"best.quality".as("kept_quality"))
+      .orderBy($"cluster_canon")
+  }
 
   /** SimHash(64) with 4×16-bit chunk banding, hamming ≤ 3 — the
     * web-scale configuration (Manku et al. WWW'07; 16-bit chunk keys

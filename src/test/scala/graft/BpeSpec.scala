@@ -231,6 +231,28 @@ class BpeSpec extends SparkSpec {
     ()
   }
 
+  test("dedupKeepBest: kept member is in its cluster, quality-maximal, and NOT min-id in disguise") {
+    import spark.implicits._
+    val sfDir = "/root/testdata/sf0.001"
+    val best = Text.dedupKeepBest(spark, sfDir).cache()
+    // quality selection genuinely diverges from the min-id default
+    assert(best.filter($"kept_doc" =!= $"cluster_canon").count() > 0)
+    // every kept doc's quality >= its cluster canonical's quality
+    val q = Text.textQuality(spark, sfDir).select($"doc_id", $"quality")
+    val bad = best
+      .join(q.select($"doc_id".as("kept_doc"), $"quality".as("kq")), "kept_doc")
+      .join(q.select($"doc_id".as("cluster_canon"), $"quality".as("cq")), "cluster_canon")
+      .filter($"kq" < $"cq").count()
+    assert(bad == 0L)
+    // kept_quality matches the independent per-doc quality relation
+    val mismatch = best
+      .join(q.select($"doc_id".as("kept_doc"), $"quality".as("kq")), "kept_doc")
+      .filter($"kept_quality" =!= $"kq").count()
+    assert(mismatch == 0L)
+    best.unpersist()
+    ()
+  }
+
   test("separator-reconstructing paragraph dedup is idempotent on the surviving docs") {
     import spark.implicits._
     // mixed structure: cross-doc repeats, in-doc repeats, a doc that is
