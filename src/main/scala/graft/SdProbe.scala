@@ -67,6 +67,19 @@ object SdProbe {
             .agg(sum($"n_kept"), sum($"n_dropped")).collect()(0)
         }
         println(s"PROBE paraSep kept=${agg.getLong(0)} dropped=${agg.getLong(1)}")
+      case "paraSepTwice" =>
+        // the idempotence property AT SCALE: a second separator-
+        // reconstructing pass over the first pass's output must excise
+        // NOTHING (spec-pinned on toys; this proves it on the full
+        // rehearsal corpus)
+        val once = ops.Text.dedupParagraphsSep(Tables.documents(spark, dir), "<p>")
+          .select($"doc_id", $"text")
+        val agg = timed("dedup_para_sep_twice") {
+          ops.Text.dedupParagraphsSep(once, "<p>")
+            .agg(sum($"n_kept"), sum($"n_dropped")).collect()(0)
+        }
+        println(s"PROBE paraSepTwice kept=${agg.getLong(0)} dropped=${agg.getLong(1)} " +
+          s"idempotent=${agg.getLong(1) == 0L}")
     }
     spark.stop()
   }
