@@ -22,6 +22,10 @@ class ChunkOccupancySpec extends SparkSpec {
       .agg(max(col("occ"))).head.getLong(0)
 
   for (dir <- sfDirs) {
+    // this same bound is the streaming dedup's per-key state size:
+    // q_stream_simhash_dedup's ListState holds one 16-byte entry per
+    // bucket member (the identical simhashChunkBuckets relation), so
+    // occupancy < cap ⇒ every RocksDB value list stays tiny too
     test(s"simhash graded config: max uncapped chunk occupancy stays below the cap ($dir)") {
       assume(new java.io.File(dir).isDirectory, s"driver testdata not present at $dir")
       val docs = Tables.documents(spark, dir)
