@@ -298,9 +298,19 @@ object Text {
 
   /** Apply a learned merge list to the padded symbol strings — the
     * same replace chain training ran, replayed as one narrow
-    * projection (merge order matters and is preserved). */
+    * projection (merge order matters and is preserved). Guards every
+    * merge with the same symbol-alphabet require as training: this is
+    * reachable with CALLER-supplied merges through the public
+    * api.Bpe.segmentation, where an un-guarded splice into the SQL
+    * literal would be an injection (or a silent representation
+    * corruption for space-bearing symbols), not just a crash. */
   private[graft] def bpeApply(words: DataFrame, merges: Seq[BpeMerge]): DataFrame =
     merges.foldLeft(words) { (df, m) =>
+      require(!(m.lhs + m.rhs + m.merged).exists(
+          c => c == '\'' || c == '\\' || c.isWhitespace),
+        s"BPE merge symbol contains a quote/backslash/space: ${m.lhs}|${m.rhs}|${m.merged}")
+      require(m.merged == m.lhs + m.rhs,
+        s"BPE merge is not lhs+rhs: ${m.lhs}|${m.rhs} -> ${m.merged}")
       df.withColumn("syms",
         expr(s"replace(syms, ' ${m.lhs}  ${m.rhs} ', ' ${m.merged} ')"))
     }
@@ -313,6 +323,17 @@ object Text {
     api.ResultCache.getOrCompute[Seq[BpeMerge]](
       s"bpe:${api.ResultCache.sessionId(spark)}:$dir:$BpeMergeCount", _ => true)(
       bpeTrain(bpeWords(Tables.documents(spark, dir)), BpeMergeCount))
+
+  /** The trained (word → subtoken count) relation both consuming
+    * queries broadcast — built ONCE per shape (textBpeTokens and
+    * packChunksBpe construct the identical plan, so Spark's
+    * CacheManager shares the underlying bpeWords cache; review
+    * finding: the replace chain was previously copy-pasted in both). */
+  private def bpeSegCounts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    bpeApply(bpeWords(Tables.documents(spark, dir)), bpeMergesFor(spark, dir))
+      .select($"w", size(bpeSymArray($"syms")).as("n_sub"))
+  }
 
   /** Graded: the learned merge table itself — every row is an exact
     * integer/string decision the oracle re-derives independently by
@@ -333,13 +354,9 @@ object Text {
     * dictionary exchanges. */
   def textBpeTokens(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val docs = Tables.documents(spark, dir)
-    val merges = bpeMergesFor(spark, dir)
-    val seg = bpeApply(bpeWords(docs), merges)
-      .select($"w", size(bpeSymArray($"syms")).as("n_sub"))
-    docs
+    Tables.documents(spark, dir)
       .select($"lang", explode(toks($"text")).as("w"))
-      .join(broadcast(seg), "w")
+      .join(broadcast(bpeSegCounts(spark, dir)), "w")
       .groupBy($"lang")
       .agg(
         sum($"n_sub".cast("long")).as("sum_bpe_tokens"),
@@ -358,12 +375,9 @@ object Text {
     * training + counting + packing end to end. */
   def packChunksBpe(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val docs = Tables.documents(spark, dir)
-    val seg = bpeApply(bpeWords(docs), bpeMergesFor(spark, dir))
-      .select($"w", size(bpeSymArray($"syms")).as("n_sub"))
-    val counts = docs
+    val counts = Tables.documents(spark, dir)
       .select($"lang", $"doc_id", explode(toks($"text")).as("w"))
-      .join(broadcast(seg), "w")
+      .join(broadcast(bpeSegCounts(spark, dir)), "w")
       .groupBy($"lang", $"doc_id")
       .agg(sum($"n_sub".cast("long")).as("n_bpe_tokens"))
     api.Sampling.packChunks(counts, "lang", "doc_id", "n_bpe_tokens",
@@ -1357,17 +1371,12 @@ object Text {
     * cluster-count-sized. */
   def dedupKeepBest(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val docs = Tables.documents(spark, dir)
-    val n = size(toks($"text")).cast("double")
-    val nDistinct = size(array_distinct(toks($"text"))).cast("double")
-    val nStop = size(filter(toks($"text"), t => t.isin(stopwords.map(lit): _*))).cast("double")
-    val quality = docs.select($"doc_id",
-      round(least(n / lit(50.0), lit(1.0)) * 0.4 + (nDistinct / n) * 0.4
-        + (lit(1.0) - nStop / n) * 0.2, 6).as("quality"))
-    val clusters = api.Dedup.clusterPairs(
-      api.Dedup.minhashLsh(docs, "doc_id", "text",
-        n = 3, bands = 16, rowsPerBand = 4, threshold = 0.8),
-      "a_id", "b_id")
+    // reuse the graded building blocks verbatim (review finding): the
+    // cluster topology IS q_dedup_cluster's and the score IS
+    // q_text_quality's composite — a config or formula change lands in
+    // one place and both graded queries move together
+    val quality = textQuality(spark, dir).select($"doc_id", $"quality")
+    val clusters = dedupCluster(spark, dir)
     quality.join(clusters, Seq("doc_id"))
       .groupBy($"canonical_doc")
       .agg(
@@ -1839,9 +1848,16 @@ object Text {
     * Paragraphs keep their order; the separator itself is consumed. */
   private[graft] def paragraphViewSep(docs: DataFrame, sep: String): DataFrame = {
     import docs.sparkSession.implicits._
+    // split on the BARE separator token and trim each piece, not on the
+    // space-padded " sep " literal: adjacent separators ("a <p> <p> b")
+    // share their middle space, so the padded split can only consume one
+    // of them and leaks a raw "<p> b" paragraph (review finding). The
+    // separator is a TOKEN by contract — it must not occur as a
+    // substring of content tokens.
     docs
-      .select($"doc_id", split($"text", java.util.regex.Pattern.quote(s" $sep ")).as("ps"))
-      .select($"doc_id", posexplode($"ps").as(Seq("para_idx", "ptext")))
+      .select($"doc_id", split($"text", java.util.regex.Pattern.quote(sep)).as("ps"))
+      .select($"doc_id", posexplode($"ps").as(Seq("para_idx", "raw")))
+      .select($"doc_id", $"para_idx", trim($"raw").as("ptext"))
       .filter(length($"ptext") > 0)
   }
 

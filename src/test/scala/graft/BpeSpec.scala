@@ -108,8 +108,9 @@ class BpeSpec extends SparkSpec {
   test("bpeTrain degrades gracefully when the corpus exhausts before nMerges") {
     // all single-char words -> zero adjacent pairs -> zero merges, no
     // error (the oracle side truncates identically: an empty argmax CTE
-    // nulls the symbol strings and every later round's pair set is
-    // empty, so both engines emit the same short merge table)
+    // leaves the symbol strings UNCHANGED via the CASE guard — so the
+    // merge table AND the downstream count/packing oracles all mirror
+    // Spark's early loop exit)
     assert(Text.bpeTrain(wordsDf(Seq((0L, "a b c a b"))), 5).isEmpty)
     // two-char words exhaust after exactly one merge per distinct pair
     val m = Text.bpeTrain(wordsDf(Seq((0L, "ab ab cd"))), 5)
@@ -276,6 +277,18 @@ class BpeSpec extends SparkSpec {
     assert(twice == onceRows.filter(_._2.nonEmpty), s"twice: $twice")
     once.unpersist()
     ()
+  }
+
+  test("separator paragraph view: adjacent markers never leak the separator into a paragraph") {
+    import spark.implicits._
+    // "a <p> <p> b" — the two markers share their middle space; a
+    // padded-literal split consumed it and leaked "<p> b" (review
+    // finding). The bare-token split + trim yields clean paragraphs.
+    val docs = Seq((0L, "a b <p> <p> c d"), (1L, "<p> e f <p>")).toDF("doc_id", "text")
+    val got = ops.Text.paragraphViewSep(docs, "<p>")
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSeq.sorted
+    assert(got == Seq((0L, "a b"), (0L, "c d"), (1L, "e f")))
+    assert(got.forall(!_._2.contains("<p>")))
   }
 
   test("separator paragraph view splits on the marker and feeds the same operator") {

@@ -43,25 +43,12 @@ class CountPruneSpec extends SparkSpec {
 
   test("no graded query loses a plan leaf under count() outside the adjudicated set") {
     val dir = "/root/testdata/sf0.001"
-    def leafSigs(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Seq[String] =
-      plan.collectLeaves().map { l => l.nodeName + ":" + (l match {
-        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
-          lr.relation match {
-            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
-              fs.location.rootPaths.mkString(",")
-            case other => other.toString.take(60)
-          }
-        case other => other.schema.fieldNames.take(4).mkString(",")
-      }) }
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      val df = fn(spark, dir)
-      val qLeaves = leafSigs(df.queryExecution.optimizedPlan)
-      val cLeaves = leafSigs(df.groupBy().count().queryExecution.optimizedPlan)
-      val pruned = qLeaves.groupBy(identity).exists { case (k, v) =>
-        cLeaves.count(_ == k) < v.size
-      }
-      if (pruned && !adjudicated.contains(name)) offenders += name
+      // leaf extraction shared with CountPruneProbe via PlanLeaves —
+      // one definition of "pruned", probe and gate can never disagree
+      if (PlanLeaves.prunedUnderCount(fn(spark, dir)).nonEmpty
+          && !adjudicated.contains(name)) offenders += name
       spark.catalog.clearCache()
       api.ResultCache.clear()
     }
