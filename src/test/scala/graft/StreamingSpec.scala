@@ -224,6 +224,30 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("simhash dedup kernel matches a driver O(n²) replay on randomized signatures") {
+    import spark.implicits._
+    // dense small signature space (low bits perturbed) so hamming ≤ 3
+    // matches, band collisions and non-matching collisions all occur
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed * 52361)
+      val base = Array.fill(4)(rnd.nextLong())
+      val sigs = (1L to 50L).map { d =>
+        d -> (base(rnd.nextInt(4)) ^ (rnd.nextLong() & ((1L << rnd.nextInt(8)) - 1)))
+      }
+      val expected = sigs.map { case (d, s) =>
+        d -> (if (sigs.exists { case (e, t) =>
+          e < d && java.lang.Long.bitCount(s ^ t) <= 3 }) 1 else 0)
+      }.toMap
+      val bands = sigs.flatMap { case (d, s) =>
+        (0 until 4).map(c => Streaming.SigBand(d, s, c, (s >>> (c * 16)) & 0xFFFFL))
+      }
+      val got = Streaming.simhashDedupFlags(bands.toDS()).toDF()
+        .groupBy($"doc_id").agg(max($"matched").as("m"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(got == expected, s"seed=$seed: ${got.toSeq.sorted.diff(expected.toSeq.sorted)}")
+    }
+  }
+
   test("sliding window counts match hand-rolled expansion") {
     import spark.implicits._
     val df = Seq(ev(1, "2024-01-01 10:05:00", 1, "click")).toDF
