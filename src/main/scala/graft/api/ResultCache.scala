@@ -115,7 +115,7 @@ object ResultCache {
     // instead of breaking the parse / resolving as a nested field
     val cols = df.columns.map(c => col(s"`${c.replace("`", "``")}`"))
     val r = df
-      .select(xxhash64(cols: _*).as("__h"))
+      .select(xxhash64(scala.collection.immutable.ArraySeq.unsafeWrapArray(cols): _*).as("__h"))
       .groupBy(col("__h")).agg(count(lit(1)).as("__m"))
       .agg(
         expr("sum(__m)").as("n"),

@@ -375,7 +375,7 @@ object Streaming {
         expired: ExpiredTimerInfo): Iterator[SessionOut] = {
       // a stale timer (session re-extended in the same batch) never
       // reaches here — re-extension deletes it — but guard anyway
-      if (state.exists() && state.get().timerMs == expired.getExpiryTimeInMs) {
+      if (state.exists() && state.get().timerMs == expired.getExpiryTimeInMs()) {
         val st = state.get()
         state.clear()
         Iterator.single(SessionOut(uid, st.startMs, st.lastMs, st.n))

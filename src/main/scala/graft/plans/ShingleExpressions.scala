@@ -48,7 +48,7 @@ case class WordShingles(child: Expression, n: Int)
 
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
     val v = child.eval(input)
-    if (v == null) WordShingles.EMPTY
+    if (v == null) WordShingles.EMPTY()
     else WordShingles.compute(v.asInstanceOf[UTF8String], n)
   }
 
