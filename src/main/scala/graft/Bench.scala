@@ -147,7 +147,30 @@ object Bench {
       if (s == 42L) println("") // defeat dead-code elimination
       (System.nanoTime() - t0) / 1e9
     }
+    // width calibration: the SAME loop on every core at once, reported
+    // as the ratio of mean per-thread time at full width to the scalar
+    // probe. An idle machine reads ~1.0; the round-13 opening window
+    // read 1.39× at a NEAR-QUIET scalar probe (host-level multi-core
+    // contention/frequency capping the single-thread loop cannot see)
+    // while the suite total inflated by exactly that factor — so the
+    // artifact now records the one number that explains such runs.
+    def calibrateWide(scalar: Double): Double = {
+      val n = Runtime.getRuntime.availableProcessors()
+      val times = new Array[Double](n)
+      val threads = (0 until n).map { t =>
+        new Thread(() => {
+          val t0 = System.nanoTime()
+          var s = 0L; var i = 0L
+          while (i < 200000000L) { s += i ^ (i >> 3); i += 1 }
+          if (s == 42L) println("")
+          times(t) = (System.nanoTime() - t0) / 1e9
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      times.sum / n / scalar
+    }
     val calBefore = calibrate()
+    val calMtRatio = calibrateWide(calBefore)
     // Two timed runs per query, keep the better (see header for the
     // cache semantics of run 2): one-time costs (codegen compile,
     // reader-path JIT — ~5-8s on cold paths, and the codegen cache
@@ -247,8 +270,8 @@ object Bench {
     val b73Total = b73.map(_._2).sum
     val calAfter = calibrate()
     // "summary" stays the LAST key so it survives any truncation depth
-    val summary = s"""{"total_s":$total,"cold_total_s":$coldTotal,"n_queries":${results.size},"baseline73_s":$b73Total,"cal_before_s":$calBefore,"cal_after_s":$calAfter,"n_failed":${failed.size}}"""
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"baseline73":{"n":${b73.size},"total_s":$b73Total},"queries":$qs,"jobs":$js,"cold":$colds,"warm_top":$warmTop,"cold_top":$coldTop,"failed":$failedJson,"retried":$retriedJson,"calibration":{"before_s":$calBefore,"after_s":$calAfter},"sf":"$sfDir","summary":$summary}"""
+    val summary = s"""{"total_s":$total,"cold_total_s":$coldTotal,"n_queries":${results.size},"baseline73_s":$b73Total,"cal_before_s":$calBefore,"cal_after_s":$calAfter,"cal_mt_ratio":$calMtRatio,"n_failed":${failed.size}}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"baseline73":{"n":${b73.size},"total_s":$b73Total},"queries":$qs,"jobs":$js,"cold":$colds,"warm_top":$warmTop,"cold_top":$coldTop,"failed":$failedJson,"retried":$retriedJson,"calibration":{"before_s":$calBefore,"after_s":$calAfter,"mt_ratio":$calMtRatio},"sf":"$sfDir","summary":$summary}"""
     // bench_full_latest.json is the FULL-SUITE record README/BASELINE
     // comparisons cite; a SPARK_GRAFT_QUERIES subset run (the scale
     // rehearsal) must not clobber it — it gets its own file

@@ -23,10 +23,14 @@ object Bpe {
 
   /** Train `nMerges` byte-pair merges on the whitespace words of
     * `textCol`. Deterministic: integer pair counts, (count DESC, lhs,
-    * rhs) tie-break. */
+    * rhs) tie-break. Runs the merge-BATCHED trainer — the identical
+    * merge table as classic sequential BPE (spec-pinned equivalence;
+    * see graft.ops.Text.bpeTrainBatched's admission proof) in
+    * ~batch× fewer driver supersteps, the difference between 32k and
+    * a few hundred driver round-trips at production vocab sizes. */
   def train(docs: DataFrame, textCol: String, nMerges: Int): Seq[Merge] =
-    graft.ops.Text.bpeTrain(
-      graft.ops.Text.bpeWords(docs.select(col(textCol).as("text"))), nMerges)
+    graft.ops.Text.bpeTrainBatched(
+      graft.ops.Text.bpeWords(docs.select(col(textCol).as("text"))), nMerges)._1
       .map(m => Merge(m.step, m.lhs, m.rhs, m.merged, m.pair_count))
 
   /** The trained tokenizer as a relation: one row per distinct word

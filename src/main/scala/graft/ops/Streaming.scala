@@ -394,6 +394,10 @@ object Streaming {
 
   def funnelBatchTws(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // touch the StreamingQueryManager once before the first batch-mode
+    // transformWithState plan builds (lazy session-state init ordering);
+    // deliberate, and ONE touch per session suffices — a copy of this
+    // line in simhashDedupBatchTws was dead and is removed
     spark.streams.active
     funnelPerUserTws(graft.Tables.events(spark, dir).as[Event]).toDF()
       .select(col("user_id"), col("event_id"),
@@ -469,10 +473,22 @@ object Streaming {
       ttl: org.apache.spark.sql.streaming.TTLConfig =
         org.apache.spark.sql.streaming.TTLConfig.NONE): Dataset[BandFlag] = {
     import bands.sparkSession.implicits._
+    // Spark rejects state TTL outside ProcessingTime time mode, so the
+    // mode FOLLOWS the ttl argument (a hardcoded TimeMode.None() made
+    // the advertised TTL hook fail at query start — advice finding,
+    // now exercised by StreamingSpec's eviction case). Verdicts under
+    // eviction: a doc whose only hamming-≤maxHamming predecessors have
+    // TTL-expired is NOT flagged — dedup-against-RECENT, the documented
+    // production semantics; the batch twin keeps TTLConfig.NONE so its
+    // verdicts stay the full earlier-doc relation the oracle replays.
+    val timeMode =
+      if (ttl == org.apache.spark.sql.streaming.TTLConfig.NONE)
+        org.apache.spark.sql.streaming.TimeMode.None()
+      else org.apache.spark.sql.streaming.TimeMode.ProcessingTime()
     bands
       .groupByKey(b => (b.chunk_idx, b.chunk_key))
       .transformWithState(new SimhashDedupProcessor(maxHamming, ttl),
-        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+        timeMode, OutputMode.Append())
   }
 
   /** [[simhashDedupFlags]] in BATCH mode as an oracle-gradeable query
@@ -484,7 +500,6 @@ object Streaming {
     * (docs under 3 tokens have no signature and are never dups). */
   def simhashDedupBatchTws(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    spark.streams.active
     val docs = graft.Tables.documents(spark, dir)
     // Signature-less docs (< 3 tokens — no shingles) ride the SAME
     // stateful path under a sentinel band keyed by their own doc_id
@@ -499,8 +514,12 @@ object Streaming {
     // right side — 5.9 s vs 13.3 s). With the union, the stateful
     // kernel is the only source of doc_ids and no consumer can prune
     // it.
+    // coalesce: null-text docs must ride the sigless sentinel too — a
+    // bare size(split(null)) comparison is null in BOTH branch filters,
+    // silently dropping the doc while the oracle's LEFT JOIN emits it
+    // with is_dup = 0 (advice finding)
     val sigless = docs
-      .filter(size(split(col("text"), " ")) < 3)
+      .filter(coalesce(size(split(col("text"), " ")), lit(0)) < 3)
       .select(col("doc_id"), lit(0L).as("sig"),
         lit(-1).as("chunk_idx"), col("doc_id").as("chunk_key"))
     val bands = graft.api.Dedup.simhashChunkBuckets(

@@ -124,6 +124,76 @@ class BpeSpec extends SparkSpec {
     assert(a == b)
   }
 
+  // ---- merge-batched trainer: exact equivalence to the sequential one ----
+
+  test("bpeTrainBatched: the naive-batching counterexample closes the batch and stays sequential-exact") {
+    // counts: (a,b)=100 tied with (x,a)=100, (c,d)=60. Sequential: pick
+    // (a,b) (tie-break), then the NEW pair (x,ab) has count 100 and
+    // beats (c,d) — a batcher that admitted (c,d) alongside (a,b) would
+    // diverge here. The admission rule folds (x,a)=100 into the threat,
+    // so (c,d)=60 fails 60 > 100 and the superstep closes after one
+    // merge — exactness over batch size.
+    val docs = Seq((0L, (("xab " * 100) + ("cd " * 60)).trim))
+    val freq: Map[String, Long] = docs.flatMap(_._2.split(" ")).groupBy(identity)
+      .map { case (w, g) => w -> g.size.toLong }
+    val expected = replayBpe(freq, 4)
+    val (got, steps) = Text.bpeTrainBatched(wordsDf(docs), 4, maxBatch = 8, topM = 16)
+    assert(got.map(m => (m.lhs, m.rhs, m.pair_count)) == expected,
+      s"\ngot:      $got\nexpected: $expected")
+    assert(steps >= 2, s"the counterexample cannot batch its first two merges: $steps")
+  }
+
+  test("bpeTrainBatched equals bpeTrain merge-for-merge on toy and randomized corpora") {
+    val toy = Seq(
+      (0L, "lower lower lowest newer newer newer new"),
+      (1L, "wider wide new newer lowest"),
+      (2L, "low low lower wide wide wide"))
+    val toyWords = wordsDf(toy)
+    val seqMerges = Text.bpeTrain(toyWords, 10)
+    val (batched, steps) = Text.bpeTrainBatched(toyWords, 10)
+    assert(batched == seqMerges)
+    assert(steps <= seqMerges.size)
+    // randomized sweep, deliberately hostile knobs: topM at its floor
+    // (heavy truncation -> the tail threat floor is live) and a small
+    // alphabet (dense symbol sharing -> conflicts are the common case)
+    for (seed <- 1 to 5; (mb, tm) <- Seq((1, 4), (4, 4), (8, 32))) {
+      val rnd = new scala.util.Random(seed * 7919)
+      val alphabet = "abcd"
+      val docs = (0L until 3L).map { d =>
+        d -> Seq.fill(8 + rnd.nextInt(8))(
+          Seq.fill(1 + rnd.nextInt(6))(alphabet(rnd.nextInt(alphabet.length))).mkString
+        ).mkString(" ")
+      }
+      val words = wordsDf(docs)
+      val expected = Text.bpeTrain(words, 8)
+      val (got, _) = Text.bpeTrainBatched(words, 8, maxBatch = mb, topM = tm)
+      assert(got == expected,
+        s"seed=$seed maxBatch=$mb topM=$tm corpus=$docs\ngot: $got\nexpected: $expected")
+    }
+  }
+
+  test("bpeTrainBatched: maxBatch=1 degenerates to one merge per superstep; exhaustion matches") {
+    val words = wordsDf(Seq((0L, "aa ab aa ba ab aa"), (1L, "ba ba ab")))
+    val (m1, s1) = Text.bpeTrainBatched(words, 6, maxBatch = 1)
+    assert(m1 == Text.bpeTrain(words, 6))
+    assert(s1 == m1.size || s1 == m1.size + 1) // +1 = the empty closing aggregate
+    // exhaustion: single-char words -> no pairs -> empty, one superstep
+    val (m0, s0) = Text.bpeTrainBatched(wordsDf(Seq((0L, "a b c a b"))), 5)
+    assert(m0.isEmpty && s0 == 1)
+    val (m2, _) = Text.bpeTrainBatched(wordsDf(Seq((0L, "ab ab cd"))), 5)
+    assert(m2.map(x => (x.lhs, x.rhs)) == Seq(("a", "b"), ("c", "d")))
+  }
+
+  test("bpeTrainBatched on the real sf0.001 corpus: identical merges, fewer supersteps") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val words = Text.bpeWords(docs)
+    val expected = Text.bpeTrain(words, Text.BpeMergeCount)
+    val (got, steps) = Text.bpeTrainBatched(words, Text.BpeMergeCount)
+    assert(got == expected)
+    assert(steps < Text.BpeMergeCount,
+      s"real corpus must batch at least once: $steps supersteps for ${got.size} merges")
+  }
+
   test("bpeApply segmentation: every word re-tokenizes to the replay's symbol sequence") {
     import spark.implicits._
     val docs = Seq((0L, "lower lower lowest newer newer newer new wider wide"))

@@ -248,6 +248,59 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming simhash dedup with TTL: expired predecessors stop flagging (dedup-against-recent)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // doc 2 is within hamming 2 of doc 1. Control query (60 s TTL —
+    // ProcessingTime mode active, nothing expires inside the test):
+    // doc 2 flags. Eviction query (1 s TTL, 3.5 s between the
+    // micro-batches): doc 1's state entry has expired when doc 2
+    // arrives, so doc 2 does NOT flag — the dedup-against-recent
+    // contract. Also proves the TTL hook itself is usable (a hardcoded
+    // TimeMode.None() used to fail any non-NONE TTL at query start).
+    // POLL the sink rather than processAllAvailable: under a TTL the
+    // engine retriggers empty micro-batches continuously for state
+    // cleanup, so processAllAvailable never returns (TtlProbe finding:
+    // batchId 87, numInputRows 0, after 60 s on a two-row stream).
+    val sigA = 0x0123456789abcdefL
+    val sigs = Seq(1L -> sigA, 2L -> (sigA ^ 0x3L))
+    def bands(docSig: (Long, Long)): Seq[Streaming.SigBand] =
+      (0 until 4).map(c => Streaming.SigBand(
+        docSig._1, docSig._2, c, (docSig._2 >>> (c * 16)) & 0xFFFFL))
+    def awaitRows(table: String, n: Long): Unit = {
+      val t0 = System.nanoTime()
+      while (spark.table(table).count() < n) {
+        assert((System.nanoTime() - t0) / 1e9 < 60, s"$table: rows never reached $n")
+        Thread.sleep(100)
+      }
+    }
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def run(name: String, ttlMs: Long, gapMs: Long): Map[Long, Int] = {
+        val ms = MemoryStream[Streaming.SigBand]
+        val q = Streaming.simhashDedupFlags(ms.toDS(),
+            ttl = org.apache.spark.sql.streaming.TTLConfig(
+              java.time.Duration.ofMillis(ttlMs)))
+          .writeStream.format("memory").queryName(name).outputMode("append").start()
+        try {
+          ms.addData(bands(sigs.head)); awaitRows(name, 4)
+          if (gapMs > 0) Thread.sleep(gapMs)
+          ms.addData(bands(sigs(1))); awaitRows(name, 8)
+        } finally q.stop()
+        spark.table(name)
+          .groupBy($"doc_id").agg(max($"matched").as("m"))
+          .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      }
+      assert(run("simdedup_ttl_ctl", 60000L, 0L) == Map(1L -> 0, 2L -> 1))
+      assert(run("simdedup_ttl_evict", 1000L, 3500L) == Map(1L -> 0, 2L -> 0))
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("sliding window counts match hand-rolled expansion") {
     import spark.implicits._
     val df = Seq(ev(1, "2024-01-01 10:05:00", 1, "click")).toDF
