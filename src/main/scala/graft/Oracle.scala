@@ -267,6 +267,92 @@ object Oracle {
        |       CAST(sum(CASE WHEN rn <> 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
        |FROM flag GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Quality-canonical paragraph dedup replay (mirrors
+    * graft.ops.Text.textParaKeepBest): the dedupParaOracle view, but
+    * the survivor of each duplicated paragraph is chosen by its
+    * containing document's quality composite (the q_text_quality
+    * replay, 6-dp) — DESC, ties to (doc_id, para_idx). */
+  private def paraKeepBestOracle(paraTokens: Int): String =
+    s"""WITH sy AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |q AS (
+       |  SELECT doc_id,
+       |         round(least(n / 50.0, 1.0) * 0.4 + (nd / n) * 0.4
+       |               + (1.0 - ns / n) * 0.2, 6) AS quality
+       |  FROM (SELECT doc_id,
+       |          CAST(len(string_split(text, ' ')) AS DOUBLE) AS n,
+       |          CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS nd,
+       |          CAST(len(list_filter(string_split(text, ' '),
+       |            t -> list_contains(['the','a','of','and','to','in','is','it'], t))) AS DOUBLE) AS ns
+       |        FROM documents) t0),
+       |par AS (
+       |  SELECT doc_id, k AS para_idx,
+       |         array_to_string(t[k * $paraTokens + 1 : k * $paraTokens + $paraTokens], ' ') AS ptext
+       |  FROM (SELECT doc_id, t, unnest(generate_series(0, (len(t) - 1) // $paraTokens)) AS k
+       |        FROM sy) s0),
+       |flag AS (
+       |  SELECT p.doc_id, p.para_idx, p.ptext,
+       |         row_number() OVER (PARTITION BY p.ptext
+       |           ORDER BY q.quality DESC, p.doc_id, p.para_idx) AS rn
+       |  FROM par p JOIN q USING (doc_id))
+       |SELECT doc_id,
+       |       coalesce(string_agg(CASE WHEN rn = 1 THEN ptext END, ' ' ORDER BY para_idx), '') AS text,
+       |       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |       CAST(sum(CASE WHEN rn <> 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+       |FROM flag GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Paragraph-granularity TRIM replay (mirrors graft.ops.Text
+    * .textTrimPara): the q_text_dedup_trim replay — window rank,
+    * coverage union, gaps-and-islands — run PER (doc, paragraph) unit
+    * over the fixed-width paragraph view, then document reconstruction
+    * joining surviving segments with the seam marker in
+    * (para_idx, segment position) order; fully-excised docs emit ''. */
+  private def trimParaOracle(paraTokens: Int, len: Int): String =
+    s"""WITH sy AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |par AS (
+       |  SELECT doc_id, k AS para_idx,
+       |         t[k * $paraTokens + 1 : k * $paraTokens + $paraTokens] AS toks
+       |  FROM (SELECT doc_id, t, unnest(generate_series(0, (len(t) - 1) // $paraTokens)) AS k
+       |        FROM sy) s0),
+       |p2 AS (SELECT doc_id, para_idx, toks, len(toks) AS n FROM par),
+       |spans AS (
+       |  SELECT doc_id, para_idx, p,
+       |         array_to_string(list_slice(toks, p, p + ${len - 1}), ' ') AS span
+       |  FROM (SELECT doc_id, para_idx, toks, unnest(generate_series(1, n - ${len - 1})) AS p
+       |        FROM p2 WHERE n >= $len) s1),
+       |marked AS (
+       |  SELECT doc_id, para_idx, p FROM (
+       |    SELECT doc_id, para_idx, p,
+       |           row_number() OVER (PARTITION BY span ORDER BY doc_id, para_idx, p) AS rn,
+       |           count(*) OVER (PARTITION BY span) AS c
+       |    FROM spans) s2 WHERE c >= 2 AND rn >= 2),
+       |covered AS (
+       |  SELECT DISTINCT doc_id, para_idx, p + i AS qq
+       |  FROM marked, (SELECT unnest(generate_series(0, ${len - 1})) AS i) ii),
+       |tok AS (
+       |  SELECT doc_id, para_idx, toks[qq] AS tok, qq
+       |  FROM (SELECT doc_id, para_idx, toks, unnest(generate_series(1, n)) AS qq FROM p2) s3),
+       |surv AS (
+       |  SELECT tok.doc_id, tok.para_idx, tok.qq, tok.tok
+       |  FROM tok ANTI JOIN covered
+       |    ON tok.doc_id = covered.doc_id AND tok.para_idx = covered.para_idx
+       |   AND tok.qq = covered.qq),
+       |segtext AS (
+       |  SELECT doc_id, para_idx, isl, min(qq) AS q0,
+       |         string_agg(tok, ' ' ORDER BY qq) AS stext
+       |  FROM (SELECT doc_id, para_idx, qq, tok,
+       |               qq - row_number() OVER (PARTITION BY doc_id, para_idx ORDER BY qq) AS isl
+       |        FROM surv) s4
+       |  GROUP BY doc_id, para_idx, isl),
+       |recon AS (
+       |  SELECT doc_id, string_agg(stext, ' <p> ' ORDER BY para_idx, q0) AS text,
+       |         count(*) AS n_segments
+       |  FROM segtext GROUP BY doc_id)
+       |SELECT d.doc_id, coalesce(r.text, '') AS text,
+       |       CAST(coalesce(r.n_segments, 0) AS BIGINT) AS n_segments
+       |FROM (SELECT DISTINCT doc_id FROM documents) d
+       |LEFT JOIN recon r ON d.doc_id = r.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
   /** Full LSH-ANN replay (mirrors graft.api.Similarity.annLsh): bucket
     * bit p of table t = sign of coordinate lshCoords(t)(p) — the coord
     * constants come from the same Scala generator the Spark side uses
@@ -338,6 +424,10 @@ object Oracle {
     "q_text_bpe_tokens" -> bpeTokensOracle(graft.ops.Text.BpeMergeCount),
 
     "q_text_dedup_para" -> dedupParaOracle(20),
+
+    "q_text_para_keep_best" -> paraKeepBestOracle(20),
+
+    "q_text_trim_para" -> trimParaOracle(20, 8),
 
     // BPE-budget packing: the full training replay feeds per-doc
     // subtoken counts, then the q_pack_chunks window

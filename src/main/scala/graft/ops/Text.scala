@@ -107,6 +107,20 @@ object Text {
       .limit(20)
   }
 
+  /** The 6-dp quality composite over any text column — THE quality
+    * score every graded consumer shares (q_text_quality's `quality`
+    * column, dedupKeepBest's argmax, textParaKeepBest's document
+    * ranking): a formula change lands here once and all of them move
+    * together. Integer-count inputs, so every division is
+    * bit-deterministic and the DuckDB replay matches exactly. */
+  private[graft] def qualityComposite(text: Column): Column = {
+    val n = size(toks(text)).cast("double")
+    val nDistinct = size(array_distinct(toks(text))).cast("double")
+    val nStop = size(filter(toks(text), t => t.isin(stopwords.map(lit): _*))).cast("double")
+    round(least(n / lit(50.0), lit(1.0)) * 0.4 + (nDistinct / n) * 0.4
+      + (lit(1.0) - nStop / n) * 0.2, 6)
+  }
+
   /** Per-document quality scoring: token count, type/token ratio, stopword
     * ratio, average token length, and a composite score. All inputs are
     * integer counts so every division is bit-deterministic. */
@@ -122,8 +136,7 @@ object Text {
         round((nDistinct / n), 6).as("ttr"),
         round((nStop / n), 6).as("stopword_ratio"),
         round(($"n_chars".cast("double") - (n - 1.0)) / n, 6).as("avg_token_len"),
-        round(least(n / lit(50.0), lit(1.0)) * 0.4 + (nDistinct / n) * 0.4
-          + (lit(1.0) - nStop / n) * 0.2, 6).as("quality"),
+        qualityComposite($"text").as("quality"),
       )
       .orderBy($"doc_id")
   }
@@ -1994,12 +2007,18 @@ object Text {
     * a row_number window, then one exchange on doc_id for the
     * reconstruction agg whose per-doc state is bounded by the doc's
     * own paragraph count. Nothing O(pairs), nothing collected. */
-  private[graft] def dedupParagraphs(paras: DataFrame, joiner: String = " "): DataFrame = {
+  private[graft] def dedupParagraphs(paras: DataFrame, joiner: String = " ",
+      keepOrder: Seq[Column] = Nil): DataFrame = {
     import paras.sparkSession.implicits._
+    // keepOrder generalizes the survivor policy: default = first
+    // occurrence by (doc_id, para_idx); textParaKeepBest passes a
+    // quality-ranked order (the dedupKeepBest policy at paragraph
+    // granularity). Any order must end in a unique tiebreak.
+    val ord = if (keepOrder.isEmpty) Seq($"doc_id", $"para_idx") else keepOrder
     paras
       .withColumn("__d", struct(xxhash64($"ptext"), xxhash64(lit(7), $"ptext")))
       .withColumn("__keep", row_number().over(
-        Window.partitionBy($"__d").orderBy($"doc_id", $"para_idx")) === 1)
+        Window.partitionBy($"__d").orderBy(ord: _*)) === 1)
       .groupBy($"doc_id")
       .agg(
         array_join(
@@ -2016,6 +2035,98 @@ object Text {
   /** Graded: [[dedupParagraphs]] over the 20-token paragraph view. */
   def textDedupPara(spark: SparkSession, dir: String): DataFrame =
     dedupParagraphs(paragraphView(Tables.documents(spark, dir), ParaTokens))
+
+  /** Quality-canonical paragraph dedup — [[dedupKeepBest]]'s argmax
+    * policy at paragraph granularity (round-12 verdict item 7): among
+    * the copies of each duplicated paragraph, keep the one whose
+    * containing DOCUMENT has the best [[qualityComposite]] score
+    * (exact-duplicate paragraphs are identical strings, so paragraph-
+    * level quality would be constant within a group — the document is
+    * the thing the copies differ by; ties to first occurrence). Same
+    * reconstruction contract as [[textDedupPara]].
+    *
+    * 100 TB shape: identical to [[dedupParagraphs]] — quality is a
+    * per-row map riding the same scan that feeds the paragraph
+    * explode (zero extra exchanges), then ONE digest-keyed window
+    * exchange + ONE doc_id reconstruction exchange. */
+  def textParaKeepBest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val paras = Tables.documents(spark, dir)
+      .select($"doc_id", qualityComposite($"text").as("__q"), toks($"text").as("t"))
+      .select($"doc_id", $"__q", posexplode(expr(
+        s"""transform(sequence(0, (size(t) - 1) div $ParaTokens),
+           |          k -> array_join(slice(t, k * $ParaTokens + 1, $ParaTokens), ' '))"""
+          .stripMargin)).as(Seq("para_idx", "ptext")))
+    dedupParagraphs(paras,
+      keepOrder = Seq($"__q".desc, $"doc_id", $"para_idx"))
+  }
+
+  /** Paragraph-granularity substring TRIM (round-12 verdict item 2 /
+    * SURVEY §21 forward note 1): [[dedupTrim]]'s len-token duplicated-
+    * window excision applied INSIDE paragraphs — each (doc, paragraph)
+    * is its own trim unit, so no window ever spans a paragraph seam —
+    * followed by seam-PRESERVING document reconstruction: the
+    * surviving segments are re-joined with the paragraph separator in
+    * (para_idx, seg_id) order, so every output paragraph is exactly
+    * one surviving segment and re-splitting the output reproduces the
+    * segments (the idempotence contract, spec-pinned over the
+    * separator view: a segment's windows are windows of an original
+    * paragraph, every non-first duplicate of which was just excised).
+    * First occurrence = min (doc_id, para_idx, position) — the
+    * composite unit id IS dedupTrim's doc key, so the existing kernel
+    * runs unchanged. Docs whose every position was excised emit
+    * text = '' with n_segments = 0 (the honest fixpoint, as in
+    * [[dedupParagraphsSep]]).
+    *
+    * 100 TB shape: exactly [[dedupTrim]]'s (one digest-keyed
+    * corpus-positions exchange, candidates-only string work, compiled
+    * coverage sweep) plus one doc_id reconstruction exchange bounded
+    * by per-doc segment counts; the unit-id struct only widens the
+    * shuffle key by 4 bytes. */
+  private[graft] def dedupTrimParagraphs(paras: DataFrame, len: Int,
+      joiner: String): DataFrame = {
+    import paras.sparkSession.implicits._
+    val trimmed = dedupTrim(
+      paras.select(struct($"doc_id".as("d"), $"para_idx".as("pi")).as("doc_id"),
+        $"ptext".as("text")), len)
+    val segs = trimmed.select($"doc_id.d".as("doc_id"),
+      struct($"doc_id.pi".as("pi"), $"seg_id".as("sg")).as("ord"), $"text")
+    // fully-excised docs re-enter through a null-text SENTINEL row per
+    // doc (not a join-back against the input: a unique-keyed outer
+    // join is exactly the count-prunable shape the
+    // q_stream_simhash_dedup fix removed — with the union, the trim
+    // kernel is a doc_id source no consumer can eliminate).
+    // collect_list skips the sentinel's null struct; sum counts only
+    // real segments, so such docs emit text = '' with n_segments = 0.
+    val sentinel = paras.select($"doc_id").distinct()
+      .select($"doc_id", struct(lit(-1).as("pi"), lit(-1).as("sg")).as("ord"),
+        lit(null).cast("string").as("text"))
+    segs.unionByName(sentinel)
+      .groupBy($"doc_id")
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(when($"text".isNotNull,
+            struct($"ord", $"text")))), x => x.getField("text")),
+          joiner).as("text"),
+        sum(when($"text".isNotNull, 1L).otherwise(0L)).as("n_segments"))
+      .orderBy($"doc_id")
+  }
+
+  /** Graded: [[dedupTrimParagraphs]] over the 20-token paragraph view
+    * with the 8-token window of q_text_dedup_trim; reconstruction
+    * joins surviving segments with the explicit seam marker. */
+  def textTrimPara(spark: SparkSession, dir: String): DataFrame =
+    dedupTrimParagraphs(
+      paragraphView(Tables.documents(spark, dir), ParaTokens), 8, " <p> ")
+
+  /** [[dedupTrimParagraphs]] over a separator-token corpus — the
+    * natural-structure front end (x10paras/x100paras): trims inside
+    * the corpus' own paragraphs and reconstructs with the same
+    * separator, so the output re-splits to exactly the surviving
+    * segments and a second pass is the identity on them. */
+  private[graft] def dedupTrimParagraphsSep(docs: DataFrame, len: Int,
+      sep: String): DataFrame =
+    dedupTrimParagraphs(paragraphViewSep(docs, sep), len, s" $sep ")
 
   /** [[dedupParagraphs]] over a separator-token corpus, reconstructing
     * WITH the separator — so the output's paragraph structure is the

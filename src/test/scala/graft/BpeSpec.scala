@@ -370,4 +370,117 @@ class BpeSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
     assert(got.toSeq == Seq((0L, "a b c d", 2L, 0L), (1L, "e f", 1L, 1L)))
   }
+
+  // ---- paragraph-granularity keep-best + TRIM (round-13) ----
+
+  test("textParaKeepBest keeps the copy in the better-quality DOCUMENT, not the first occurrence") {
+    import spark.implicits._
+    // paragraph "c d" appears in doc 0 (low quality: repeated tokens,
+    // no stopwords beyond length) and doc 1 (higher quality: more
+    // distinct tokens + stopwords). First-occurrence keeps doc 0's
+    // copy; quality policy must keep doc 1's.
+    val r = spark.range(1).select(
+      Text.qualityComposite(lit("x x x x c d x x")).as("a"),
+      Text.qualityComposite(lit("the a of and is c d in")).as("b")).head()
+    assert(r.getDouble(1) > r.getDouble(0),
+      s"test corpus must rank doc 1 above doc 0: ${r.getDouble(0)} vs ${r.getDouble(1)}")
+    val paras = Seq(
+      (0L, 0.0, 0, "x x x x"), (0L, 0.0, 1, "c d"),
+      (1L, 1.0, 0, "the a of"), (1L, 1.0, 1, "c d"))
+      .toDF("doc_id", "__q", "para_idx", "ptext")
+    val got = Text.dedupParagraphs(paras,
+        keepOrder = Seq($"__q".desc, $"doc_id", $"para_idx"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq(
+      (0L, "x x x x", 1L, 1L),
+      (1L, "the a of c d", 2L, 0L)), s"got: $got")
+  }
+
+  test("textParaKeepBest on sf0.001: acts, diverges from first-occurrence, conserves distinct paragraphs") {
+    import spark.implicits._
+    val sfDir = "/root/testdata/sf0.001"
+    val best = Text.textParaKeepBest(spark, sfDir).cache()
+    val first = Text.textDedupPara(spark, sfDir)
+    // same totals (one survivor per distinct paragraph either way)
+    val bTot = best.agg(sum($"n_kept"), sum($"n_dropped")).head()
+    val fTot = first.agg(sum($"n_kept"), sum($"n_dropped")).head()
+    assert(bTot == fTot)
+    // but the POLICY diverges: at least one doc reconstructs differently
+    val diff = best.select($"doc_id", $"text")
+      .join(first.select($"doc_id", $"text".as("ftext")), "doc_id")
+      .filter($"text" =!= $"ftext").count()
+    assert(diff > 0, "quality policy never diverged from first-occurrence on the real corpus")
+    best.unpersist()
+    ()
+  }
+
+  test("dedupTrimParagraphs: windows never span paragraph seams; fully-excised docs emit ''") {
+    import spark.implicits._
+    // len=2 windows. "a b" duplicated across docs 0/1 inside paragraphs;
+    // doc 2's single paragraph is entirely a duplicated window (fully
+    // excised); the seam pair (b, c) at doc 0's paragraph boundary is
+    // NOT a window (it spans the seam) so it must never be marked even
+    // though doc 1 contains "b c" inside a paragraph.
+    val docs = Seq(
+      (0L, 0, "a b"), (0L, 1, "c d e"),
+      (1L, 0, "x a b y"), (1L, 1, "b c z"),
+      (2L, 0, "a b"))
+      .toDF("doc_id", "para_idx", "ptext")
+    val got = Text.dedupTrimParagraphs(docs, 2, " | ")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    // first occurrence of "a b" = (doc 0, para 0) keeps; doc 1's and
+    // doc 2's copies excised. "b c" inside doc 1 para 1 is unique
+    // corpus-wide (doc 0's b|c is a seam, not a window) -> survives.
+    assert(got == Seq(
+      (0L, "a b | c d e", 2L),
+      (1L, "x | y | b c z", 3L),
+      (2L, "", 0L)), s"got: $got")
+  }
+
+  test("separator-view paragraph TRIM is idempotent on the surviving docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "q w e r t y u i <p> z z"),
+      (1L, "m q w e r t y u i n <p> k"),
+      (2L, "q w e r t y u i"),
+      (3L, "f g h j")).toDF("doc_id", "text")
+    val once = ops.Text.dedupTrimParagraphsSep(docs, 8, "<p>").cache()
+    val onceRows = once.select($"doc_id", $"text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    // the 8-token run "q w e r t y u i" is duplicated (doc 0 para 0,
+    // doc 1 inside a longer para, doc 2 whole para): doc 0's copy is
+    // first -> keeps; doc 1 loses the middle (segments m / n); doc 2
+    // fully excised
+    assert(onceRows == Seq(
+      (0L, "q w e r t y u i <p> z z"),
+      (1L, "m <p> n <p> k"),
+      (2L, ""),
+      (3L, "f g h j")), s"once: $onceRows")
+    val twice = ops.Text.dedupTrimParagraphsSep(
+        once.select($"doc_id", $"text"), 8, "<p>")
+      .select($"doc_id", $"text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(twice == onceRows.filter(_._2.nonEmpty), s"twice: $twice")
+    once.unpersist()
+    ()
+  }
+
+  test("textTrimPara on sf0.001: acts (multi-segment docs), never fabricates tokens") {
+    import spark.implicits._
+    val sfDir = "/root/testdata/sf0.001"
+    val out = Text.textTrimPara(spark, sfDir).cache()
+    assert(out.count() == Tables.documents(spark, sfDir).count())
+    assert(out.filter($"n_segments" > 1).count() > 0, "trim never split a doc")
+    // output tokens (minus seam markers) <= input tokens, per doc
+    val inToks = Tables.documents(spark, sfDir)
+      .select($"doc_id", size(split($"text", " ")).as("n_in"))
+    val bad = out
+      .select($"doc_id", size(filter(split($"text", " "),
+        t => t =!= "<p>" && length(t) > 0)).as("n_out"))
+      .join(inToks, "doc_id")
+      .filter($"n_out" > $"n_in").count()
+    assert(bad == 0L)
+    out.unpersist()
+    ()
+  }
 }
