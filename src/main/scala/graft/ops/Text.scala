@@ -321,35 +321,49 @@ object Text {
     *
     * Admission rule (ranked by the sequential tie-break cnt DESC,
     * (l, r) ASC; `threat` starts at the topM-th count — 0 if the list
-    * wasn't truncated — and absorbs every examined conflicting count):
+    * wasn't truncated):
     *   - rank 1 is ALWAYS admitted: it is the global argmax, exactly
     *     sequential BPE's next pick;
-    *   - a candidate sharing a symbol with an admitted pick (lhs, rhs,
-    *     or merged name — the merged string can collide with a
-    *     pre-existing symbol) folds its count into `threat`;
+    *   - on EVERY admission, the counts of ALL collected pairs that
+    *     share a symbol with the pick (lhs, rhs, or merged name — the
+    *     merged string can collide with a pre-existing symbol) fold
+    *     into `threat` — the whole top-M list, not just rows already
+    *     iterated past: a conflicting pair ranked BELOW a candidate
+    *     (equal count, later tie-break) still bounds a new pair whose
+    *     own (l, r) key could tie-break ABOVE that candidate at its
+    *     sequential turn (observed live on the sf corpora: admitted
+    *     (lu, m) at 978 while the yet-unexamined (o, lu) at 978
+    *     bounded the new (co, lu), which then beat (lu, m) on the
+    *     string order — the first buggy formulation diverged from
+    *     sequential at step 15);
+    *   - a candidate sharing a symbol with an admitted pick is skipped
+    *     (its count is already in `threat`);
     *   - otherwise it is admitted iff its count exceeds `threat`
     *     STRICTLY, else the superstep's batch closes.
     *
     * Why the result is EXACTLY the sequential greedy sequence: applying
     * an admitted pick (a,b) cannot change the count of any pair that
-    * shares no symbol with it (merging two symbols into one preserves
+    * shares no symbol with it, and cannot create or destroy any OTHER
+    * pair's adjacency (merging two adjacent symbols into one preserves
     * every adjacency not involving a or b), so each admitted pick's
     * recorded count is its true count at its own sequential step. The
-    * pairs whose counts DO change are (i) existing pairs touching a or
-    * b — they only decrease, and their pre-batch counts were folded
-    * into `threat` (collected) or are ≤ the topM-th count (truncated
-    * tail, `threat`'s floor); (ii) newly-created pairs touching the
-    * merged symbol — each occurrence of (x, ab) was an occurrence of
-    * (x, a) before the batch, so its count is bounded by a conflicting
-    * pair's pre-batch count, again ≤ `threat`. A later admitted pick
-    * with count > threat therefore still beats every changed or new
-    * pair when its sequential turn comes, and it beats every unchanged
-    * pair by rank order (any unchanged pair ranked between two admitted
-    * picks would itself have been admitted). Strictness matters: a new
-    * pair with count EQUAL to a candidate's could win the (l, r)
-    * tie-break, so equality closes the batch. The batch applies in
-    * rank order — symbol-disjointness makes the replaces commute, but
-    * rank order keeps the replay trivially auditable.
+    * pairs whose counts DO change all share a symbol with some
+    * admitted pick: (i) existing pairs touching a or b only DECREASE
+    * from a pre-batch count that is folded into `threat` (collected)
+    * or ≤ the topM-th count (truncated tail, `threat`'s floor);
+    * (ii) newly-created pairs touching the merged symbol are bounded
+    * by a pre-batch conflicting pair — every post-state adjacency maps
+    * back to a pre-batch adjacency ((x, ab) instances were (x, a);
+    * (ab, cd) instances were (b, c)) — again ≤ `threat`. A later
+    * admitted pick with count > threat therefore still beats every
+    * changed or new pair when its sequential turn comes, and it beats
+    * every unchanged pair by rank order (any unchanged pair ranked
+    * between two admitted picks would itself have been admitted, or
+    * the batch closed there). Strictness matters: a new pair with
+    * count EQUAL to a candidate's can win the (l, r) tie-break, so
+    * equality closes the batch. The batch applies in rank order —
+    * disjointness makes the replaces commute, but rank order keeps
+    * the replay trivially auditable.
     *
     * Returns (merges, supersteps). The equivalence to [[bpeTrain]] is
     * spec-pinned merge-for-merge (including pair_count) on toy,
@@ -388,21 +402,31 @@ object Text {
       supersteps += 1
       if (top.isEmpty) exhausted = true
       else {
-        var threat = if (top.length == topM) top(topM - 1).getLong(2) else 0L
+        val rows = top.map(t => (t.getString(0), t.getString(1), t.getLong(2)))
+        var threat = if (rows.length == topM) rows(topM - 1)._3 else 0L
         val used = scala.collection.mutable.Set.empty[String]
         val limit = math.min(maxBatch, nMerges - merges.size)
         val batch = scala.collection.mutable.ArrayBuffer.empty[BpeMerge]
         var i = 0
         var open = true
-        while (i < top.length && open && batch.size < limit) {
-          val (l, r, c) = (top(i).getString(0), top(i).getString(1), top(i).getLong(2))
-          if (used(l) || used(r)) threat = math.max(threat, c)
-          else if (batch.isEmpty || c > threat) {
-            require(!(l + r).exists(ch => ch == '\'' || ch == '\\' || ch.isWhitespace),
-              s"BPE symbol contains a quote/backslash/space: '$l' + '$r'")
-            batch += BpeMerge(merges.size + batch.size + 1, l, r, l + r, c)
-            used += l; used += r; used += (l + r)
-          } else open = false
+        while (i < rows.length && open && batch.size < limit) {
+          val (l, r, c) = rows(i)
+          if (!used(l) && !used(r)) {
+            if (batch.isEmpty || c > threat) {
+              require(!(l + r).exists(ch => ch == '\'' || ch == '\\' || ch.isWhitespace),
+                s"BPE symbol contains a quote/backslash/space: '$l' + '$r'")
+              batch += BpeMerge(merges.size + batch.size + 1, l, r, l + r, c)
+              val syms = Set(l, r, l + r)
+              used ++= syms
+              // fold in EVERY collected pair conflicting with this pick
+              // — including rows ranked below candidates not yet
+              // examined (see the (lu, m)/(o, lu)/(co, lu) note above)
+              rows.foreach { case (l2, r2, c2) =>
+                if ((l2 != l || r2 != r) && (syms(l2) || syms(r2)))
+                  threat = math.max(threat, c2)
+              }
+            } else open = false
+          }
           i += 1
         }
         merges ++= batch

@@ -170,6 +170,24 @@ class BpeSpec extends SparkSpec {
       assert(got == expected,
         s"seed=$seed maxBatch=$mb topM=$tm corpus=$docs\ngot: $got\nexpected: $expected")
     }
+    // and to EXHAUSTION depth per seed vs the driver replay (the spark-
+    // sequential twin is too slow to run 40 deep × 5 seeds; the replay
+    // is the same ground truth the 8-merge pins above validate it against)
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed * 7919)
+      val alphabet = "abcd"
+      val docs = (0L until 3L).map { d =>
+        d -> Seq.fill(8 + rnd.nextInt(8))(
+          Seq.fill(1 + rnd.nextInt(6))(alphabet(rnd.nextInt(alphabet.length))).mkString
+        ).mkString(" ")
+      }
+      val freq: Map[String, Long] = docs.flatMap(_._2.split(" ")).groupBy(identity)
+        .map { case (w, g) => w -> g.size.toLong }
+      val expected = replayBpe(freq, 40)
+      val (got, _) = Text.bpeTrainBatched(wordsDf(docs), 40, maxBatch = 8, topM = 32)
+      assert(got.map(m => (m.lhs, m.rhs, m.pair_count)) == expected,
+        s"depth seed=$seed corpus=$docs")
+    }
   }
 
   test("bpeTrainBatched: maxBatch=1 degenerates to one merge per superstep; exhaustion matches") {
@@ -192,6 +210,27 @@ class BpeSpec extends SparkSpec {
     assert(got == expected)
     assert(steps < Text.BpeMergeCount,
       s"real corpus must batch at least once: $steps supersteps for ${got.size} merges")
+  }
+
+  test("bpeTrainBatched at EXHAUSTION depth on the real corpus equals the driver replay") {
+    import spark.implicits._
+    // the depth regression class: the first batched formulation was
+    // correct to step 14 and diverged at 15 (a conflicting pair ranked
+    // BELOW an equal-count candidate bounded a new pair that tie-broke
+    // above it — BpeDepthProbe found it; the admission scan now folds
+    // the whole collected list). Ground truth at depth is the O(n²)
+    // driver replay over the collected word frequencies — independent
+    // of both DataFrame formulations and cheap at this vocab size.
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val words = Text.bpeWords(docs)
+    val freq: Map[String, Long] = words.select($"w", $"freq")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expected = replayBpe(freq, 128)
+    val (got, steps) = Text.bpeTrainBatched(words, 128)
+    assert(got.map(m => (m.lhs, m.rhs, m.pair_count)) == expected,
+      s"first diff: ${got.map(m => (m.lhs, m.rhs, m.pair_count)).zip(expected).find(p => p._1 != p._2)}")
+    assert(got.size > Text.BpeMergeCount, "exhaustion depth must exceed the graded merge count")
+    assert(steps < got.size, s"depth run must batch: $steps supersteps for ${got.size} merges")
   }
 
   test("bpeApply segmentation: every word re-tokenizes to the replay's symbol sequence") {
