@@ -67,6 +67,30 @@ object SdProbe {
             .agg(sum($"n_kept"), sum($"n_dropped")).collect()(0)
         }
         println(s"PROBE paraSep kept=${agg.getLong(0)} dropped=${agg.getLong(1)}")
+      case "trimParaSep" =>
+        // round-13: paragraph-granularity TRIM over the corpus' own
+        // separator paragraphs (the graded fixed-width twin is
+        // q_text_trim_para; this is the natural-structure front end)
+        val agg = timed("trim_para_sep") {
+          ops.Text.dedupTrimParagraphsSep(Tables.documents(spark, dir), 8, "<p>")
+            .agg(sum($"n_segments"), count(lit(1)),
+              sum(when($"n_segments" === 0, 1L).otherwise(0L))).collect()(0)
+        }
+        println(s"PROBE trimParaSep segments=${agg.getLong(0)} docs=${agg.getLong(1)} " +
+          s"fully_excised=${agg.getLong(2)}")
+      case "trimParaSepTwice" =>
+        // idempotence AT SCALE: pass 2 over pass 1's surviving docs
+        // must reproduce every document verbatim
+        val trimmedOnce = ops.Text.dedupTrimParagraphsSep(
+            Tables.documents(spark, dir), 8, "<p>")
+          .filter(length($"text") > 0).select($"doc_id", $"text")
+        val diff = timed("trim_para_sep_twice") {
+          ops.Text.dedupTrimParagraphsSep(trimmedOnce, 8, "<p>")
+            .select($"doc_id", $"text".as("t2"))
+            .join(trimmedOnce, "doc_id")
+            .filter($"t2" =!= $"text").count()
+        }
+        println(s"PROBE trimParaSepTwice changed_docs=$diff idempotent=${diff == 0L}")
       case "paraSepTwice" =>
         // the idempotence property AT SCALE: a second separator-
         // reconstructing pass over the first pass's output must excise
