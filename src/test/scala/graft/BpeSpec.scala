@@ -504,6 +504,35 @@ class BpeSpec extends SparkSpec {
     ()
   }
 
+  test("public api.Paragraphs: views, dedup, policy dedup and trim over caller-named columns") {
+    import spark.implicits._
+    val docs = Seq(
+      (10, "a b <p> c d"),
+      (20, "c d <p> e f")).toDF("k", "body")
+    // view consumes the separator and keeps order
+    val v = api.Paragraphs.view(docs, "k", "body", "<p>")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getString(2))).toSeq.sorted
+    assert(v == Seq((10, 0, "a b"), (10, 1, "c d"), (20, 0, "c d"), (20, 1, "e f")))
+    assert(api.Paragraphs.viewFixed(docs, "k", "body", 2).count() == 6L) // "<p>" is a token here
+    // dedup: doc 20 loses its "c d" copy
+    val d = api.Paragraphs.dedup(docs, "k", "body", "<p>")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(d == Seq((10, "a b <p> c d"), (20, "e f")))
+    // policy dedup: rank doc 20's copies ABOVE doc 10's
+    val paras = api.Paragraphs.view(docs, "k", "body", "<p>")
+      .withColumn("pref", when($"doc_id" === 20, 1).otherwise(0))
+    val p = api.Paragraphs.dedupWithPolicy(paras, " <p> ",
+        Seq($"pref".desc, $"doc_id", $"para_idx"))
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(p == Seq((10, "a b"), (20, "c d <p> e f")))
+    // trim: 2-token window "a b" duplicated across docs
+    val t = api.Paragraphs.trim(
+        Seq((1, "a b <p> z"), (2, "q a b w")).toDF("k", "body"),
+        "k", "body", "<p>", windowTokens = 2)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    assert(t == Seq((1, "a b <p> z", 2L), (2, "q <p> w", 2L)), s"got $t")
+  }
+
   test("textTrimPara on sf0.001: acts (multi-segment docs), never fabricates tokens") {
     import spark.implicits._
     val sfDir = "/root/testdata/sf0.001"
