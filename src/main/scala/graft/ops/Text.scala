@@ -1921,7 +1921,7 @@ object Text {
     * tier). The DuckDB oracle replays the whole decision — window
     * enumeration, first-occurrence choice, coverage union, island
     * segmentation — from scratch with no digests. */
-  private[graft] def dedupTrim(docs: DataFrame, len: Int): DataFrame = {
+  private[graft] def dedupTrimSegments(docs: DataFrame, len: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val bridge = org.apache.spark.sql.GraftExpressionBridge
@@ -1974,7 +1974,15 @@ object Text {
         bridge.expression($"text"),
         bridge.expression(coalesce($"starts",
           array().cast("array<int>"))), len))).as(Seq("seg_id", "text")))
-      .orderBy($"doc_id", $"seg_id")
+  }
+
+  /** [[dedupTrimSegments]] with the graded query's deterministic output
+    * order. Composed consumers (dedupTrimParagraphs) use the UNSORTED
+    * core: a corpus-sized range exchange + sort feeding a groupBy is
+    * pure waste (plan-audit finding, round 13). */
+  private[graft] def dedupTrim(docs: DataFrame, len: Int): DataFrame = {
+    import docs.sparkSession.implicits._
+    dedupTrimSegments(docs, len).orderBy($"doc_id", $"seg_id")
   }
 
   /** Tokens per derived paragraph for [[textDedupPara]] on the flat
@@ -2110,7 +2118,7 @@ object Text {
   private[graft] def dedupTrimParagraphs(paras: DataFrame, len: Int,
       joiner: String): DataFrame = {
     import paras.sparkSession.implicits._
-    val trimmed = dedupTrim(
+    val trimmed = dedupTrimSegments(
       paras.select(struct($"doc_id".as("d"), $"para_idx".as("pi")).as("doc_id"),
         $"ptext".as("text")), len)
     val segs = trimmed.select($"doc_id.d".as("doc_id"),
