@@ -476,6 +476,54 @@ class BpeSpec extends SparkSpec {
       (2L, "", 0L)), s"got: $got")
   }
 
+  test("dedupTrimParagraphs matches a driver-side replay on randomized corpora (fixed seeds)") {
+    import spark.implicits._
+    // independent O(n²) replay: enumerate len-token windows per
+    // (doc, para), mark every occurrence of a duplicated window except
+    // the global (doc, para, pos)-minimum, excise covered positions,
+    // rebuild segments, join per doc in (para, segment-start) order
+    def replay(paras: Seq[(Long, Int, String)], len: Int,
+        joiner: String): Map[Long, (String, Long)] = {
+      val toks = paras.map { case (d, p, t) =>
+        (d, p) -> t.split(" ").filter(_.nonEmpty) }.toMap
+      val occs = for {
+        ((d, p), ts) <- toks.toSeq
+        i <- 0 to ts.length - len
+      } yield (ts.slice(i, i + len).mkString(" "), (d, p, i))
+      val marked = occs.groupBy(_._1).values.filter(_.size >= 2)
+        .flatMap(_.map(_._2).sortBy(identity).drop(1)).toSet
+      val covered = marked.flatMap { case (d, p, i) =>
+        (i until i + len).map(q => (d, p, q)) }
+      paras.map(_._1).distinct.map { d =>
+        val segs = for {
+          ((dd, p), ts) <- toks.toSeq.sortBy(_._1) if dd == d
+          seg <- ts.indices.foldLeft(List.empty[List[Int]]) { (acc, q) =>
+            if (covered((dd, p, q))) acc
+            else acc match {
+              case h :: t if h.last == q - 1 => (h :+ q) :: t
+              case _ => List(q) :: acc
+            }
+          }.reverse
+        } yield seg.map(ts).mkString(" ")
+        d -> (segs.mkString(joiner), segs.size.toLong)
+      }.toMap
+    }
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed * 104729)
+      val alphabet = "abc"
+      val paras = for {
+        d <- 0L until (3 + rnd.nextInt(3)).toLong
+        p <- 0 until (2 + rnd.nextInt(3))
+      } yield (d, p, Seq.fill(2 + rnd.nextInt(5))(
+        alphabet(rnd.nextInt(alphabet.length)).toString).mkString(" "))
+      val expected = replay(paras, 2, " | ")
+      val got = Text.dedupTrimParagraphs(
+          paras.toDF("doc_id", "para_idx", "ptext"), 2, " | ")
+        .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+      assert(got == expected, s"seed=$seed paras=$paras\ngot: $got\nexpected: $expected")
+    }
+  }
+
   test("separator-view paragraph TRIM is idempotent on the surviving docs") {
     import spark.implicits._
     val docs = Seq(
