@@ -427,6 +427,30 @@ object Oracle {
 
     "q_text_para_keep_best" -> paraKeepBestOracle(20),
 
+    // paragraph-level decontamination replay: the dedupParaOracle view
+    // + the SAME literal probe OR-chain Spark codegens, then the same
+    // keep-survivors reconstruction
+    "q_text_decontam_para" -> {
+      val orChain = graft.ops.Text.contaminationProbes
+        .map(p => s"position('${p.replace("'", "''")}' IN ptext) > 0")
+        .mkString(" OR ")
+      s"""WITH sy AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |par AS (
+         |  SELECT doc_id, k AS para_idx,
+         |         array_to_string(t[k * 20 + 1 : k * 20 + 20], ' ') AS ptext
+         |  FROM (SELECT doc_id, t, unnest(generate_series(0, (len(t) - 1) // 20)) AS k
+         |        FROM sy) s0),
+         |flag AS (
+         |  SELECT doc_id, para_idx, ptext,
+         |         CASE WHEN $orChain THEN 1 ELSE 0 END AS bad
+         |  FROM par)
+         |SELECT doc_id,
+         |       coalesce(string_agg(CASE WHEN bad = 0 THEN ptext END, ' ' ORDER BY para_idx), '') AS text,
+         |       CAST(sum(CASE WHEN bad = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |       CAST(sum(CASE WHEN bad = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+         |FROM flag GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+
     "q_text_trim_para" -> trimParaOracle(20, 8),
 
     // BPE-budget packing: the full training replay feeds per-doc

@@ -52,6 +52,16 @@ object Paragraphs {
       keepOrder: Seq[Column]): DataFrame =
     graft.ops.Text.dedupParagraphs(paras, joiner, keepOrder)
 
+  /** Paragraph-level decontamination over a separator corpus: excise
+    * every paragraph containing any probe phrase verbatim, reconstruct
+    * docs with the separator. Probes spanning a paragraph boundary are
+    * out of scope by construction (run a doc-level scan for those).
+    * Output: (doc_id, text, n_kept, n_dropped). */
+  def decontaminate(docs: DataFrame, idCol: String, textCol: String,
+      sep: String, probes: Seq[String]): DataFrame =
+    graft.ops.Text.decontamParagraphs(
+      view(docs, idCol, textCol, sep), probes, s" $sep ")
+
   /** Paragraph-granularity substring TRIM over a separator corpus:
     * every occurrence-beyond-the-first of every duplicated
     * `windowTokens`-token window is excised INSIDE paragraphs (windows

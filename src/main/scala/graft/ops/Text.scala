@@ -1165,6 +1165,45 @@ object Text {
       .orderBy($"phrase")
   }
 
+  /** Paragraph-level decontamination as an ACTION (round 13): excise
+    * every paragraph that contains an eval-set probe phrase verbatim
+    * and re-emit the document from its surviving paragraphs — the
+    * middle ground between [[textDecontaminate]]'s report and dropping
+    * whole documents (the RefinedWeb-style treatment: contamination is
+    * usually a quoted span, not the document). A phrase spanning a
+    * paragraph boundary is inherently out of scope for paragraph-level
+    * treatment (documented contract; the doc-level scans catch it).
+    *
+    * 100 TB shape: the probe test is a codegen'd OR-chain of instr()
+    * per paragraph riding the scan (the probe set is a literal — in
+    * production a broadcast join against the eval-gram relation), and
+    * the ONLY exchange is the doc_id reconstruction agg. */
+  private[graft] def decontamParagraphs(paras: DataFrame,
+      probes: Seq[String], joiner: String = " "): DataFrame = {
+    import paras.sparkSession.implicits._
+    val bad = probes.map(p => instr($"ptext", lit(p)) > 0)
+      .reduce((a, b) => a || b)
+    paras
+      .withColumn("__bad", bad)
+      .groupBy($"doc_id")
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(when(!$"__bad",
+              struct($"para_idx", $"ptext")))),
+            x => x.getField("ptext")),
+          joiner).as("text"),
+        sum(when($"__bad", 0L).otherwise(1L)).as("n_kept"),
+        sum(when($"__bad", 1L).otherwise(0L)).as("n_dropped"))
+      .orderBy($"doc_id")
+  }
+
+  /** Graded: [[decontamParagraphs]] over the 20-token paragraph view
+    * with the shared [[contaminationProbes]]. */
+  def textDecontamPara(spark: SparkSession, dir: String): DataFrame =
+    decontamParagraphs(paragraphView(Tables.documents(spark, dir), ParaTokens),
+      contaminationProbes)
+
   /** N-gram-OVERLAP decontamination — the standard eval-set method
     * (13-gram overlap in the published recipes; 3-grams here to match
     * the corpus's short documents), complementing [[textDecontaminate]]'s

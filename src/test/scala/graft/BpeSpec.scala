@@ -552,6 +552,20 @@ class BpeSpec extends SparkSpec {
     ()
   }
 
+  test("decontamParagraphs excises exactly the probe-bearing paragraphs, reconstructs the rest") {
+    import spark.implicits._
+    val paras = Seq(
+      (0L, 0, "clean words here"), (0L, 1, "contains bad probe inside"),
+      (1L, 0, "another bad probe"), (1L, 1, "also worse marker text"),
+      (2L, 0, "fully clean doc")).toDF("doc_id", "para_idx", "ptext")
+    val got = Text.decontamParagraphs(paras, Seq("bad probe", "worse marker"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq(
+      (0L, "clean words here", 1L, 1L),
+      (1L, "", 0L, 2L),
+      (2L, "fully clean doc", 1L, 0L)), s"got $got")
+  }
+
   test("public api.Paragraphs: views, dedup, policy dedup and trim over caller-named columns") {
     import spark.implicits._
     val docs = Seq(
@@ -579,6 +593,12 @@ class BpeSpec extends SparkSpec {
         "k", "body", "<p>", windowTokens = 2)
       .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
     assert(t == Seq((1, "a b <p> z", 2L), (2, "q <p> w", 2L)), s"got $t")
+    // decontaminate: probe-bearing paragraph excised, seams kept
+    val dc = api.Paragraphs.decontaminate(
+        Seq((1, "keep me <p> drop this probe <p> also keep")).toDF("k", "body"),
+        "k", "body", "<p>", Seq("this probe"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(dc == Seq((1, "keep me <p> also keep", 2L, 1L)), s"got $dc")
   }
 
   test("textTrimPara on sf0.001: acts (multi-segment docs), never fabricates tokens") {
