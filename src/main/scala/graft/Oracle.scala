@@ -453,6 +453,32 @@ object Oracle {
 
     "q_text_trim_para" -> trimParaOracle(20, 8),
 
+    // paragraph-quality-filter replay: per-paragraph quality composite
+    // (the q_text_quality formula over ptext, 6-dp) + the same 0.58
+    // threshold + the shared reconstruction
+    "q_text_quality_para" ->
+      """WITH sy AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |par AS (
+        |  SELECT doc_id, k AS para_idx,
+        |         array_to_string(t[k * 20 + 1 : k * 20 + 20], ' ') AS ptext
+        |  FROM (SELECT doc_id, t, unnest(generate_series(0, (len(t) - 1) // 20)) AS k
+        |        FROM sy) s0),
+        |q AS (
+        |  SELECT doc_id, para_idx, ptext,
+        |         round(least(n / 50.0, 1.0) * 0.4 + (nd / n) * 0.4
+        |               + (1.0 - ns / n) * 0.2, 6) AS pq
+        |  FROM (SELECT doc_id, para_idx, ptext,
+        |          CAST(len(string_split(ptext, ' ')) AS DOUBLE) AS n,
+        |          CAST(len(list_distinct(string_split(ptext, ' '))) AS DOUBLE) AS nd,
+        |          CAST(len(list_filter(string_split(ptext, ' '),
+        |            t -> list_contains(['the','a','of','and','to','in','is','it'], t))) AS DOUBLE) AS ns
+        |        FROM par) t0)
+        |SELECT doc_id,
+        |       coalesce(string_agg(CASE WHEN pq >= 0.58 THEN ptext END, ' ' ORDER BY para_idx), '') AS text,
+        |       CAST(sum(CASE WHEN pq >= 0.58 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |       CAST(sum(CASE WHEN pq >= 0.58 THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
+        |FROM q GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     // BPE-budget packing: the full training replay feeds per-doc
     // subtoken counts, then the q_pack_chunks window
     "q_pack_chunks_bpe" -> {

@@ -1183,19 +1183,7 @@ object Text {
     import paras.sparkSession.implicits._
     val bad = probes.map(p => instr($"ptext", lit(p)) > 0)
       .reduce((a, b) => a || b)
-    paras
-      .withColumn("__bad", bad)
-      .groupBy($"doc_id")
-      .agg(
-        array_join(
-          transform(
-            array_sort(collect_list(when(!$"__bad",
-              struct($"para_idx", $"ptext")))),
-            x => x.getField("ptext")),
-          joiner).as("text"),
-        sum(when($"__bad", 0L).otherwise(1L)).as("n_kept"),
-        sum(when($"__bad", 1L).otherwise(0L)).as("n_dropped"))
-      .orderBy($"doc_id")
+    reconstructByKeep(paras.withColumn("__keep", !bad), joiner)
   }
 
   /** Graded: [[decontamParagraphs]] over the 20-token paragraph view
@@ -1203,6 +1191,31 @@ object Text {
   def textDecontamPara(spark: SparkSession, dir: String): DataFrame =
     decontamParagraphs(paragraphView(Tables.documents(spark, dir), ParaTokens),
       contaminationProbes)
+
+  /** Paragraph-level QUALITY filter (round 13): drop paragraphs whose
+    * [[qualityComposite]] falls below `minQuality` and reconstruct the
+    * document — the Dolma/RefinedWeb boilerplate-excision step at
+    * paragraph granularity (the doc-level twins q_text_quality /
+    * q_quality_* report and gate whole documents). The 6-dp rounded
+    * composite makes the threshold comparison engine-exact, so the
+    * DuckDB oracle replays every keep decision. Same 100 TB shape as
+    * the rest of the family: quality is a per-row map riding the scan,
+    * the only exchange is the doc_id reconstruction. */
+  private[graft] def qualityFilterParagraphs(paras: DataFrame,
+      minQuality: Double, joiner: String = " "): DataFrame = {
+    import paras.sparkSession.implicits._
+    reconstructByKeep(
+      paras.withColumn("__keep", qualityComposite($"ptext") >= minQuality),
+      joiner)
+  }
+
+  /** Graded: [[qualityFilterParagraphs]] over the 20-token view at
+    * 0.58 — ~the 5th percentile of the corpus' paragraph quality
+    * (measured at sf0.001: min 0.408, p05 0.577, median 0.64), so the
+    * filter ACTS without gutting the corpus. */
+  def textQualityPara(spark: SparkSession, dir: String): DataFrame =
+    qualityFilterParagraphs(
+      paragraphView(Tables.documents(spark, dir), ParaTokens), 0.58)
 
   /** N-gram-OVERLAP decontamination — the standard eval-set method
     * (13-gram overlap in the published recipes; 3-grams here to match
@@ -2086,10 +2099,19 @@ object Text {
     // quality-ranked order (the dedupKeepBest policy at paragraph
     // granularity). Any order must end in a unique tiebreak.
     val ord = if (keepOrder.isEmpty) Seq($"doc_id", $"para_idx") else keepOrder
-    paras
+    reconstructByKeep(paras
       .withColumn("__d", struct(xxhash64($"ptext"), xxhash64(lit(7), $"ptext")))
       .withColumn("__keep", row_number().over(
-        Window.partitionBy($"__d").orderBy(ord: _*)) === 1)
+        Window.partitionBy($"__d").orderBy(ord: _*)) === 1), joiner)
+  }
+
+  /** Shared reconstruction tail of the paragraph-curation family
+    * (dedup / keep-best / decontaminate / quality filter): one doc_id
+    * exchange, surviving paragraphs re-joined in para_idx order,
+    * kept/dropped accounting. Expects a boolean `__keep` column. */
+  private def reconstructByKeep(withKeep: DataFrame, joiner: String): DataFrame = {
+    import withKeep.sparkSession.implicits._
+    withKeep
       .groupBy($"doc_id")
       .agg(
         array_join(

@@ -552,6 +552,26 @@ class BpeSpec extends SparkSpec {
     ()
   }
 
+  test("qualityFilterParagraphs drops exactly the below-threshold paragraphs") {
+    import spark.implicits._
+    // paragraph quality (6-dp composite) computed independently, then
+    // a threshold between the two values must split them
+    val loText = "x x x x x x"                      // low ttr, no stopwords
+    val hiText = "the quick brown fox is in a tree" // distinct + stopwords
+    val r = spark.range(1).select(
+      Text.qualityComposite(lit(loText)).as("lo"),
+      Text.qualityComposite(lit(hiText)).as("hi")).head()
+    val (lo, hi) = (r.getDouble(0), r.getDouble(1))
+    assert(lo < hi)
+    val thr = (lo + hi) / 2
+    val paras = Seq(
+      (0L, 0, loText), (0L, 1, hiText), (1L, 0, loText))
+      .toDF("doc_id", "para_idx", "ptext")
+    val got = Text.qualityFilterParagraphs(paras, thr)
+      .collect().map(r2 => (r2.getLong(0), r2.getString(1), r2.getLong(2), r2.getLong(3))).toSeq
+    assert(got == Seq((0L, hiText, 1L, 1L), (1L, "", 0L, 1L)), s"got $got")
+  }
+
   test("decontamParagraphs excises exactly the probe-bearing paragraphs, reconstructs the rest") {
     import spark.implicits._
     val paras = Seq(
