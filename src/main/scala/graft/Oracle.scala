@@ -479,6 +479,67 @@ object Oracle {
         |       CAST(sum(CASE WHEN pq >= 0.58 THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
         |FROM q GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // corpus-adaptive paragraph-quality replay: the q_text_quality_para
+    // CTEs + a histogram over the 6-dp composite (finite value domain,
+    // so the percentile is exact) -> threshold = min quality whose
+    // cumulative count reaches ceil(total/20), the integer-ceiling p05
+    // convention of q_quality_adaptive; the threshold is part of the
+    // graded output
+    "q_text_quality_para_adaptive" ->
+      """WITH sy AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |par AS (
+        |  SELECT doc_id, k AS para_idx,
+        |         array_to_string(t[k * 20 + 1 : k * 20 + 20], ' ') AS ptext
+        |  FROM (SELECT doc_id, t, unnest(generate_series(0, (len(t) - 1) // 20)) AS k
+        |        FROM sy) s0),
+        |q AS (
+        |  SELECT doc_id, para_idx, ptext,
+        |         round(least(n / 50.0, 1.0) * 0.4 + (nd / n) * 0.4
+        |               + (1.0 - ns / n) * 0.2, 6) AS pq
+        |  FROM (SELECT doc_id, para_idx, ptext,
+        |          CAST(len(string_split(ptext, ' ')) AS DOUBLE) AS n,
+        |          CAST(len(list_distinct(string_split(ptext, ' '))) AS DOUBLE) AS nd,
+        |          CAST(len(list_filter(string_split(ptext, ' '),
+        |            t -> list_contains(['the','a','of','and','to','in','is','it'], t))) AS DOUBLE) AS ns
+        |        FROM par) t0),
+        |hist AS (SELECT pq, count(*) AS cnt FROM q GROUP BY pq),
+        |th AS (
+        |  SELECT min(CASE WHEN cum >= (total + 19) // 20 THEN pq END) AS q_threshold
+        |  FROM (SELECT pq, sum(cnt) OVER (ORDER BY pq) AS cum,
+        |               sum(cnt) OVER () AS total FROM hist) h)
+        |SELECT doc_id,
+        |       coalesce(string_agg(CASE WHEN pq >= q_threshold THEN ptext END, ' ' ORDER BY para_idx), '') AS text,
+        |       CAST(sum(CASE WHEN pq >= q_threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |       CAST(sum(CASE WHEN pq >= q_threshold THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+        |       q_threshold
+        |FROM q CROSS JOIN th
+        |GROUP BY doc_id, q_threshold ORDER BY doc_id""".stripMargin,
+
+    // separator-view paragraph dedup replay: the SAME deterministic
+    // injection (doc d re-joined with '<p>' every 4 + d % 5 tokens),
+    // then split-on-marker / trim / drop-empty / keep-first /
+    // separator-preserving reconstruction. Injecting then splitting
+    // yields exactly the k(d)-token slices, so the replay builds the
+    // slices directly — the Spark side's split+trim is the code path
+    // under test, the slices are the semantics
+    "q_text_dedup_para_sep" ->
+      """WITH sy AS (SELECT doc_id, 4 + doc_id % 5 AS k, string_split(text, ' ') AS t
+        |            FROM documents),
+        |par AS (
+        |  SELECT doc_id, j AS para_idx,
+        |         array_to_string(t[j * k + 1 : j * k + k], ' ') AS ptext
+        |  FROM (SELECT doc_id, k, t, unnest(generate_series(0, (len(t) - 1) // k)) AS j
+        |        FROM sy) s0),
+        |flag AS (
+        |  SELECT doc_id, para_idx, ptext,
+        |         row_number() OVER (PARTITION BY ptext ORDER BY doc_id, para_idx) AS rn
+        |  FROM par)
+        |SELECT doc_id,
+        |       coalesce(string_agg(CASE WHEN rn = 1 THEN ptext END, ' <p> ' ORDER BY para_idx), '') AS text,
+        |       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |       CAST(sum(CASE WHEN rn <> 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+        |FROM flag GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     // BPE-budget packing: the full training replay feeds per-doc
     // subtoken counts, then the q_pack_chunks window
     "q_pack_chunks_bpe" -> {

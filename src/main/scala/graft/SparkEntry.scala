@@ -136,6 +136,8 @@ object SparkEntry {
     "q_text_para_keep_best" -> Text.textParaKeepBest _,
     "q_text_decontam_para" -> Text.textDecontamPara _,
     "q_text_quality_para" -> Text.textQualityPara _,
+    "q_text_quality_para_adaptive" -> Text.textQualityParaAdaptive _,
+    "q_text_dedup_para_sep" -> Text.textDedupParaSep _,
     "q_text_bpe_train" -> Text.textBpeTrain _,
     "q_text_bpe_tokens" -> Text.textBpeTokens _,
     "q_pack_chunks_bpe" -> Text.packChunksBpe _,

@@ -23,13 +23,15 @@ object Bpe {
 
   /** Train `nMerges` byte-pair merges on the whitespace words of
     * `textCol`. Deterministic: integer pair counts, (count DESC, lhs,
-    * rhs) tie-break. Runs the merge-BATCHED trainer — the identical
-    * merge table as classic sequential BPE (spec-pinned equivalence;
-    * see graft.ops.Text.bpeTrainBatched's admission proof) in
-    * ~batch× fewer driver supersteps, the difference between 32k and
-    * a few hundred driver round-trips at production vocab sizes. */
+    * rhs) tie-break. Runs the merge-batched DELTA trainer — the
+    * identical merge table as classic sequential BPE (spec-pinned
+    * equivalence; see graft.ops.Text.bpeTrainBatched's admission proof
+    * and bpeTrainDelta's maintenance argument) in ~batch× fewer driver
+    * supersteps, each costing O(affected words) rather than O(corpus)
+    * — the difference between a production 32k-merge vocabulary and
+    * an intractable one. */
   def train(docs: DataFrame, textCol: String, nMerges: Int): Seq[Merge] =
-    graft.ops.Text.bpeTrainBatched(
+    graft.ops.Text.bpeTrainDelta(
       graft.ops.Text.bpeWords(docs.select(col(textCol).as("text"))), nMerges)._1
       .map(m => Merge(m.step, m.lhs, m.rhs, m.merged, m.pair_count))
 

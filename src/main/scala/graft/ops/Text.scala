@@ -371,6 +371,70 @@ object Text {
     * nMerges) matches because rank 1 is always admitted, so progress
     * per superstep is ≥ 1 and the stop condition is the same empty
     * aggregate. */
+  /** Driver-side superstep admission shared by [[bpeTrainBatched]] and
+    * [[bpeTrainDelta]] — the rule documented on [[bpeTrainBatched]],
+    * plus the merged-NAME collision close (round-13 ADVICE): when an
+    * admitted pick's merged name `lhs+rhs` already exists as a symbol
+    * s, the post-batch count of a pair (x, s) is its PRE-existing
+    * count PLUS the occurrences the merge just created from (x, lhs) —
+    * two terms each individually bounded by `threat` whose SUM is not,
+    * so a later same-batch admission with threat < c < that sum could
+    * diverge from sequential BPE. The pick itself is safe (it shares
+    * no symbol with earlier picks, so its recorded count is its true
+    * sequential count); the batch closes immediately after it.
+    *
+    * `mergedNames` is the cross-superstep registry of every merged
+    * name this training run has created. It is COMPLETE as a collision
+    * oracle without ever collecting the corpus alphabet: initial
+    * symbols are single characters and every merged name concatenates
+    * ≥ 2 of them, so a merged name can only ever equal a PRIOR MERGE's
+    * name, never an initial symbol. The helper mutates it (admitted
+    * names are registered).
+    *
+    * Reachability note: a 200k-corpus randomized search (2–3 letter
+    * alphabets, exhaustion depth) found NO corpus where sequential
+    * greedy BPE ever re-creates an existing merged name — the
+    * collision case may be unreachable (a same-split re-merge needs
+    * the pair to re-form, which only a prior collision could cause;
+    * a different-split collision was never observed). The close is
+    * kept anyway: it costs one Set probe per admission and makes the
+    * batching proof unconditional instead of resting on an unproven
+    * no-collision theorem. private[graft] for the direct unit pin. */
+  private[graft] def bpeAdmitBatch(rows: Array[(String, String, Long)],
+      truncated: Boolean, limit: Int, stepBase: Int,
+      mergedNames: scala.collection.mutable.Set[String]): Seq[BpeMerge] = {
+    var threat = if (truncated) rows(rows.length - 1)._3 else 0L
+    val used = scala.collection.mutable.Set.empty[String]
+    val batch = scala.collection.mutable.ArrayBuffer.empty[BpeMerge]
+    var i = 0
+    var open = true
+    while (i < rows.length && open && batch.size < limit) {
+      val (l, r, c) = rows(i)
+      if (!used(l) && !used(r)) {
+        if (batch.isEmpty || c > threat) {
+          require(!(l + r).exists(ch => ch == '\'' || ch == '\\' || ch.isWhitespace),
+            s"BPE symbol contains a quote/backslash/space: '$l' + '$r'")
+          batch += BpeMerge(stepBase + batch.size + 1, l, r, l + r, c)
+          val syms = Set(l, r, l + r)
+          used ++= syms
+          // fold in EVERY collected pair conflicting with this pick
+          // — including rows ranked below candidates not yet
+          // examined (see the (lu, m)/(o, lu)/(co, lu) note above)
+          rows.foreach { case (l2, r2, c2) =>
+            if ((l2 != l || r2 != r) && (syms(l2) || syms(r2)))
+              threat = math.max(threat, c2)
+          }
+          // merged-name collision: the additive (pre + created) count
+          // case the max-fold threat cannot bound — close the batch
+          if (mergedNames(l + r)) open = false
+          mergedNames += (l + r)
+        } else open = false
+      }
+      i += 1
+    }
+    batch.toSeq
+  }
+
   private[graft] def bpeTrainBatched(words: DataFrame, nMerges: Int,
       maxBatch: Int = 64, topM: Int = 256): (Seq[BpeMerge], Int) = {
     import words.sparkSession.implicits._
@@ -379,6 +443,7 @@ object Text {
     var cur = words
     var checkpointed: DataFrame = null
     val merges = scala.collection.mutable.ArrayBuffer.empty[BpeMerge]
+    val mergedNames = scala.collection.mutable.Set.empty[String]
     var supersteps = 0
     var exhausted = false
     // lineage control, the bpeTrain cadence scaled to batches: truncate
@@ -403,32 +468,8 @@ object Text {
       if (top.isEmpty) exhausted = true
       else {
         val rows = top.map(t => (t.getString(0), t.getString(1), t.getLong(2)))
-        var threat = if (rows.length == topM) rows(topM - 1)._3 else 0L
-        val used = scala.collection.mutable.Set.empty[String]
-        val limit = math.min(maxBatch, nMerges - merges.size)
-        val batch = scala.collection.mutable.ArrayBuffer.empty[BpeMerge]
-        var i = 0
-        var open = true
-        while (i < rows.length && open && batch.size < limit) {
-          val (l, r, c) = rows(i)
-          if (!used(l) && !used(r)) {
-            if (batch.isEmpty || c > threat) {
-              require(!(l + r).exists(ch => ch == '\'' || ch == '\\' || ch.isWhitespace),
-                s"BPE symbol contains a quote/backslash/space: '$l' + '$r'")
-              batch += BpeMerge(merges.size + batch.size + 1, l, r, l + r, c)
-              val syms = Set(l, r, l + r)
-              used ++= syms
-              // fold in EVERY collected pair conflicting with this pick
-              // — including rows ranked below candidates not yet
-              // examined (see the (lu, m)/(o, lu)/(co, lu) note above)
-              rows.foreach { case (l2, r2, c2) =>
-                if ((l2 != l || r2 != r) && (syms(l2) || syms(r2)))
-                  threat = math.max(threat, c2)
-              }
-            } else open = false
-          }
-          i += 1
-        }
+        val batch = bpeAdmitBatch(rows, rows.length == topM,
+          math.min(maxBatch, nMerges - merges.size), merges.size, mergedNames)
         merges ++= batch
         cur = batch.foldLeft(cur) { (df, m) =>
           df.withColumn("syms",
@@ -445,6 +486,107 @@ object Text {
       }
     }
     if (checkpointed != null) checkpointed.unpersist()
+    (merges.toSeq, supersteps)
+  }
+
+  /** Delta-MAINTAINED merge-batched BPE training (round-14 lead item)
+    * — the identical merge table as [[bpeTrain]] / [[bpeTrainBatched]]
+    * (the admission rule is [[bpeAdmitBatch]], shared), with the one
+    * remaining corpus-proportional superstep cost removed: instead of
+    * re-exploding and re-aggregating adjacent-pair counts over EVERY
+    * word each superstep, the (l, r, cnt) relation is maintained as a
+    * persisted delta. Applying a batch changes the pair contributions
+    * of exactly the words whose symbol string contains an admitted
+    * pair's match pattern, so the update is
+    *   pc' = pc − pairs(affected, old syms) + pairs(affected, new syms)
+    * — integer counts throughout, so the batched trainer's exactness
+    * proof and the BpeSpec equivalence pins carry over unchanged. Late
+    * supersteps cost O(affected words): the step from "works at 128
+    * merges" to "works at a production 32k-merge vocabulary", where
+    * the long tail of merges touches a vanishing corpus fraction but a
+    * full re-aggregate would still pay the whole corpus every time.
+    *
+    * Loop discipline: pc and the affected-word snapshot are
+    * localCheckpoint'd (EAGER — one bounded job per superstep
+    * materializes the delta and truncates lineage, so plan depth never
+    * grows with merge count); the symbol strings keep bpeTrain's
+    * narrow replace-chain with its every-8 truncation cadence. The
+    * only driver traffic is the same top-`topM` collect as the batched
+    * trainer. Exact-zero rows are DROPPED from pc each superstep: a
+    * key that later returns (possible only when a merged-name
+    * collision re-creates a dead pair) is rebuilt by the union-groupBy
+    * from its delta rows alone, so the compaction is value-neutral
+    * while keeping the relation at live-pair size.
+    *
+    * Exhaustion matches the sequential trainer: pc empty ⟺ no word
+    * has ≥ 2 symbols ⟺ bpeTrain's aggregate is empty. */
+  private[graft] def bpeTrainDelta(words: DataFrame, nMerges: Int,
+      maxBatch: Int = 64, topM: Int = 256): (Seq[BpeMerge], Int) = {
+    import words.sparkSession.implicits._
+    require(maxBatch >= 1, s"maxBatch must be >= 1: $maxBatch")
+    require(topM >= maxBatch, s"topM ($topM) must cover maxBatch ($maxBatch)")
+    def pairCounts(df: DataFrame): DataFrame =
+      df.select($"freq", bpeSymArray($"syms").as("sy"))
+        .filter(size($"sy") >= 2)
+        .select($"freq", explode(expr(
+          """transform(sequence(1, size(sy) - 1),
+            |          i -> struct(sy[i - 1] as l, sy[i] as r))"""
+            .stripMargin)).as("p"))
+        .groupBy($"p.l".as("l"), $"p.r".as("r"))
+        .agg(sum($"freq").as("cnt"))
+    var cur = words
+    var curCheckpointed: DataFrame = null
+    var pc = pairCounts(cur).localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[BpeMerge]
+    val mergedNames = scala.collection.mutable.Set.empty[String]
+    var supersteps = 0
+    var exhausted = false
+    var replacesSinceCheckpoint = 0
+    while (merges.size < nMerges && !exhausted) {
+      // cnt > 0 is an invariant (exact maintenance + zero compaction);
+      // the filter is a free belt-and-braces guard on a bounded relation
+      val top = pc.filter($"cnt" > 0)
+        .orderBy($"cnt".desc, $"l", $"r").limit(topM).collect()
+      supersteps += 1
+      if (top.isEmpty) exhausted = true
+      else {
+        val rows = top.map(t => (t.getString(0), t.getString(1), t.getLong(2)))
+        val batch = bpeAdmitBatch(rows, rows.length == topM,
+          math.min(maxBatch, nMerges - merges.size), merges.size, mergedNames)
+        merges ++= batch
+        def applyBatch(df: DataFrame): DataFrame =
+          batch.foldLeft(df) { (d, m) =>
+            d.withColumn("syms",
+              expr(s"replace(syms, ' ${m.lhs}  ${m.rhs} ', ' ${m.merged} ')"))
+          }
+        // the words this batch touches — one narrow scan of cur,
+        // materialized eagerly so both delta legs read the snapshot
+        val affected = cur.filter(batch.map(m =>
+          $"syms".contains(s" ${m.lhs}  ${m.rhs} ")).reduce(_ || _))
+          .localCheckpoint()
+        val pcNext = pc
+          .unionByName(pairCounts(applyBatch(affected)))
+          .unionByName(pairCounts(affected)
+            .select($"l", $"r", (-$"cnt").as("cnt")))
+          .groupBy($"l", $"r").agg(sum($"cnt").as("cnt"))
+          .filter($"cnt" =!= 0L)
+          .localCheckpoint()
+        pc.unpersist()
+        affected.unpersist()
+        pc = pcNext
+        cur = applyBatch(cur)
+        replacesSinceCheckpoint += batch.size
+        if (replacesSinceCheckpoint >= 8) {
+          val next = cur.localCheckpoint()
+          if (curCheckpointed != null) curCheckpointed.unpersist()
+          curCheckpointed = next
+          cur = next
+          replacesSinceCheckpoint = 0
+        }
+      }
+    }
+    if (curCheckpointed != null) curCheckpointed.unpersist()
+    pc.unpersist()
     (merges.toSeq, supersteps)
   }
 
@@ -474,10 +616,10 @@ object Text {
   private def bpeMergesFor(spark: SparkSession, dir: String): Seq[BpeMerge] =
     api.ResultCache.getOrCompute[Seq[BpeMerge]](
       s"bpe:${api.ResultCache.sessionId(spark)}:$dir:$BpeMergeCount", _ => true)(
-      // the batched trainer's merge table is spec-pinned EQUAL to the
+      // the delta trainer's merge table is spec-pinned EQUAL to the
       // sequential one, so the graded queries and their oracle replay
-      // are unchanged — only the superstep count drops
-      bpeTrainBatched(bpeWords(Tables.documents(spark, dir)), BpeMergeCount)._1)
+      // are unchanged — only the per-superstep cost drops
+      bpeTrainDelta(bpeWords(Tables.documents(spark, dir)), BpeMergeCount)._1)
 
   /** The trained (word → subtoken count) relation both consuming
     * queries broadcast — built ONCE per shape (textBpeTokens and
@@ -1181,8 +1323,11 @@ object Text {
   private[graft] def decontamParagraphs(paras: DataFrame,
       probes: Seq[String], joiner: String = " "): DataFrame = {
     import paras.sparkSession.implicits._
+    // reduceOption: an empty probe list (reachable through the public
+    // api.Paragraphs.decontaminate) is a no-op keep-all, not a reduce
+    // on an empty collection (round-13 ADVICE)
     val bad = probes.map(p => instr($"ptext", lit(p)) > 0)
-      .reduce((a, b) => a || b)
+      .reduceOption((a, b) => a || b).getOrElse(lit(false))
     reconstructByKeep(paras.withColumn("__keep", !bad), joiner)
   }
 
@@ -1216,6 +1361,44 @@ object Text {
   def textQualityPara(spark: SparkSession, dir: String): DataFrame =
     qualityFilterParagraphs(
       paragraphView(Tables.documents(spark, dir), ParaTokens), 0.58)
+
+  /** CORPUS-ADAPTIVE paragraph quality filter (round-13 verdict item
+    * 3): [[textQualityPara]]'s fixed 0.58 is ~p05 of ONE corpus — at
+    * any other distribution a constant silently over- or under-trims.
+    * This twin derives the cutoff from the corpus itself with
+    * [[qualityAdaptive]]'s bounded-domain histogram trick: the
+    * composite is 6-dp ROUNDED, so its value domain is finite and a
+    * (quality → paragraph count) histogram is exact and tiny (≤ 10^6
+    * keys in principle, a few hundred in practice); the threshold is
+    * the smallest quality whose cumulative count reaches ⌈total/20⌉
+    * (the integer-ceiling p05 convention shared with qualityAdaptive),
+    * making every keep decision — and the emitted `q_threshold` —
+    * replayable by the DuckDB oracle.
+    *
+    * 100 TB shape: two corpus scans by necessity (a global percentile
+    * cannot be known before the distribution is), but the FIRST pass
+    * exchanges only the histogram (partial-agg collapsed to its
+    * bounded domain per task) and is cached for both threshold uses;
+    * the second is the same per-row map + one doc_id reconstruction
+    * exchange as the constant-threshold query. The threshold subtree
+    * is a 1-row broadcast — never a driver collect. */
+  def textQualityParaAdaptive(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val paras = paragraphView(Tables.documents(spark, dir), ParaTokens)
+      .withColumn("__q", qualityComposite($"ptext"))
+    val hist = paras.groupBy($"__q").agg(count(lit(1)).as("cnt")).cache()
+    val th = hist
+      .withColumn("cum", sum($"cnt").over(Window.orderBy($"__q")))
+      .withColumn("total", sum($"cnt").over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .agg(min(when($"cum" >= expr("(total + 19) div 20"), $"__q"))
+        .as("q_threshold"))
+    reconstructByKeep(
+        paras.crossJoin(broadcast(th))
+          .withColumn("__keep", $"__q" >= $"q_threshold"), " ")
+      .crossJoin(broadcast(th))
+      .orderBy($"doc_id")
+  }
 
   /** N-gram-OVERLAP decontamination — the standard eval-set method
     * (13-gram overlap in the published recipes; 3-grams here to match
@@ -2046,15 +2229,23 @@ object Text {
     * own split in front of the same operator. */
   private val ParaTokens = 20
 
+  /** THE fixed-width slicing expression — paragraph k of a token
+    * array column named `tokCol` = its tokens [k·w, k·w+w) re-joined.
+    * One definition shared by [[paragraphView]] and [[textParaKeepBest]]
+    * (round-13 ADVICE: an inline second copy would silently desync the
+    * keep-best twin from the view if the boundary rule ever changed). */
+  private def paraSlices(tokCol: String, paraTokens: Int): Column = expr(
+    s"""transform(sequence(0, (size($tokCol) - 1) div $paraTokens),
+       |          k -> array_join(slice($tokCol, k * $paraTokens + 1, $paraTokens), ' '))"""
+      .stripMargin)
+
   /** Fixed-width paragraph view of a flat (doc_id, text) corpus. */
   private[graft] def paragraphView(docs: DataFrame, paraTokens: Int): DataFrame = {
     import docs.sparkSession.implicits._
     docs
       .select($"doc_id", toks($"text").as("t"))
-      .select($"doc_id", posexplode(expr(
-        s"""transform(sequence(0, (size(t) - 1) div $paraTokens),
-           |          k -> array_join(slice(t, k * $paraTokens + 1, $paraTokens), ' '))"""
-          .stripMargin)).as(Seq("para_idx", "ptext")))
+      .select($"doc_id", posexplode(paraSlices("t", paraTokens))
+        .as(Seq("para_idx", "ptext")))
   }
 
   /** Separator-token paragraph view: docs carrying an explicit
@@ -2146,10 +2337,8 @@ object Text {
     import spark.implicits._
     val paras = Tables.documents(spark, dir)
       .select($"doc_id", qualityComposite($"text").as("__q"), toks($"text").as("t"))
-      .select($"doc_id", $"__q", posexplode(expr(
-        s"""transform(sequence(0, (size(t) - 1) div $ParaTokens),
-           |          k -> array_join(slice(t, k * $ParaTokens + 1, $ParaTokens), ' '))"""
-          .stripMargin)).as(Seq("para_idx", "ptext")))
+      .select($"doc_id", $"__q", posexplode(paraSlices("t", ParaTokens))
+        .as(Seq("para_idx", "ptext")))
     dedupParagraphs(paras,
       keepOrder = Seq($"__q".desc, $"doc_id", $"para_idx"))
   }
@@ -2231,6 +2420,35 @@ object Text {
     * leave the corpus on the next pass, the honest fixpoint). */
   private[graft] def dedupParagraphsSep(docs: DataFrame, sep: String): DataFrame =
     dedupParagraphs(paragraphViewSep(docs, sep), s" $sep ")
+
+  /** GRADED separator-view paragraph dedup (round-13 verdict item 2):
+    * the natural-structure branch ([[paragraphViewSep]] →
+    * [[dedupParagraphs]] → separator-preserving reconstruction) had
+    * idempotence specs and 10M-doc scale rows but no CORRECTNESS row,
+    * because the sf* corpora are flat. This query derives separator
+    * structure FROM the corpus itself, deterministically and
+    * oracle-replayably: doc d's tokens are re-joined with the `<p>`
+    * marker every k(d) = 4 + (d mod 5) tokens (per-doc width, so
+    * boundaries don't align corpus-wide the way one global constant
+    * would), then the sep branch runs end-to-end — split on the bare
+    * marker, trim, drop empties, digest-keyed keep-first, reconstruct
+    * WITH the separator. The oracle replays injection + view + kernel
+    * in DuckDB, closing the family's last ungraded code path.
+    *
+    * 100 TB shape: the injection is a per-row map riding the scan;
+    * everything after is [[dedupParagraphs]]'s two exchanges. */
+  def textDedupParaSep(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val injected = Tables.documents(spark, dir)
+      .select($"doc_id",
+        (lit(4) + pmod($"doc_id", lit(5))).cast("int").as("k"),
+        toks($"text").as("t"))
+      .select($"doc_id", expr(
+        """array_join(transform(sequence(0, (size(t) - 1) div k),
+          |           j -> array_join(slice(t, j * k + 1, k), ' ')),
+          |           ' <p> ')""".stripMargin).as("text"))
+    dedupParagraphsSep(injected, "<p>")
+  }
 
   def qualityAdaptive(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

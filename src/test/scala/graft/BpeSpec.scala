@@ -190,6 +190,96 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("bpeTrainDelta equals bpeTrain merge-for-merge on toy and randomized corpora, to exhaustion depth") {
+    val toy = Seq(
+      (0L, "lower lower lowest newer newer newer new"),
+      (1L, "wider wide new newer lowest"),
+      (2L, "low low lower wide wide wide"))
+    val toyWords = wordsDf(toy)
+    assert(Text.bpeTrainDelta(toyWords, 10)._1 == Text.bpeTrain(toyWords, 10))
+    // randomized, hostile knobs (topM at its floor, small alphabet) at
+    // EXHAUSTION depth vs the driver replay — the round-13 lesson: a
+    // batching/maintenance bug can be invisible for 14 steps and bite
+    // at 15, so equivalence pins must run the corpus dry
+    for (seed <- 1 to 5; (mb, tm) <- Seq((1, 4), (8, 32))) {
+      val rnd = new scala.util.Random(seed * 7919)
+      val alphabet = "abcd"
+      val docs = (0L until 3L).map { d =>
+        d -> Seq.fill(8 + rnd.nextInt(8))(
+          Seq.fill(1 + rnd.nextInt(6))(alphabet(rnd.nextInt(alphabet.length))).mkString
+        ).mkString(" ")
+      }
+      val freq: Map[String, Long] = docs.flatMap(_._2.split(" ")).groupBy(identity)
+        .map { case (w, g) => w -> g.size.toLong }
+      val expected = replayBpe(freq, 40)
+      val (got, _) = Text.bpeTrainDelta(wordsDf(docs), 40, maxBatch = mb, topM = tm)
+      assert(got.map(m => (m.lhs, m.rhs, m.pair_count)) == expected,
+        s"seed=$seed maxBatch=$mb topM=$tm corpus=$docs\ngot: ${got.map(m => (m.lhs, m.rhs, m.pair_count))}\nexpected: $expected")
+    }
+    // exhaustion bookkeeping matches the batched trainer's contract
+    val (m0, s0) = Text.bpeTrainDelta(wordsDf(Seq((0L, "a b c a b"))), 5)
+    assert(m0.isEmpty && s0 == 1)
+    val (m2, _) = Text.bpeTrainDelta(wordsDf(Seq((0L, "ab ab cd"))), 5)
+    assert(m2.map(x => (x.lhs, x.rhs)) == Seq(("a", "b"), ("c", "d")))
+  }
+
+  test("bpeAdmitBatch: a pick whose merged name already exists as a symbol CLOSES the batch") {
+    // round-13 ADVICE (medium), pinned at the helper level: when an
+    // admitted pick's merged name equals a pre-existing symbol s, the
+    // post-batch count of a pair (x, s) is pre(x,s) PLUS the
+    // occurrences the merge just created — two threat-bounded terms
+    // whose SUM is not bounded — so no later same-batch admission is
+    // sound. (Corpus-level reachability is an open question — a
+    // 200k-corpus randomized search found no greedy-BPE run that ever
+    // re-creates an existing merged name — so the path is pinned
+    // directly: the registry is seeded as if a prior superstep had
+    // created "cd".)
+    val rows = Array(("a", "b", 100L), ("c", "d", 90L), ("e", "f", 80L))
+    val clean = scala.collection.mutable.Set.empty[String]
+    val all = Text.bpeAdmitBatch(rows, truncated = false, limit = 8, stepBase = 0, clean)
+    assert(all.map(m => (m.lhs, m.rhs)) == Seq(("a", "b"), ("c", "d"), ("e", "f")),
+      s"disjoint picks with no collision must all admit: $all")
+    assert(clean == Set("ab", "cd", "ef"))
+    val seeded = scala.collection.mutable.Set("cd")
+    val closed = Text.bpeAdmitBatch(rows, truncated = false, limit = 8, stepBase = 0, seeded)
+    assert(closed.map(m => (m.lhs, m.rhs)) == Seq(("a", "b"), ("c", "d")),
+      s"the colliding pick itself is safe but must CLOSE the batch: $closed")
+    assert(seeded == Set("ab", "cd"), "only admitted names registered")
+    // collision at rank 1: admitted (rank 1 is the global argmax,
+    // always exact), batch closes immediately
+    val seeded1 = scala.collection.mutable.Set("ab")
+    val one = Text.bpeAdmitBatch(rows, truncated = false, limit = 8, stepBase = 0, seeded1)
+    assert(one.map(m => (m.lhs, m.rhs)) == Seq(("a", "b")), s"got $one")
+  }
+
+  test("dense-tie unary/binary corpora at exhaustion depth: batched and delta stay sequential-exact") {
+    // the hostile-alignment family: every symbol is a power of one or
+    // two letters, so equal counts and shared-symbol conflicts are the
+    // common case and greedy left-to-right alignment effects (the
+    // [a,a,a] -> [aa,a] asymmetry) are maximal. Ground truth = the
+    // O(n²) driver replay, run to exhaustion (the round-13 lesson: a
+    // batching/maintenance bug can be invisible for 14 steps and bite
+    // at 15).
+    for (seed <- 1 to 3; alphabet <- Seq("a", "ab")) {
+      val rnd = new scala.util.Random(seed * 31337 + alphabet.length)
+      val docs = (0L until 4L).map { d =>
+        d -> Seq.fill(6 + rnd.nextInt(6))(
+          Seq.fill(1 + rnd.nextInt(12))(alphabet(rnd.nextInt(alphabet.length))).mkString
+        ).mkString(" ")
+      }
+      val freq: Map[String, Long] = docs.flatMap(_._2.split(" ")).groupBy(identity)
+        .map { case (w, g) => w -> g.size.toLong }
+      val expected = replayBpe(freq, 200)
+      val words = wordsDf(docs)
+      val (gotB, _) = Text.bpeTrainBatched(words, 200, maxBatch = 8, topM = 32)
+      assert(gotB.map(m => (m.lhs, m.rhs, m.pair_count)) == expected,
+        s"batched seed=$seed alphabet=$alphabet corpus=$docs\nfirst diff: ${gotB.map(m => (m.lhs, m.rhs, m.pair_count)).zip(expected).zipWithIndex.find(p => p._1._1 != p._1._2)}")
+      val (gotD, _) = Text.bpeTrainDelta(words, 200, maxBatch = 8, topM = 32)
+      assert(gotD.map(m => (m.lhs, m.rhs, m.pair_count)) == expected,
+        s"delta seed=$seed alphabet=$alphabet corpus=$docs\nfirst diff: ${gotD.map(m => (m.lhs, m.rhs, m.pair_count)).zip(expected).zipWithIndex.find(p => p._1._1 != p._1._2)}")
+    }
+  }
+
   test("bpeTrainBatched: maxBatch=1 degenerates to one merge per superstep; exhaustion matches") {
     val words = wordsDf(Seq((0L, "aa ab aa ba ab aa"), (1L, "ba ba ab")))
     val (m1, s1) = Text.bpeTrainBatched(words, 6, maxBatch = 1)
@@ -231,6 +321,12 @@ class BpeSpec extends SparkSpec {
       s"first diff: ${got.map(m => (m.lhs, m.rhs, m.pair_count)).zip(expected).find(p => p._1 != p._2)}")
     assert(got.size > Text.BpeMergeCount, "exhaustion depth must exceed the graded merge count")
     assert(steps < got.size, s"depth run must batch: $steps supersteps for ${got.size} merges")
+    // and the DELTA trainer — the graded/api path since round 14 —
+    // agrees at the same depth on the same real corpus
+    val (gotD, stepsD) = Text.bpeTrainDelta(words, 128)
+    assert(gotD.map(m => (m.lhs, m.rhs, m.pair_count)) == expected,
+      s"delta first diff: ${gotD.map(m => (m.lhs, m.rhs, m.pair_count)).zip(expected).find(p => p._1 != p._2)}")
+    assert(stepsD < gotD.size, s"delta depth run must batch: $stepsD supersteps for ${gotD.size} merges")
   }
 
   test("bpeApply segmentation: every word re-tokenizes to the replay's symbol sequence") {
