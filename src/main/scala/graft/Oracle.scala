@@ -1282,6 +1282,19 @@ object Oracle {
         |            ELSE NULL END AS add_or_null
         |FROM orders ORDER BY o_orderkey""".stripMargin,
 
+    // the guarded twin computes the IDENTICAL rows (the oracle is the
+    // same NULL-asserting CASE replay) — what differs is the plan:
+    // predicate-guarded legs instead of per-row exception unwinds
+    "q_fn_try_guarded" ->
+      """SELECT o_orderkey,
+        |       round(CASE WHEN o_custkey % 7 = 0 THEN NULL
+        |                  ELSE o_totalprice / (o_custkey % 7) END, 6) AS div_or_null,
+        |       TRY_CAST(o_orderpriority AS INTEGER) AS cast_or_null,
+        |       TRY_CAST(substring(o_orderpriority, 1, 1) AS INTEGER) AS prio_digit,
+        |       CASE WHEN o_orderkey <= 7 THEN 9223372036854775800 + o_orderkey
+        |            ELSE NULL END AS add_or_null
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
     // DuckDB runs the identical LATERAL text — the check is that both
     // engines' decorrelations agree with each other
     "q_sql_lateral" ->

@@ -187,6 +187,7 @@ object SparkEntry {
     "q_sql_lateral" -> Sql.lateralTopN _,
     "q_sql_recursive" -> Sql.recursiveCte _,
     "q_fn_try" -> Relational.fnTry _,
+    "q_fn_try_guarded" -> Relational.fnTryGuarded _,
     // pivot / extra windows / bitwise / skew-salted join
     "q_agg_pivot" -> Relational.aggPivot _,
     "q_agg_unpivot" -> Relational.aggUnpivot _,

@@ -1137,6 +1137,37 @@ object Relational {
       .orderBy($"o_orderkey")
   }
 
+  /** The GUARDED try_ shape (round-13 verdict item 6 / DualBench's
+    * 157× find on q_fn_try): [[fnTry]] demonstrates the intrinsic try_
+    * semantics on legs that fail ~100% of rows BY DESIGN, which means
+    * its bench row is dominated by Spark's per-row exception unwind —
+    * linear and partitionable, but not the shape a pipeline should run
+    * at 100 TB. This twin is the recommended form: a cheap compiled
+    * PREDICATE decides each row's fate and try_ remains only as the
+    * belt-and-braces fallback inside the guarded branch, so the
+    * exception path executes on ~zero rows and the whole projection
+    * stays in whole-stage codegen at predicate cost. Output semantics
+    * are IDENTICAL to [[fnTry]] row-for-row (the oracle asserts the
+    * same NULLs), so the bench pair reads as "same answer, exception
+    * unwind vs predicate" directly. */
+  def fnTryGuarded(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .select(
+        $"o_orderkey",
+        when($"o_custkey" % 7 =!= 0,
+          round(try_divide($"o_totalprice", ($"o_custkey" % 7).cast("double")), 6))
+          .as("div_or_null"),
+        when($"o_orderpriority".rlike("^[0-9]+$"),
+          expr("try_cast(o_orderpriority AS INT)")).as("cast_or_null"),
+        when(substring($"o_orderpriority", 1, 1).rlike("^[0-9]$"),
+          expr("try_cast(substring(o_orderpriority, 1, 1) AS INT)")).as("prio_digit"),
+        when($"o_orderkey" <= 7L,
+          expr("try_add(o_orderkey, 9223372036854775800L)")).as("add_or_null"),
+      )
+      .orderBy($"o_orderkey")
+  }
+
   /** Conditional/boolean aggregate family: count_if, bool_and, bool_or
     * — all fold into the same partial+final hash aggregate as any
     * other agg (a predicate aggregate is a sum/min/max of 0/1 under

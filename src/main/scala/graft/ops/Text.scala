@@ -436,7 +436,8 @@ object Text {
   }
 
   private[graft] def bpeTrainBatched(words: DataFrame, nMerges: Int,
-      maxBatch: Int = 64, topM: Int = 256): (Seq[BpeMerge], Int) = {
+      maxBatch: Int = 64, topM: Int = 256,
+      onSuperstep: (Int, Int, Double) => Unit = null): (Seq[BpeMerge], Int) = {
     import words.sparkSession.implicits._
     require(maxBatch >= 1, s"maxBatch must be >= 1: $maxBatch")
     require(topM >= maxBatch, s"topM ($topM) must cover maxBatch ($maxBatch)")
@@ -450,6 +451,7 @@ object Text {
     // after ~8 accumulated per-row replaces, not per superstep
     var replacesSinceCheckpoint = 0
     while (merges.size < nMerges && !exhausted) {
+      val tSuper = System.nanoTime()
       val top = cur
         .select($"freq", bpeSymArray($"syms").as("sy"))
         .select($"freq", explode(expr(
@@ -483,6 +485,8 @@ object Text {
           cur = next
           replacesSinceCheckpoint = 0
         }
+        if (onSuperstep != null)
+          onSuperstep(supersteps, batch.size, (System.nanoTime() - tSuper) / 1e9)
       }
     }
     if (checkpointed != null) checkpointed.unpersist()
@@ -506,47 +510,70 @@ object Text {
     * the long tail of merges touches a vanishing corpus fraction but a
     * full re-aggregate would still pay the whole corpus every time.
     *
-    * Loop discipline: pc and the affected-word snapshot are
-    * localCheckpoint'd (EAGER — one bounded job per superstep
-    * materializes the delta and truncates lineage, so plan depth never
-    * grows with merge count); the symbol strings keep bpeTrain's
-    * narrow replace-chain with its every-8 truncation cadence. The
-    * only driver traffic is the same top-`topM` collect as the batched
-    * trainer. Exact-zero rows are DROPPED from pc each superstep: a
-    * key that later returns (possible only when a merged-name
-    * collision re-creates a dead pair) is rebuilt by the union-groupBy
-    * from its delta rows alone, so the compaction is value-neutral
-    * while keeping the relation at live-pair size.
+    * Loop discipline — ONE Spark job AND one exchange per superstep,
+    * same as the batched trainer (measured at the x100 corpus' small
+    * 62k vocab, where fixed costs dominate: an eager-checkpoint
+    * formulation paid 3 jobs/superstep and per-leg groupBys paid 3
+    * exchanges — each read 1.4–1.6× SLOWER than batched): the delta is
+    * one narrow scan of cur projecting each affected word's OLD and
+    * NEW symbol arrays side by side, exploded as signed raw pair rows
+    * and netted by the outer groupBy's map-side partial agg; pcNext is
+    * a LAZY localCheckpoint materialized by the NEXT superstep's top-M
+    * collect — the one driver round-trip carries the whole update.
+    * The previous superstep's pinned blocks are released right after
+    * that collect; lineage never grows past one superstep. The symbol
+    * strings keep bpeTrain's narrow replace-chain with its every-8
+    * truncation cadence. Exact-zero rows are DROPPED from pc each
+    * superstep: a key that later returns (possible only when a
+    * merged-name collision re-creates a dead pair) is rebuilt by the
+    * union-groupBy from its delta rows alone, so the compaction is
+    * value-neutral while keeping the relation at live-pair size.
     *
     * Exhaustion matches the sequential trainer: pc empty ⟺ no word
     * has ≥ 2 symbols ⟺ bpeTrain's aggregate is empty. */
   private[graft] def bpeTrainDelta(words: DataFrame, nMerges: Int,
-      maxBatch: Int = 64, topM: Int = 256): (Seq[BpeMerge], Int) = {
+      maxBatch: Int = 64, topM: Int = 256,
+      onSuperstep: (Int, Int, Double) => Unit = null): (Seq[BpeMerge], Int) = {
     import words.sparkSession.implicits._
     require(maxBatch >= 1, s"maxBatch must be >= 1: $maxBatch")
     require(topM >= maxBatch, s"topM ($topM) must cover maxBatch ($maxBatch)")
-    def pairCounts(df: DataFrame): DataFrame =
+    // raw signed pair rows, NO per-leg aggregation: the single outer
+    // groupBy's map-side partial agg combines base + delta in ONE
+    // exchange — per-leg groupBys tripled the superstep's shuffle-
+    // stage count, which at small vocab sizes cost more than the full
+    // re-aggregate they replaced (measured, x100 62k vocab)
+    val signedPairs =
+      """case when size(%s) >= 2
+        |  then transform(sequence(1, size(%s) - 1),
+        |                 i -> struct(%s[i - 1] as l, %s[i] as r, %d as s))
+        |  else array(cast(null as struct<l: string, r: string, s: int>)) end"""
+        .stripMargin
+    def pairRows(df: DataFrame, sign: Int): DataFrame =
       df.select($"freq", bpeSymArray($"syms").as("sy"))
-        .filter(size($"sy") >= 2)
         .select($"freq", explode(expr(
-          """transform(sequence(1, size(sy) - 1),
-            |          i -> struct(sy[i - 1] as l, sy[i] as r))"""
-            .stripMargin)).as("p"))
-        .groupBy($"p.l".as("l"), $"p.r".as("r"))
-        .agg(sum($"freq").as("cnt"))
+          signedPairs.format("sy", "sy", "sy", "sy", sign))).as("p"))
+        .filter($"p".isNotNull)
+        .select($"p.l".as("l"), $"p.r".as("r"), ($"freq" * $"p.s").as("cnt"))
     var cur = words
     var curCheckpointed: DataFrame = null
-    var pc = pairCounts(cur).localCheckpoint()
+    var pc = pairRows(cur, 1)
+      .groupBy($"l", $"r").agg(sum($"cnt").as("cnt")).localCheckpoint()
+    var prevPc: DataFrame = null
     val merges = scala.collection.mutable.ArrayBuffer.empty[BpeMerge]
     val mergedNames = scala.collection.mutable.Set.empty[String]
     var supersteps = 0
     var exhausted = false
     var replacesSinceCheckpoint = 0
     while (merges.size < nMerges && !exhausted) {
+      val tSuper = System.nanoTime()
       // cnt > 0 is an invariant (exact maintenance + zero compaction);
-      // the filter is a free belt-and-braces guard on a bounded relation
+      // the filter is a free belt-and-braces guard on a bounded
+      // relation. This collect is the superstep's ONE job: it also
+      // materializes the lazy pc checkpoint queued by the previous
+      // superstep, whose inputs can then be released.
       val top = pc.filter($"cnt" > 0)
         .orderBy($"cnt".desc, $"l", $"r").limit(topM).collect()
+      if (prevPc != null) { prevPc.unpersist(); prevPc = null }
       supersteps += 1
       if (top.isEmpty) exhausted = true
       else {
@@ -559,20 +586,30 @@ object Text {
             d.withColumn("syms",
               expr(s"replace(syms, ' ${m.lhs}  ${m.rhs} ', ' ${m.merged} ')"))
           }
-        // the words this batch touches — one narrow scan of cur,
-        // materialized eagerly so both delta legs read the snapshot
-        val affected = cur.filter(batch.map(m =>
-          $"syms".contains(s" ${m.lhs}  ${m.rhs} ")).reduce(_ || _))
-          .localCheckpoint()
+        // the delta: ONE narrow scan of cur — the affected filter, then
+        // a single projection carrying the word's OLD symbol array and
+        // its NEW one (batch applied), exploded together as signed pair
+        // rows (old −freq, new +freq). No snapshot to pin, no second
+        // scan, no per-leg aggregate: the outer groupBy's partial agg
+        // nets everything before the superstep's one exchange.
+        val affectedPairs = cur
+          .filter(batch.map(m =>
+            $"syms".contains(s" ${m.lhs}  ${m.rhs} ")).reduce(_ || _))
+          .select($"freq", bpeSymArray($"syms").as("o"),
+            bpeSymArray(expr(batch.foldLeft("syms") { (e, m) =>
+              s"replace($e, ' ${m.lhs}  ${m.rhs} ', ' ${m.merged} ')"
+            })).as("n"))
+          .select($"freq", explode(concat(
+            expr(signedPairs.format("o", "o", "o", "o", -1)),
+            expr(signedPairs.format("n", "n", "n", "n", 1)))).as("p"))
+          .filter($"p".isNotNull)
+          .select($"p.l".as("l"), $"p.r".as("r"), ($"freq" * $"p.s").as("cnt"))
         val pcNext = pc
-          .unionByName(pairCounts(applyBatch(affected)))
-          .unionByName(pairCounts(affected)
-            .select($"l", $"r", (-$"cnt").as("cnt")))
+          .unionByName(affectedPairs)
           .groupBy($"l", $"r").agg(sum($"cnt").as("cnt"))
           .filter($"cnt" =!= 0L)
-          .localCheckpoint()
-        pc.unpersist()
-        affected.unpersist()
+          .localCheckpoint(false) // lazy: the next top-M collect runs it
+        prevPc = pc
         pc = pcNext
         cur = applyBatch(cur)
         replacesSinceCheckpoint += batch.size
@@ -583,9 +620,12 @@ object Text {
           cur = next
           replacesSinceCheckpoint = 0
         }
+        if (onSuperstep != null)
+          onSuperstep(supersteps, batch.size, (System.nanoTime() - tSuper) / 1e9)
       }
     }
     if (curCheckpointed != null) curCheckpointed.unpersist()
+    if (prevPc != null) prevPc.unpersist()
     pc.unpersist()
     (merges.toSeq, supersteps)
   }
