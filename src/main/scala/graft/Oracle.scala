@@ -108,7 +108,8 @@ object Oracle {
     * shared with the Spark side via Dedup.simhashPlanes) → majority
     * signature → chunk banding → exact hamming over candidates. MD5 and
     * integer arithmetic agree bit-for-bit across engines. */
-  private def simhashCtes(maxHamming: Int): String = {
+  private def simhashCtes(maxHamming: Int, base: String = "documents",
+      idCol: String = "doc_id"): String = {
     val planes = graft.api.Dedup.simhashPlanes.zipWithIndex
       .map { case ((a, b), j) => s"($j, $a, $b)" }.mkString(", ")
     val chunkBits = 64 / (maxHamming + 1)
@@ -119,8 +120,8 @@ object Oracle {
         "x -> CAST(CASE WHEN ascii(x) >= 97 THEN ascii(x) - 87 ELSE ascii(x) - 48 END AS BIGINT)), " +
         "(a, b) -> a * 16 + b)"
     s"""tok AS (
-       |  SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS pos,
-       |         unnest(string_split(text, ' ')) AS w FROM documents),
+       |  SELECT $idCol AS doc_id, generate_subscripts(string_split(text, ' '), 1) AS pos,
+       |         unnest(string_split(text, ' ')) AS w FROM $base),
        |sh AS (
        |  SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS sh
        |  FROM tok a
@@ -425,6 +426,25 @@ object Oracle {
 
     "q_text_dedup_para" -> dedupParaOracle(20),
 
+    // tokenizer fertility: the bpeTokensOracle aggregate widened with
+    // char sums and the two 6-dp ratios
+    "q_text_bpe_fertility" -> {
+      val n = graft.ops.Text.BpeMergeCount
+      s"""WITH ${bpeCtes(n)},
+         |agg AS (
+         |  SELECT d.lang,
+         |         CAST(count(*) AS BIGINT) AS n_words,
+         |         CAST(sum(len(string_split(trim(f.syms), '  '))) AS BIGINT) AS n_subtokens,
+         |         CAST(sum(len(d.w)) AS BIGINT) AS n_chars
+         |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents) d
+         |  JOIN w$n f ON d.w = f.w
+         |  GROUP BY d.lang)
+         |SELECT lang, n_words, n_subtokens,
+         |       round(CAST(n_subtokens AS DOUBLE) / n_words, 6) AS fertility,
+         |       round(CAST(n_chars AS DOUBLE) / n_subtokens, 6) AS chars_per_subtoken
+         |FROM agg ORDER BY lang""".stripMargin
+    },
+
     "q_text_para_keep_best" -> paraKeepBestOracle(20),
 
     // paragraph-level decontamination replay: the dedupParaOracle view
@@ -539,6 +559,45 @@ object Oracle {
         |       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
         |       CAST(sum(CASE WHEN rn <> 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
         |FROM flag GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // paragraph-level NEAR-dup replay: the 20-token paragraph view as
+    // the simhash base (pid = doc_id*1e6 + para_idx), the SAME
+    // signature/banding/hamming CTEs as q_dedup_simhash, the
+    // q_dedup_cluster reachability closure, then anti-join excision of
+    // non-canonical members and the trimParaOracle-style left-join
+    // reconstruction (fully-excised docs emit '')
+    "q_text_dedup_para_near" -> {
+      s"""WITH RECURSIVE sy AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |par AS (
+         |  SELECT doc_id, k AS para_idx, doc_id * 1000000 + k AS pid,
+         |         array_to_string(t[k * 20 + 1 : k * 20 + 20], ' ') AS text
+         |  FROM (SELECT doc_id, t, unnest(generate_series(0, (len(t) - 1) // 20)) AS k
+         |        FROM sy) s0),
+         |${simhashCtes(3, base = "par", idCol = "pid")},
+         |edges AS (
+         |  SELECT a_id AS src, b_id AS dst FROM prs
+         |  UNION SELECT b_id, a_id FROM prs),
+         |reach AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |drops AS (
+         |  SELECT src AS pid FROM (
+         |    SELECT src, least(src, min(dst)) AS canonical FROM reach GROUP BY src) c
+         |  WHERE pid <> canonical),
+         |kept AS (
+         |  SELECT p.doc_id, p.para_idx, p.text
+         |  FROM par p ANTI JOIN drops d ON p.pid = d.pid),
+         |recon AS (
+         |  SELECT doc_id, string_agg(text, ' ' ORDER BY para_idx) AS text,
+         |         count(*) AS n_kept
+         |  FROM kept GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(r.text, '') AS text,
+         |       CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept
+         |FROM (SELECT DISTINCT doc_id FROM par) d
+         |LEFT JOIN recon r ON d.doc_id = r.doc_id
+         |ORDER BY d.doc_id""".stripMargin
+    },
 
     // BPE-budget packing: the full training replay feeds per-doc
     // subtoken counts, then the q_pack_chunks window

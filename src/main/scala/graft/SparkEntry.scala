@@ -138,8 +138,10 @@ object SparkEntry {
     "q_text_quality_para" -> Text.textQualityPara _,
     "q_text_quality_para_adaptive" -> Text.textQualityParaAdaptive _,
     "q_text_dedup_para_sep" -> Text.textDedupParaSep _,
+    "q_text_dedup_para_near" -> Text.textDedupParaNear _,
     "q_text_bpe_train" -> Text.textBpeTrain _,
     "q_text_bpe_tokens" -> Text.textBpeTokens _,
+    "q_text_bpe_fertility" -> Text.textBpeFertility _,
     "q_pack_chunks_bpe" -> Text.packChunksBpe _,
     "q_text_unigram_ll" -> Text.textUnigramLL _,
     "q_text_redact" -> Text.textRedact _,

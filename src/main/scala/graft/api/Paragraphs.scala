@@ -62,6 +62,19 @@ object Paragraphs {
     graft.ops.Text.decontamParagraphs(
       view(docs, idCol, textCol, sep), probes, s" $sep ")
 
+  /** Paragraph-granularity NEAR-duplicate dedup over a separator
+    * corpus: every paragraph whose 64-bit SimHash sits within
+    * `maxHamming` of an earlier one is excised (canonical = the
+    * cluster's minimum (doc, paragraph); exact duplicates are the
+    * hamming-0 case, so this subsumes [[dedup]] on paragraphs with
+    * ≥ 3 tokens — shorter ones have no shingles and are always kept).
+    * Requires a non-negative integer id column and < 10⁶ paragraphs
+    * per document. Output: (doc_id, text, n_kept). */
+  def dedupNear(docs: DataFrame, idCol: String, textCol: String,
+      sep: String, maxHamming: Int = 3): DataFrame =
+    graft.ops.Text.dedupParagraphsNear(
+      view(docs, idCol, textCol, sep), s" $sep ", maxHamming)
+
   /** Paragraph-granularity substring TRIM over a separator corpus:
     * every occurrence-beyond-the-first of every duplicated
     * `windowTokens`-token window is excised INSIDE paragraphs (windows

@@ -701,6 +701,37 @@ object Text {
       .orderBy($"lang")
   }
 
+  /** Tokenizer FERTILITY report (round-14): the tokenizer-eval numbers
+    * a training pipeline tracks per language — subtokens per word
+    * (fertility) and characters per subtoken (compression) — computed
+    * from the TRAINED segmentation, not a whitespace proxy. High
+    * fertility on a language flags a tokenizer that fragments it
+    * (costing context budget and training FLOPs per unit text); the
+    * per-language table is the standard multi-lingual tokenizer-audit
+    * artifact. Integer sums, 6-dp divisions — fully oracle-replayable
+    * through the same chained-CTE training replay as q_text_bpe_tokens.
+    *
+    * 100 TB shape: identical to [[textBpeTokens]] — one corpus explode
+    * joined against the broadcast vocab-bounded segmentation, one
+    * |langs|-row aggregate. */
+  def textBpeFertility(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"lang", explode(toks($"text")).as("w"))
+      .join(broadcast(bpeSegCounts(spark, dir)), "w")
+      .groupBy($"lang")
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum($"n_sub".cast("long")).as("n_subtokens"),
+        sum(length($"w").cast("long")).as("n_chars"))
+      .select($"lang", $"n_words", $"n_subtokens",
+        round($"n_subtokens".cast("double") / $"n_words".cast("double"), 6)
+          .as("fertility"),
+        round($"n_chars".cast("double") / $"n_subtokens".cast("double"), 6)
+          .as("chars_per_subtoken"))
+      .orderBy($"lang")
+  }
+
   /** Sequence packing with budgets in TRAINED-tokenizer tokens — what
     * a production packer actually bins by (whitespace counts under-
     * count subword inflation; q_pack_chunks keeps the whitespace
@@ -2488,6 +2519,60 @@ object Text {
           |           j -> array_join(slice(t, j * k + 1, k), ' ')),
           |           ' <p> ')""".stripMargin).as("text"))
     dedupParagraphsSep(injected, "<p>")
+  }
+
+  /** Paragraph-level NEAR-duplicate dedup (round-14): the missing rung
+    * between [[textDedupPara]] (exact strings) and the doc-level
+    * near-dup family — excise every paragraph whose 64-bit SimHash
+    * sits within hamming ≤ 3 of an earlier one, canonical = the
+    * cluster's minimum (doc_id, para_idx), then reconstruct documents
+    * from the survivors. Exact duplicates are the hamming-0 special
+    * case, so this SUBSUMES exact paragraph dedup and additionally
+    * catches lightly-edited copies (the RefinedWeb near-dup treatment
+    * at paragraph granularity). Composes the graded building blocks
+    * verbatim: [[graft.api.Dedup.simhash]] (4×16-bit banding —
+    * COMPLETE for hamming ≤ 3 by pigeonhole, so candidate recall is 1
+    * by construction, and the portable md5-plane family replays
+    * bit-exactly in DuckDB) + [[graft.api.Dedup.clusterPairs]]
+    * (pointer-jumping closure) over packed paragraph ids
+    * (doc_id·10⁶ + para_idx — min-id order ≡ (doc_id, para_idx)
+    * lexicographic). Paragraphs with < 3 tokens have no shingles and
+    * are always kept, mirrored by the replay.
+    *
+    * Plan shape, 100 TB: one codegen'd signature pass over the
+    * paragraph view, the simhash chunk-bucket exchanges, the
+    * cluster closure's bounded rounds, then ONE anti-join excision
+    * and ONE doc_id reconstruction exchange. The fully-excised-doc
+    * sentinel is the dedupTrimParagraphs union (not a join-back —
+    * the count-prunable shape CountPruneSpec pins against). */
+  def textDedupParaNear(spark: SparkSession, dir: String): DataFrame =
+    dedupParagraphsNear(paragraphView(Tables.documents(spark, dir), ParaTokens))
+
+  /** The [[textDedupParaNear]] kernel over any (doc_id, para_idx,
+    * ptext) relation — doc_id must be a non-negative long and
+    * para_idx < 10⁶ (the pid packing contract, enforced). */
+  private[graft] def dedupParagraphsNear(parasIn: DataFrame,
+      joiner: String = " ", maxHamming: Int = 3): DataFrame = {
+    import parasIn.sparkSession.implicits._
+    val paras = parasIn.withColumn("pid", $"doc_id" * 1000000L + $"para_idx")
+    val pairs = api.Dedup.simhash(paras.select($"pid", $"ptext"),
+      "pid", "ptext", n = 3, maxHamming = maxHamming)
+    val drops = api.Dedup.clusterPairs(pairs, "a_id", "b_id")
+      .filter($"doc_id" =!= $"canonical_doc")
+      .select($"doc_id".as("pid"))
+    val kept = paras.join(drops, Seq("pid"), "left_anti")
+    val sentinel = paras.select($"doc_id").distinct()
+      .select($"doc_id", lit(-1).as("para_idx"),
+        lit(null).cast("string").as("ptext"))
+    kept.select($"doc_id", $"para_idx", $"ptext").unionByName(sentinel)
+      .groupBy($"doc_id")
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(when($"ptext".isNotNull,
+            struct($"para_idx", $"ptext")))), x => x.getField("ptext")),
+          joiner).as("text"),
+        sum(when($"ptext".isNotNull, 1L).otherwise(0L)).as("n_kept"))
+      .orderBy($"doc_id")
   }
 
   def qualityAdaptive(spark: SparkSession, dir: String): DataFrame = {
