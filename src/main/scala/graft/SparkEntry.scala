@@ -186,6 +186,8 @@ object SparkEntry {
     "q_sql_grouping_sets" -> Sql.groupingSets _,
     "q_sql_tpch_q4" -> Sql.tpchQ4 _,
     "q_sql_tpch_q5" -> Sql.tpchQ5 _,
+    "q_sql_tpch_q6" -> Sql.tpchQ6 _,
+    "q_sql_tpch_q10" -> Sql.tpchQ10 _,
     "q_sql_lateral" -> Sql.lateralTopN _,
     "q_sql_recursive" -> Sql.recursiveCte _,
     "q_fn_try" -> Relational.fnTry _,

@@ -59,6 +59,51 @@ object Sql {
         |ORDER BY revenue DESC, n_name""".stripMargin)
   }
 
+  /** TPC-H Q6 (forecast revenue change) — THE filter-pushdown
+    * showcase: three conjunctive predicates on one table feeding a
+    * single global aggregate. The formatted plan must show all three
+    * in PushedFilters and a ReadSchema of exactly the four referenced
+    * columns; at 100 TB this query is min/max-pruned down to the
+    * matching row groups and aggregates map-side to one row per task.
+    * Money math rides DECIMAL inside the sum (the tpchQ5 convention)
+    * and casts to DOUBLE only at the output boundary. */
+  def tpchQ6(spark: SparkSession, dir: String): DataFrame = {
+    withViews(spark, dir)
+    spark.sql(
+      """SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |       COUNT(*) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate <  TIMESTAMP '1998-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin)
+  }
+
+  /** TPC-H Q10 (returned-item reporting), trimmed to this corpus'
+    * customer columns: revenue lost to returned items per customer
+    * over a quarter, top 20. The classic join-heavy top-N: the only
+    * big join is orders⋈lineitem (both shuffled on the key), customer
+    * rides the orders key and nation broadcasts; the ORDER BY ...
+    * LIMIT plans as TakeOrdered — no global sort materializes. */
+  def tpchQ10(spark: SparkSession, dir: String): DataFrame = {
+    withViews(spark, dir)
+    spark.sql(
+      """SELECT /*+ BROADCAST(nation) */
+        |       c_custkey, c_name,
+        |       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |       c_acctbal, n_name
+        |FROM customer
+        |JOIN orders   ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate <  TIMESTAMP '1997-07-01'
+        |  AND l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin)
+  }
+
   /** Scalar subquery: parts priced above the mean part price. */
   def scalarSubquery(spark: SparkSession, dir: String): DataFrame = {
     withViews(spark, dir)
