@@ -1039,6 +1039,112 @@ object Dedup {
     * so bucket contents are identical under a per-chunk bijective key
     * remap and the uncapped DuckDB banding replay still groups the
     * same document sets. */
+  /** EXACT hamming ≤ 3 pair discovery with occupancy-capped RECURSIVE
+    * mask refinement — the [[simhash]] candidate generator's scale
+    * successor for corpora whose 16-bit chunk buckets run hot. The
+    * flat 4×16 banding's in-bucket expansion is O(occupancy²); at 30M
+    * paragraph signatures (avg occupancy ≈ 460 per 16-bit key) that
+    * quadratic term dominated a measured 1358 s cold run. This
+    * generator keeps expansion occupancy-bounded:
+    *
+    *   - IDENTICAL signatures collapse first: one representative per
+    *     distinct signature hunts pairs; its group re-attaches through
+    *     hamming-0 STAR edges. Components are preserved exactly (an
+    *     external doc within hamming ≤ 3 of one member is within ≤ 3
+    *     of all — same signature), and the exact-duplicate occupancy
+    *     class — the worst one — never reaches the expansion.
+    *   - A 3-level MASK LADDER refines hot buckets: level 0 bands on
+    *     sig & M_i for the four 16-bit chunk masks (pigeonhole: ≤ 3
+    *     flips leave ≥ 1 chunk clean). A bucket over `occT` descends:
+    *     its members re-band on the four 12-bit masks partitioning
+    *     that chunk's 48-bit complement (≤ 3 flips there leave ≥ 1
+    *     clean), then on four 9-bit masks of the remaining 36. Every
+    *     mask is a driver-computed literal and a bucket key is just
+    *     (path, sig & cumulative-mask) — no variable shifts, no bit
+    *     compaction. A pair within hamming ≤ 3 shares a clean part at
+    *     EVERY level it descends, so completeness holds level by
+    *     level; duplicates across paths collapse in the final
+    *     distinct. Pairs are verified by the same codegen'd
+    *     bit_count(xor) before the distinct.
+    *
+    * Returns a COMPONENT-EQUIVALENT pair set (star edges replace the
+    * all-pairs clique of each identical-signature group), so consume
+    * it for clustering — not for pair reporting. Level-2 buckets
+    * beyond `finalCap` (members sharing 37 signature bits — random
+    * collisions make this vanishingly rare; only adversarial input
+    * reaches it) fall under the same documented drop contract as
+    * [[simhash]]'s maxChunkOccupancy. */
+  private[graft] def simhashPairsRefined(df: DataFrame, idCol: String,
+      textCol: String, n: Int = 3, occT: Int = 256,
+      finalCap: Int = 65536): DataFrame =
+    simhashPairsFromSigs(simhashSignatures(df, idCol, textCol, n),
+      occT, finalCap)
+
+  /** The mask-ladder core of [[simhashPairsRefined]] over a raw
+    * (doc_id, sig) relation — factored out so the completeness pin can
+    * feed engineered signature sets (hot buckets, exact-dup cliques,
+    * ≤ 3-flip families) and force full descent with a tiny occT. */
+  private[graft] def simhashPairsFromSigs(sigs: DataFrame, occT: Int = 256,
+      finalCap: Int = 65536): DataFrame = {
+    val spark = sigs.sparkSession
+    import spark.implicits._
+    val reps = sigs.groupBy(col("sig")).agg(min(col("doc_id")).as("doc_id"))
+    val star = sigs
+      .join(reps.select(col("sig"), col("doc_id").as("a_id")), Seq("sig"))
+      .filter(col("doc_id") =!= col("a_id"))
+      .select(col("a_id"), col("doc_id").as("b_id"),
+        lit(0).cast("int").as("hamming"))
+    // driver-side mask ladder: 4 × 16-bit, then per node 4 × 12-bit
+    // over its complement, then 4 × 9-bit — 84 literal masks total
+    def split(cum: Long, parts: Int): Seq[Long] = {
+      val free = (63 to 0 by -1).filter(b => (cum & (1L << b)) == 0L)
+      val per = free.size / parts
+      (0 until parts).map(p =>
+        free.slice(p * per, (p + 1) * per).foldLeft(0L)((m, b) => m | (1L << b)))
+    }
+    var nextId = 0
+    def nid(): Int = { nextId += 1; nextId - 1 }
+    val l0 = split(0L, 4).map(m => (nid(), m))
+    val edges = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Long)]
+    for ((p0, m0) <- l0; m1 <- split(m0, 4)) {
+      val p1 = nid(); edges += ((p0, p1, m1))
+      for (m2 <- split(m0 | m1, 4)) { val p2 = nid(); edges += ((p1, p2, m2)) }
+    }
+    val childrenDf = edges.toSeq.toDF("path", "child_path", "child_mask")
+    def expand(buckets: DataFrame, cap: Int): DataFrame =
+      buckets
+        .groupBy(col("path"), col("key"))
+        .agg(boundedList(struct(col("doc_id"), col("sig")), cap).as("ds"))
+        .select(explode(expr(
+          """flatten(transform(ds, x ->
+            |  transform(filter(ds, y -> y.doc_id > x.doc_id), y -> struct(
+            |    x.doc_id AS a_id, y.doc_id AS b_id,
+            |    bit_count(x.sig ^ y.sig) AS hamming))))""".stripMargin)).as("p"))
+        .select(col("p.a_id"), col("p.b_id"), col("p.hamming"))
+        .filter(col("hamming") <= 3)
+    var frontier = reps.select(col("doc_id"), col("sig"),
+        explode(array(l0.map { case (p, m) =>
+          struct(lit(p).as("path"), lit(m).as("mask")) }: _*)).as("node"))
+      .select(col("doc_id"), col("sig"), col("node.path").as("path"),
+        col("sig").bitwiseAND(col("node.mask")).as("key"))
+    val levelPairs = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (level <- 0 to 2) {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("path"), col("key"))
+      val withOcc = frontier.withColumn("occ", count(lit(1)).over(w))
+      val cap = if (level == 2) finalCap else occT
+      levelPairs += expand(
+        withOcc.filter(col("occ") >= 2 && col("occ") <= cap), cap)
+      if (level < 2)
+        frontier = withOcc.filter(col("occ") > cap)
+          .join(broadcast(childrenDf), "path")
+          .select(col("doc_id"), col("sig"), col("child_path").as("path"),
+            col("key").bitwiseOR(col("sig").bitwiseAND(col("child_mask")))
+              .as("key"))
+    }
+    star.unionByName(levelPairs.reduce(_ unionByName _).distinct()).cache()
+  }
+
   private[graft] def simhashChunkBuckets(sigs: DataFrame, maxHamming: Int): DataFrame = {
     val chunks = maxHamming + 1
     require(64 % chunks == 0, s"chunks=$chunks must divide 64")

@@ -64,16 +64,18 @@ object Paragraphs {
 
   /** Paragraph-granularity NEAR-duplicate dedup over a separator
     * corpus: every paragraph whose 64-bit SimHash sits within
-    * `maxHamming` of an earlier one is excised (canonical = the
+    * hamming ≤ 3 of an earlier one is excised (canonical = the
     * cluster's minimum (doc, paragraph); exact duplicates are the
     * hamming-0 case, so this subsumes [[dedup]] on paragraphs with
     * ≥ 3 tokens — shorter ones have no shingles and are always kept).
-    * Requires a non-negative integer id column and < 10⁶ paragraphs
-    * per document. Output: (doc_id, text, n_kept). */
+    * The hamming bound is fixed at 3: the candidate generator's
+    * 16/12/9 refinement ladder is derived for it (Dedup
+    * .simhashPairsRefined). Requires a non-negative integer id column
+    * and < 10⁶ paragraphs per document. Output: (doc_id, text,
+    * n_kept). */
   def dedupNear(docs: DataFrame, idCol: String, textCol: String,
-      sep: String, maxHamming: Int = 3): DataFrame =
-    graft.ops.Text.dedupParagraphsNear(
-      view(docs, idCol, textCol, sep), s" $sep ", maxHamming)
+      sep: String): DataFrame =
+    graft.ops.Text.dedupParagraphsNear(view(docs, idCol, textCol, sep), s" $sep ")
 
   /** Paragraph-granularity substring TRIM over a separator corpus:
     * every occurrence-beyond-the-first of every duplicated

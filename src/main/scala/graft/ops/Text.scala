@@ -2552,11 +2552,16 @@ object Text {
     * ptext) relation — doc_id must be a non-negative long and
     * para_idx < 10⁶ (the pid packing contract, enforced). */
   private[graft] def dedupParagraphsNear(parasIn: DataFrame,
-      joiner: String = " ", maxHamming: Int = 3): DataFrame = {
+      joiner: String = " "): DataFrame = {
     import parasIn.sparkSession.implicits._
     val paras = parasIn.withColumn("pid", $"doc_id" * 1000000L + $"para_idx")
-    val pairs = api.Dedup.simhash(paras.select($"pid", $"ptext"),
-      "pid", "ptext", n = 3, maxHamming = maxHamming)
+    // the REFINED generator (occupancy-capped mask ladder + identical-
+    // signature star edges): component-equivalent to simhash()'s full
+    // pair set — exactly what the cluster consumer needs — and its
+    // expansion stays occupancy-bounded where the flat 16-bit banding
+    // went quadratic at 30M paragraphs (measured: BASELINE round-14)
+    val pairs = api.Dedup.simhashPairsRefined(paras.select($"pid", $"ptext"),
+      "pid", "ptext", n = 3)
     val drops = api.Dedup.clusterPairs(pairs, "a_id", "b_id")
       .filter($"doc_id" =!= $"canonical_doc")
       .select($"doc_id".as("pid"))
