@@ -599,6 +599,62 @@ object Oracle {
          |ORDER BY d.doc_id""".stripMargin
     },
 
+    // paragraph-level n-gram decontamination replay: the 20-token view
+    // + the q_text_decontam_ngram probe construction (distinct 3-gram
+    // sets via the tok/sh join pattern) + the same exact small-integer
+    // 0.5 threshold, then anti-join excision and the left-join
+    // reconstruction (fully-excised docs emit '')
+    "q_text_decontam_para_ngram" ->
+      """WITH sy AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |par AS (
+        |  SELECT doc_id, k AS para_idx,
+        |         array_to_string(t[k * 20 + 1 : k * 20 + 20], ' ') AS ptext
+        |  FROM (SELECT doc_id, t, unnest(generate_series(0, (len(t) - 1) // 20)) AS k
+        |        FROM sy) s0),
+        |ptok AS (
+        |  SELECT doc_id, para_idx,
+        |         generate_subscripts(string_split(ptext, ' '), 1) AS pos,
+        |         unnest(string_split(ptext, ' ')) AS w FROM par),
+        |parsh AS (
+        |  SELECT DISTINCT a.doc_id, a.para_idx, a.w || ' ' || b.w || ' ' || c.w AS sh
+        |  FROM ptok a
+        |  JOIN ptok b ON a.doc_id = b.doc_id AND a.para_idx = b.para_idx
+        |   AND b.pos = a.pos + 1
+        |  JOIN ptok c ON a.doc_id = c.doc_id AND a.para_idx = c.para_idx
+        |   AND c.pos = a.pos + 2),
+        |probes AS (
+        |  SELECT doc_id AS probe_id,
+        |         array_to_string(list_slice(string_split(text, ' '), 1, 12), ' ') AS ptext0
+        |  FROM documents WHERE doc_id < 4),
+        |ptok2 AS (
+        |  SELECT probe_id, generate_subscripts(string_split(ptext0, ' '), 1) AS pos,
+        |         unnest(string_split(ptext0, ' ')) AS w FROM probes),
+        |psh AS (
+        |  SELECT DISTINCT a.probe_id, a.w || ' ' || b.w || ' ' || c.w AS sh
+        |  FROM ptok2 a
+        |  JOIN ptok2 b ON a.probe_id = b.probe_id AND b.pos = a.pos + 1
+        |  JOIN ptok2 c ON a.probe_id = c.probe_id AND c.pos = a.pos + 2),
+        |psz AS (SELECT probe_id, count(*) AS p_n FROM psh GROUP BY 1),
+        |flagged AS (
+        |  SELECT DISTINCT j.doc_id, j.para_idx
+        |  FROM (SELECT s.doc_id, s.para_idx, p.probe_id, count(*) AS n_shared
+        |        FROM parsh s JOIN psh p ON s.sh = p.sh GROUP BY 1, 2, 3) j
+        |  JOIN psz ON j.probe_id = psz.probe_id
+        |  WHERE CAST(j.n_shared AS DOUBLE) / psz.p_n >= 0.5),
+        |kept AS (
+        |  SELECT p.doc_id, p.para_idx, p.ptext
+        |  FROM par p ANTI JOIN flagged f
+        |    ON p.doc_id = f.doc_id AND p.para_idx = f.para_idx),
+        |recon AS (
+        |  SELECT doc_id, string_agg(ptext, ' ' ORDER BY para_idx) AS text,
+        |         count(*) AS n_kept
+        |  FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(r.text, '') AS text,
+        |       CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept
+        |FROM (SELECT DISTINCT doc_id FROM par) d
+        |LEFT JOIN recon r ON d.doc_id = r.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
     // BPE-budget packing: the full training replay feeds per-doc
     // subtoken counts, then the q_pack_chunks window
     "q_pack_chunks_bpe" -> {

@@ -139,6 +139,7 @@ object SparkEntry {
     "q_text_quality_para_adaptive" -> Text.textQualityParaAdaptive _,
     "q_text_dedup_para_sep" -> Text.textDedupParaSep _,
     "q_text_dedup_para_near" -> Text.textDedupParaNear _,
+    "q_text_decontam_para_ngram" -> Text.textDecontamParaNgram _,
     "q_text_bpe_train" -> Text.textBpeTrain _,
     "q_text_bpe_tokens" -> Text.textBpeTokens _,
     "q_text_bpe_fertility" -> Text.textBpeFertility _,

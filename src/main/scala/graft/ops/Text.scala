@@ -2565,8 +2565,21 @@ object Text {
     val drops = api.Dedup.clusterPairs(pairs, "a_id", "b_id")
       .filter($"doc_id" =!= $"canonical_doc")
       .select($"doc_id".as("pid"))
-    val kept = paras.join(drops, Seq("pid"), "left_anti")
-    val sentinel = paras.select($"doc_id").distinct()
+    reconstructSurvivors(paras.join(drops, Seq("pid"), "left_anti"),
+      paras.select($"doc_id").distinct(), joiner)
+  }
+
+  /** Anti-join-shaped reconstruction tail shared by the excision-list
+    * operators ([[dedupParagraphsNear]], [[textDecontamParaNgram]]):
+    * re-emit each document from its SURVIVOR paragraphs in para_idx
+    * order, with a per-doc null-text sentinel union so fully-excised
+    * docs emit '' with n_kept = 0 — the count-prune-safe sibling of
+    * [[reconstructByKeep]] for operators whose excision arrives as an
+    * id list (anti join) rather than a per-row boolean. */
+  private def reconstructSurvivors(kept: DataFrame, docIds: DataFrame,
+      joiner: String): DataFrame = {
+    import kept.sparkSession.implicits._
+    val sentinel = docIds
       .select($"doc_id", lit(-1).as("para_idx"),
         lit(null).cast("string").as("ptext"))
     kept.select($"doc_id", $"para_idx", $"ptext").unionByName(sentinel)
@@ -2578,6 +2591,44 @@ object Text {
           joiner).as("text"),
         sum(when($"ptext".isNotNull, 1L).otherwise(0L)).as("n_kept"))
       .orderBy($"doc_id")
+  }
+
+  /** Paragraph-level N-GRAM decontamination (round-14) — completes the
+    * decontamination matrix (document × {verbatim, n-gram}, paragraph
+    * × {verbatim, n-gram}): excise every paragraph sharing ≥ 50% of an
+    * eval probe's distinct 3-grams — the lightly-EDITED contamination
+    * the verbatim paragraph scan ([[textDecontamPara]]) cannot see —
+    * and reconstruct the document from the survivors. Probes are the
+    * same data-derived eval set as q_text_decontam_ngram (leading 12
+    * words of docs 0-3), so every scale factor has guaranteed hits.
+    * Paragraphs with < 3 tokens carry no grams and are always kept
+    * (the [[dedupParagraphsNear]] contract).
+    *
+    * 100 TB shape: probe grams and sizes broadcast; the corpus pays
+    * ONE paragraph-shingle pass; the overlap aggregate keys only on
+    * gram-join-pruned (paragraph, probe) candidates; excision is the
+    * anti-join + sentinel-union reconstruction. */
+  def textDecontamParaNgram(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val probes = docs.filter($"doc_id" < 4)
+      .select($"doc_id".as("probe_id"),
+        array_join(slice(split($"text", " "), 1, 12), " ").as("ptext0"))
+    val pGrams = api.Dedup.shingles(probes, "probe_id", "ptext0", n = 3)
+      .select($"doc_id".as("probe_id"), explode($"shingles").as("gram"))
+    val pSizes = pGrams.groupBy($"probe_id").agg(count(lit(1)).as("p_n"))
+    val paras = paragraphView(docs, ParaTokens)
+      .withColumn("pid", $"doc_id" * 1000000L + $"para_idx")
+    val parGrams = api.Dedup.shingles(
+        api.Dedup.spread(paras.select($"pid", $"ptext")), "pid", "ptext", n = 3)
+      .select($"doc_id".as("pid"), explode($"shingles").as("gram"))
+    val flagged = parGrams.join(broadcast(pGrams), "gram")
+      .groupBy($"pid", $"probe_id").agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(pSizes), "probe_id")
+      .filter($"n_shared".cast("double") / $"p_n" >= 0.5)
+      .select($"pid").distinct()
+    reconstructSurvivors(paras.join(flagged, Seq("pid"), "left_anti"),
+      paras.select($"doc_id").distinct(), " ")
   }
 
   def qualityAdaptive(spark: SparkSession, dir: String): DataFrame = {

@@ -776,6 +776,26 @@ class BpeSpec extends SparkSpec {
       (20, "keep me here", 1L)), s"got $got")
   }
 
+  test("textDecontamParaNgram on sf0.001: probe-source paragraphs excised at overlap 1.0, accounting holds") {
+    import spark.implicits._
+    val sfDir = "/root/testdata/sf0.001"
+    val out = Text.textDecontamParaNgram(spark, sfDir).cache()
+    assert(out.count() == 500)
+    // each probe is the leading 12 words of docs 0-3 — the containing
+    // first paragraph holds all 10 probe grams (overlap 1.0) and MUST
+    // be excised, so those docs reconstruct differently
+    val changed = out.join(Tables.documents(spark, sfDir)
+        .select($"doc_id", $"text".as("orig")), "doc_id")
+      .filter($"doc_id" < 4 && $"text" =!= $"orig").count()
+    assert(changed == 4L, s"all four probe-source docs must change: $changed")
+    // kept never exceeds the doc's paragraph count; totals account
+    val np = Text.paragraphView(Tables.documents(spark, sfDir), 20)
+      .groupBy($"doc_id").agg(count(lit(1)).as("np"))
+    assert(out.join(np, "doc_id").filter($"n_kept" > $"np").count() == 0L)
+    out.unpersist()
+    ()
+  }
+
   test("textTrimPara on sf0.001: acts (multi-segment docs), never fabricates tokens") {
     import spark.implicits._
     val sfDir = "/root/testdata/sf0.001"
