@@ -9,9 +9,12 @@ import org.apache.spark.sql.SparkSession
   * starts, asserts the two merge tables are IDENTICAL, and reports
   * supersteps + wall seconds for each. Findings land in BASELINE.md.
   *
-  * Usage: tools/run_main.sh graft.BpeDepthProbe <sfDir> <nMerges> [seq|batched|delta|both|fast]
+  * Usage: tools/run_main.sh graft.BpeDepthProbe <sfDir> <nMerges> [seq|batched|delta|both|fast] [tokens|bigrams]
   * (fast = batched + delta only — the round-14 A/B at depths where the
-  * sequential twin is too slow; equality asserted between whichever ran)
+  * sequential twin is too slow; equality asserted between whichever ran.
+  * wordMode `bigrams` trains on adjacent-token bigrams instead of
+  * whitespace tokens — the 3.44M-type vocab regime of the round-14
+  * delta-trainer measurement; default `tokens`.)
   */
 object BpeDepthProbe {
   def main(args: Array[String]): Unit = {

@@ -1039,9 +1039,9 @@ object Dedup {
     * so bucket contents are identical under a per-chunk bijective key
     * remap and the uncapped DuckDB banding replay still groups the
     * same document sets. */
-  /** EXACT hamming ≤ 3 pair discovery with occupancy-capped RECURSIVE
-    * mask refinement — the [[simhash]] candidate generator's scale
-    * successor for corpora whose 16-bit chunk buckets run hot. The
+  /** EXACT hamming ≤ maxHamming pair discovery with occupancy-capped
+    * RECURSIVE mask refinement — the [[simhash]] candidate generator's
+    * scale successor for corpora whose chunk buckets run hot. The
     * flat 4×16 banding's in-bucket expansion is O(occupancy²); at 30M
     * paragraph signatures (avg occupancy ≈ 460 per 16-bit key) that
     * quadratic term dominated a measured 1358 s cold run. This
@@ -1050,65 +1050,115 @@ object Dedup {
     *   - IDENTICAL signatures collapse first: one representative per
     *     distinct signature hunts pairs; its group re-attaches through
     *     hamming-0 STAR edges. Components are preserved exactly (an
-    *     external doc within hamming ≤ 3 of one member is within ≤ 3
+    *     external doc within hamming ≤ h of one member is within ≤ h
     *     of all — same signature), and the exact-duplicate occupancy
     *     class — the worst one — never reaches the expansion.
-    *   - A 3-level MASK LADDER refines hot buckets: level 0 bands on
-    *     sig & M_i for the four 16-bit chunk masks (pigeonhole: ≤ 3
-    *     flips leave ≥ 1 chunk clean). A bucket over `occT` descends:
-    *     its members re-band on the four 12-bit masks partitioning
-    *     that chunk's 48-bit complement (≤ 3 flips there leave ≥ 1
-    *     clean), then on four 9-bit masks of the remaining 36. Every
-    *     mask is a driver-computed literal and a bucket key is just
-    *     (path, sig & cumulative-mask) — no variable shifts, no bit
-    *     compaction. A pair within hamming ≤ 3 shares a clean part at
-    *     EVERY level it descends, so completeness holds level by
-    *     level; duplicates across paths collapse in the final
-    *     distinct. Pairs are verified by the same codegen'd
-    *     bit_count(xor) before the distinct.
+    *   - A 3-level MASK LADDER refines hot buckets, with
+    *     parts = maxHamming + 1 masks per level. PIGEONHOLE
+    *     COMPLETENESS, level by level: at every level the masks
+    *     PARTITION (a subset of) the bits left free by the cumulative
+    *     key; a pair within hamming ≤ h has ≤ h flipped bits total, so
+    *     among any h + 1 disjoint mask parts at least one is flip-free
+    *     and the pair shares that part's bucket. Bits a level leaves
+    *     uncovered (free.size mod parts, spread across the first masks
+    *     so at most the last differs by one) only weaken
+    *     DISCRIMINATION, never recall — a flip there consumes budget
+    *     without dirtying any mask. At the default h = 3 the levels are
+    *     the four 16-bit chunk masks, then four 12-bit masks of the
+    *     clean chunk's 48-bit complement, then four 9-bit masks of the
+    *     remaining 36 (no remainder anywhere). A bucket over `occT`
+    *     descends; every mask is a driver-computed literal and a
+    *     bucket key is just (path, sig & cumulative-mask) — no
+    *     variable shifts, no bit compaction. Duplicates across paths
+    *     collapse in the final distinct. Pairs are verified by the
+    *     same codegen'd bit_count(xor) before the distinct.
     *
     * Returns a COMPONENT-EQUIVALENT pair set (star edges replace the
     * all-pairs clique of each identical-signature group), so consume
     * it for clustering — not for pair reporting. Level-2 buckets
-    * beyond `finalCap` (members sharing 37 signature bits — random
+    * beyond `finalCap` (members sharing most signature bits — random
     * collisions make this vanishingly rare; only adversarial input
     * reaches it) fall under the same documented drop contract as
     * [[simhash]]'s maxChunkOccupancy. */
   private[graft] def simhashPairsRefined(df: DataFrame, idCol: String,
       textCol: String, n: Int = 3, occT: Int = 256,
-      finalCap: Int = 65536): DataFrame =
-    simhashPairsFromSigs(simhashSignatures(df, idCol, textCol, n),
-      occT, finalCap)
+      finalCap: Int = 65536, maxHamming: Int = 3,
+      releaseSigs: Boolean = false): DataFrame = {
+    val sigs = simhashSignatures(df, idCol, textCol, n)
+    val out = simhashPairsFromSigs(sigs, occT, finalCap, maxHamming)
+    // releaseSigs: when the caller's signature relation is private to
+    // this pair build (the paragraph view — nothing else in the
+    // session bands over it), drop its cache as soon as the pair
+    // relation has materialized (which simhashPairsFromSigs does
+    // eagerly): at 30M paragraphs the signature cache is the largest
+    // pinned block the r14 ADVICE leak finding counted, and a warm
+    // repeat call plan-matches the final pair cache without ever
+    // re-reading it. Callers sharing the signature relation across
+    // queries (the document-level simhash family) keep the default.
+    if (releaseSigs) sigs.unpersist(false)
+    out
+  }
 
   /** The mask-ladder core of [[simhashPairsRefined]] over a raw
     * (doc_id, sig) relation — factored out so the completeness pin can
     * feed engineered signature sets (hot buckets, exact-dup cliques,
-    * ≤ 3-flip families) and force full descent with a tiny occT. */
+    * ≤ h-flip families) and force full descent with a tiny occT.
+    *
+    * RECOMPUTE BOUND (round-15): each level's occupancy-annotated
+    * frontier is PERSISTED before it forks — the expand leg and the
+    * descent leg both read it, and without the persist the window
+    * exchange behind `occ` re-ran once per consuming plan leg (up to
+    * 4× for level 0 when ReuseExchange declined across the union
+    * branches — the dominant term of the 518 s x100 cold run this
+    * bounds). The final pair relation is materialized EAGERLY inside
+    * this method (it is `.cache()`d anyway — the session-steady-state
+    * contract all downstream consumers rely on), after which every
+    * per-level intermediate is unpersisted: a warm repeat call
+    * plan-matches the final cached union and never re-materializes
+    * the intermediates, so nothing accumulates across queries in a
+    * long-lived session (the r14 ADVICE leak finding). */
   private[graft] def simhashPairsFromSigs(sigs: DataFrame, occT: Int = 256,
-      finalCap: Int = 65536): DataFrame = {
+      finalCap: Int = 65536, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 1 && maxHamming <= 15,
+      s"maxHamming must be in [1, 15], got $maxHamming")
     val spark = sigs.sparkSession
     import spark.implicits._
-    val reps = sigs.groupBy(col("sig")).agg(min(col("doc_id")).as("doc_id"))
+    val parts = maxHamming + 1
+    val ephemeral = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def keep(df: DataFrame): DataFrame = {
+      ephemeral += df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df
+    }
+    // reps feeds BOTH the star branch and the level-0 frontier —
+    // persisted so the groupBy over the (cached) signature relation
+    // runs once, not once per union branch
+    val reps = keep(
+      sigs.groupBy(col("sig")).agg(min(col("doc_id")).as("doc_id")))
     val star = sigs
       .join(reps.select(col("sig"), col("doc_id").as("a_id")), Seq("sig"))
       .filter(col("doc_id") =!= col("a_id"))
       .select(col("a_id"), col("doc_id").as("b_id"),
         lit(0).cast("int").as("hamming"))
-    // driver-side mask ladder: 4 × 16-bit, then per node 4 × 12-bit
-    // over its complement, then 4 × 9-bit — 84 literal masks total
+    // driver-side mask ladder, parts masks per level: at the default
+    // h = 3 that is 4 × 16-bit, then per node 4 × 12-bit over its
+    // complement, then 4 × 9-bit — 84 literal masks total. Remainder
+    // bits (free.size mod parts) go one each to the leading masks.
     def split(cum: Long, parts: Int): Seq[Long] = {
       val free = (63 to 0 by -1).filter(b => (cum & (1L << b)) == 0L)
-      val per = free.size / parts
+      val base = free.size / parts
+      val rem = free.size % parts
+      val offs = (0 until parts).map(p => base * p + math.min(p, rem))
       (0 until parts).map(p =>
-        free.slice(p * per, (p + 1) * per).foldLeft(0L)((m, b) => m | (1L << b)))
+        free.slice(offs(p), offs(p) + base + (if (p < rem) 1 else 0))
+          .foldLeft(0L)((m, b) => m | (1L << b)))
     }
     var nextId = 0
     def nid(): Int = { nextId += 1; nextId - 1 }
-    val l0 = split(0L, 4).map(m => (nid(), m))
+    val l0 = split(0L, parts).map(m => (nid(), m))
     val edges = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Long)]
-    for ((p0, m0) <- l0; m1 <- split(m0, 4)) {
+    for ((p0, m0) <- l0; m1 <- split(m0, parts)) {
       val p1 = nid(); edges += ((p0, p1, m1))
-      for (m2 <- split(m0 | m1, 4)) { val p2 = nid(); edges += ((p1, p2, m2)) }
+      for (m2 <- split(m0 | m1, parts)) { val p2 = nid(); edges += ((p1, p2, m2)) }
     }
     val childrenDf = edges.toSeq.toDF("path", "child_path", "child_mask")
     def expand(buckets: DataFrame, cap: Int): DataFrame =
@@ -1121,7 +1171,7 @@ object Dedup {
             |    x.doc_id AS a_id, y.doc_id AS b_id,
             |    bit_count(x.sig ^ y.sig) AS hamming))))""".stripMargin)).as("p"))
         .select(col("p.a_id"), col("p.b_id"), col("p.hamming"))
-        .filter(col("hamming") <= 3)
+        .filter(col("hamming") <= maxHamming)
     var frontier = reps.select(col("doc_id"), col("sig"),
         explode(array(l0.map { case (p, m) =>
           struct(lit(p).as("path"), lit(m).as("mask")) }: _*)).as("node"))
@@ -1131,7 +1181,7 @@ object Dedup {
     for (level <- 0 to 2) {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("path"), col("key"))
-      val withOcc = frontier.withColumn("occ", count(lit(1)).over(w))
+      val withOcc = keep(frontier.withColumn("occ", count(lit(1)).over(w)))
       val cap = if (level == 2) finalCap else occT
       levelPairs += expand(
         withOcc.filter(col("occ") >= 2 && col("occ") <= cap), cap)
@@ -1142,7 +1192,12 @@ object Dedup {
             col("key").bitwiseOR(col("sig").bitwiseAND(col("child_mask")))
               .as("key"))
     }
-    star.unionByName(levelPairs.reduce(_ unionByName _).distinct()).cache()
+    val result =
+      star.unionByName(levelPairs.reduce(_ unionByName _).distinct()).cache()
+    try {
+      result.count() // materialize while the intermediates are live
+      result
+    } finally ephemeral.foreach(_.unpersist(false))
   }
 
   private[graft] def simhashChunkBuckets(sigs: DataFrame, maxHamming: Int): DataFrame = {

@@ -614,7 +614,17 @@ object Text {
         cur = applyBatch(cur)
         replacesSinceCheckpoint += batch.size
         if (replacesSinceCheckpoint >= 8) {
-          val next = cur.localCheckpoint()
+          // EXHAUSTED-WORD PRUNE (round-15 verdict item 4): a word
+          // whose symbol string holds a single symbol carries no
+          // double-space separator, so no ' lhs  rhs ' match pattern
+          // can ever hit it again and it contributes no pair rows —
+          // dropping it here is value-neutral for every later delta
+          // while shrinking the narrow affected-filter scan that is
+          // the late-superstep floor (forward note §23 (1)). The
+          // filter fuses into the checkpoint's one materialization
+          // pass; words start fully split, so early checkpoints prune
+          // little and a converged corpus prunes almost everything.
+          val next = cur.filter($"syms".contains("  ")).localCheckpoint()
           if (curCheckpointed != null) curCheckpointed.unpersist()
           curCheckpointed = next
           cur = next
@@ -2518,7 +2528,14 @@ object Text {
         """array_join(transform(sequence(0, (size(t) - 1) div k),
           |           j -> array_join(slice(t, j * k + 1, k), ' ')),
           |           ' <p> ')""".stripMargin).as("text"))
-    dedupParagraphsSep(injected, "<p>")
+    // the separator PARAGRAPH VIEW is cached (round-15 verdict item 3):
+    // the injection + re-split is string-rebuild work over every
+    // document — measured as the whole gap between this query's x100
+    // warm (60.3 s) and the rest of the paragraph family's 13-17 s
+    // norm, because unlike the family's shared fixed-width view it ran
+    // again on every repeat. One evictable entry per corpus, same
+    // session-lifetime contract as the minhashLsh shingle cache.
+    dedupParagraphs(paragraphViewSep(injected, "<p>").cache(), " <p> ")
   }
 
   /** Paragraph-level NEAR-duplicate dedup (round-14): the missing rung
@@ -2548,20 +2565,34 @@ object Text {
   def textDedupParaNear(spark: SparkSession, dir: String): DataFrame =
     dedupParagraphsNear(paragraphView(Tables.documents(spark, dir), ParaTokens))
 
+  /** Packed paragraph id doc_id·10⁶ + para_idx with the contract
+    * ENFORCED per row (doc_id ≥ 0, para_idx < 10⁶): a violating row
+    * raises a named error from inside the scan — a codegen'd branch,
+    * no extra job — instead of silently colliding pids and excising
+    * the wrong paragraphs (the r14 ADVICE finding). Min-pid order ≡
+    * (doc_id, para_idx) lexicographic under the contract. */
+  private def packedPid(doc: Column, idx: Column): Column =
+    when(doc >= 0L && idx < 1000000L, doc * 1000000L + idx)
+      .otherwise(raise_error(format_string(
+        "pid packing contract violated: doc_id=%s para_idx=%s " +
+          "(need doc_id >= 0 and para_idx < 1000000)",
+        doc, idx)).cast("long"))
+
   /** The [[textDedupParaNear]] kernel over any (doc_id, para_idx,
     * ptext) relation — doc_id must be a non-negative long and
-    * para_idx < 10⁶ (the pid packing contract, enforced). */
+    * para_idx < 10⁶ (the pid packing contract, enforced per row by
+    * [[packedPid]]). */
   private[graft] def dedupParagraphsNear(parasIn: DataFrame,
       joiner: String = " "): DataFrame = {
     import parasIn.sparkSession.implicits._
-    val paras = parasIn.withColumn("pid", $"doc_id" * 1000000L + $"para_idx")
+    val paras = parasIn.withColumn("pid", packedPid($"doc_id", $"para_idx"))
     // the REFINED generator (occupancy-capped mask ladder + identical-
     // signature star edges): component-equivalent to simhash()'s full
     // pair set — exactly what the cluster consumer needs — and its
     // expansion stays occupancy-bounded where the flat 16-bit banding
     // went quadratic at 30M paragraphs (measured: BASELINE round-14)
     val pairs = api.Dedup.simhashPairsRefined(paras.select($"pid", $"ptext"),
-      "pid", "ptext", n = 3)
+      "pid", "ptext", n = 3, releaseSigs = true)
     val drops = api.Dedup.clusterPairs(pairs, "a_id", "b_id")
       .filter($"doc_id" =!= $"canonical_doc")
       .select($"doc_id".as("pid"))
@@ -2618,7 +2649,7 @@ object Text {
       .select($"doc_id".as("probe_id"), explode($"shingles").as("gram"))
     val pSizes = pGrams.groupBy($"probe_id").agg(count(lit(1)).as("p_n"))
     val paras = paragraphView(docs, ParaTokens)
-      .withColumn("pid", $"doc_id" * 1000000L + $"para_idx")
+      .withColumn("pid", packedPid($"doc_id", $"para_idx"))
     val parGrams = api.Dedup.shingles(
         api.Dedup.spread(paras.select($"pid", $"ptext")), "pid", "ptext", n = 3)
       .select($"doc_id".as("pid"), explode($"shingles").as("gram"))

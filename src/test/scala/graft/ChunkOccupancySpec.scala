@@ -51,61 +51,66 @@ class ChunkOccupancySpec extends SparkSpec {
           "regrade the corpus or raise the cap IN BOTH places")
     }
   }
-  test("simhashPairsFromSigs: components equal brute-force hamming<=3 with descent forced (occT=2)") {
-    import spark.implicits._
-    // engineered corpora: a constant 16-bit chunk overflows every
-    // level-0 bucket at occT=2 (forcing the 12- and 9-bit ladder),
-    // with exact-duplicate groups (the star-edge path) and <=3-flip
-    // families (true near-dups) mixed into background randoms.
-    // Ground truth: driver-side union-find over ALL pairs at
-    // hamming <= 3 — the refined generator must produce the SAME
-    // connected components (its pair set is component-equivalent by
-    // contract, not pair-identical).
-    for (seed <- 1 to 3) {
-      val rnd = new scala.util.Random(seed * 92821)
-      val sigs = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
-      var id = 0L
-      def add(s: Long): Unit = { sigs += ((id, s)); id += 1 }
-      val hotChunk = 0xABCDL << 48
-      for (_ <- 0 until 30) {
-        val base = hotChunk | (rnd.nextLong() & 0x0000FFFFFFFFFFFFL)
-        add(base)
-        for (_ <- 0 until rnd.nextInt(3)) add(base)
-        for (_ <- 0 until rnd.nextInt(3)) {
-          var s = base
-          for (_ <- 0 to rnd.nextInt(3)) s ^= 1L << rnd.nextInt(64)
-          add(s)
+  // engineered corpora: a constant hot region overflows every level-0
+  // bucket at occT=2 (forcing full mask-ladder descent), with
+  // exact-duplicate groups (the star-edge path) and <=h-flip families
+  // (true near-dups) mixed into background randoms. Ground truth:
+  // driver-side union-find over ALL pairs at hamming <= h — the
+  // refined generator must produce the SAME connected components (its
+  // pair set is component-equivalent by contract, not pair-identical).
+  // h ranges over {2, 3, 4} to pin the parts = h + 1 generalization
+  // (r15): the ladder's pigeonhole completeness must hold when the
+  // level masks are 21/14/9-bit (h=2) and 12-13/10/8-bit (h=4), not
+  // just the derivation-native 16/12/9 (h=3).
+  for (h <- 2 to 4)
+    test(s"simhashPairsFromSigs: components equal brute-force hamming<=$h with descent forced (occT=2)") {
+      import spark.implicits._
+      for (seed <- 1 to 3) {
+        val rnd = new scala.util.Random(seed * 92821 + h)
+        val sigs = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        var id = 0L
+        def add(s: Long): Unit = { sigs += ((id, s)); id += 1 }
+        val hotChunk = 0xABCDL << 48
+        for (_ <- 0 until 30) {
+          val base = hotChunk | (rnd.nextLong() & 0x0000FFFFFFFFFFFFL)
+          add(base)
+          for (_ <- 0 until rnd.nextInt(3)) add(base)
+          for (_ <- 0 until rnd.nextInt(3)) {
+            var s = base
+            for (_ <- 0 to rnd.nextInt(h)) s ^= 1L << rnd.nextInt(64)
+            add(s)
+          }
         }
+        for (_ <- 0 until 40) add(rnd.nextLong())
+        val got = api.Dedup.simhashPairsFromSigs(
+            sigs.toSeq.toDF("doc_id", "sig"), occT = 2, finalCap = 65536,
+            maxHamming = h)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+        val arr = sigs.toArray
+        val parent = Array.tabulate(arr.length)(identity)
+        def find(x: Int): Int = {
+          var r = x; while (parent(r) != r) r = parent(r)
+          var c = x
+          while (parent(c) != c) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        for (i <- arr.indices; j <- i + 1 until arr.length
+             if java.lang.Long.bitCount(arr(i)._2 ^ arr(j)._2) <= h)
+          parent(find(i)) = find(j)
+        val expected = arr.indices.groupBy(find).values
+          .map(_.map(arr(_)._1).toSet).filter(_.size > 1).toSet
+        val p2 = scala.collection.mutable.Map.empty[Long, Long]
+        def find2(x: Long): Long = {
+          val p = p2.getOrElse(x, x)
+          if (p == x) x else { val r = find2(p); p2(x) = r; r }
+        }
+        got.foreach { case (a, b) =>
+          val (ra, rb) = (find2(a), find2(b)); if (ra != rb) p2(ra) = rb
+        }
+        val gotComp = got.flatMap(pr => Seq(pr._1, pr._2)).distinct
+          .groupBy(find2).values.map(_.toSet).filter(_.size > 1).toSet
+        assert(gotComp == expected,
+          s"h=$h seed=$seed\ngot:      $gotComp\nexpected: $expected")
       }
-      for (_ <- 0 until 40) add(rnd.nextLong())
-      val got = api.Dedup.simhashPairsFromSigs(
-          sigs.toSeq.toDF("doc_id", "sig"), occT = 2, finalCap = 65536)
-        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
-      val arr = sigs.toArray
-      val parent = Array.tabulate(arr.length)(identity)
-      def find(x: Int): Int = {
-        var r = x; while (parent(r) != r) r = parent(r)
-        var c = x
-        while (parent(c) != c) { val n = parent(c); parent(c) = r; c = n }
-        r
-      }
-      for (i <- arr.indices; j <- i + 1 until arr.length
-           if java.lang.Long.bitCount(arr(i)._2 ^ arr(j)._2) <= 3)
-        parent(find(i)) = find(j)
-      val expected = arr.indices.groupBy(find).values
-        .map(_.map(arr(_)._1).toSet).filter(_.size > 1).toSet
-      val p2 = scala.collection.mutable.Map.empty[Long, Long]
-      def find2(x: Long): Long = {
-        val p = p2.getOrElse(x, x)
-        if (p == x) x else { val r = find2(p); p2(x) = r; r }
-      }
-      got.foreach { case (a, b) =>
-        val (ra, rb) = (find2(a), find2(b)); if (ra != rb) p2(ra) = rb
-      }
-      val gotComp = got.flatMap(pr => Seq(pr._1, pr._2)).distinct
-        .groupBy(find2).values.map(_.toSet).filter(_.size > 1).toSet
-      assert(gotComp == expected,
-        s"seed=$seed\ngot:      $gotComp\nexpected: $expected")
     }
-  }
 }
