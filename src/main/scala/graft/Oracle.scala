@@ -413,6 +413,174 @@ object Oracle {
        |ORDER BY cos_sim DESC, vec_id LIMIT $k""".stripMargin
   }
 
+  /** Shared CTE prefix of the IVF-family oracles (round-15): full
+    * replay of graft.api.Similarity.quantEmb + ivfFitInt + the probe's
+    * cell ranking. Normalization uses the SAME sequential left-fold
+    * norm the codegen'd kernel runs (list_reduce over list_prepend ↔
+    * `s += v*v` from 0.0 — identical IEEE ops in identical order, so
+    * the unit vectors are bit-identical), then the two quantization
+    * rounding steps in kernel order (x / nrm, · 10⁶, floor). Seeds are
+    * the nCells rows first in (md5(id-as-string), id) order — the
+    * q_sample_stratified portability idiom — followed by ONE exact
+    * integer Lloyd update (the graded iters = 2 assignment passes) and
+    * integer probe-cell ranking with ties to the smaller cell. Every
+    * decision after normalization is integer arithmetic carried in
+    * doubles, so list_inner_product's accumulation order cannot matter
+    * (the q_vec_kmeans exactness argument). Ends with `cand` = the IVF
+    * candidate id set and `pr` = the probe's (dv, iq) row. */
+  private def ivfCommonCtes(probeId: Long, nCells: Int, nProbe: Int): String =
+    s"""base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings),
+       |nr AS (
+       |  SELECT vec_id, dv,
+       |         sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |              list_transform(dv, x -> x * x)), (a, b) -> a + b)) AS nrm
+       |  FROM base),
+       |q AS (
+       |  SELECT vec_id, dv,
+       |         CASE WHEN nrm = 0 THEN list_transform(dv, x -> CAST(0.0 AS DOUBLE))
+       |              ELSE list_transform(dv, x -> floor(x / nrm * 1000000.0)) END AS iq
+       |  FROM nr),
+       |c0 AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS INT) AS cl, iq AS c
+       |  FROM (SELECT vec_id, iq, md5(CAST(vec_id AS VARCHAR)) AS h
+       |        FROM q ORDER BY h, vec_id LIMIT $nCells)),
+       |d1 AS (
+       |  SELECT v.vec_id, c0.cl,
+       |         list_inner_product(v.iq, v.iq) - 2 * list_inner_product(v.iq, c0.c)
+       |           + list_inner_product(c0.c, c0.c) AS dist
+       |  FROM q v CROSS JOIN c0),
+       |a1 AS (
+       |  SELECT vec_id, cl FROM (
+       |    SELECT vec_id, cl,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rn
+       |    FROM d1) WHERE rn = 1),
+       |e1 AS (
+       |  SELECT a1.cl, i.i, q.iq[i.i] AS x
+       |  FROM a1 JOIN q USING (vec_id)
+       |  CROSS JOIN (SELECT unnest(range(1, (SELECT len(iq) + 1 FROM q LIMIT 1))) AS i) i),
+       |u1 AS (
+       |  SELECT cl, list(fx ORDER BY i) AS c
+       |  FROM (SELECT cl, i, floor(sum(x) / count(*)) AS fx FROM e1 GROUP BY cl, i)
+       |  GROUP BY cl),
+       |c1 AS (SELECT c0.cl, COALESCE(u1.c, c0.c) AS c FROM c0 LEFT JOIN u1 USING (cl)),
+       |d2 AS (
+       |  SELECT v.vec_id, c1.cl,
+       |         list_inner_product(v.iq, v.iq) - 2 * list_inner_product(v.iq, c1.c)
+       |           + list_inner_product(c1.c, c1.c) AS dist
+       |  FROM q v CROSS JOIN c1),
+       |a2 AS (
+       |  SELECT vec_id, cl FROM (
+       |    SELECT vec_id, cl,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rn
+       |    FROM d2) WHERE rn = 1),
+       |pr AS (SELECT dv AS pdv, iq AS piq FROM q WHERE vec_id = $probeId),
+       |pcell AS (
+       |  SELECT cl FROM (
+       |    SELECT c1.cl,
+       |           list_inner_product(pr.piq, pr.piq)
+       |             - 2 * list_inner_product(pr.piq, c1.c)
+       |             + list_inner_product(c1.c, c1.c) AS d
+       |    FROM c1 CROSS JOIN pr)
+       |  ORDER BY d, cl LIMIT $nProbe),
+       |cand AS (
+       |  SELECT a2.vec_id FROM a2 JOIN pcell USING (cl)
+       |  WHERE a2.vec_id <> $probeId)""".stripMargin
+
+  /** Full fixed-point IVF replay (mirrors graft.api.Similarity.annIvf
+    * at iters = 2): [[ivfCommonCtes]]'s cells / probe set, then the
+    * exact 6-dp cosine re-rank — the annLshOracle convention. */
+  private def annIvfOracle(probeId: Long, k: Int, nCells: Int, nProbe: Int): String =
+    s"""WITH ${ivfCommonCtes(probeId, nCells, nProbe)}
+       |SELECT q.vec_id,
+       |       round(list_cosine_similarity(q.dv, pr.pdv), 6) AS cos_sim
+       |FROM q JOIN cand USING (vec_id) CROSS JOIN pr
+       |ORDER BY cos_sim DESC, q.vec_id LIMIT $k""".stripMargin
+
+  /** Full fixed-point IVF-PQ replay (mirrors graft.api.Similarity
+    * .annIvfPq at iters = 2, pqIters = 3): [[ivfCommonCtes]]'s
+    * candidate set, then the pqFitInt codebooks (md5-ordered 64·k
+    * sample, strided init, three exact integer Lloyd rounds with
+    * empty cells keeping their centroid), the candidate ADC scan over
+    * the probe's per-subspace lookup distances, the top-(k·overscan)
+    * selection by (integer ADC distance, id), and the exact 6-dp
+    * cosine re-rank of the selected ids. */
+  private def annIvfPqOracle(probeId: Long, k: Int, nCells: Int, nProbe: Int,
+      m: Int, codebookK: Int, overscan: Int): String = {
+    def lloyd(r: Int): String =
+      s"""pd$r AS (
+         |  SELECT s.sid, s.m, c.cell,
+         |         list_inner_product(s.sv, s.sv) - 2 * list_inner_product(s.sv, c.cb)
+         |           + list_inner_product(c.cb, c.cb) AS d
+         |  FROM sub s JOIN pq${r - 1} c USING (m)),
+         |pa$r AS (
+         |  SELECT sid, m, cell FROM (
+         |    SELECT sid, m, cell,
+         |           row_number() OVER (PARTITION BY sid, m ORDER BY d, cell) AS rn
+         |    FROM pd$r) WHERE rn = 1),
+         |pe$r AS (
+         |  SELECT a.m, a.cell, i.i, s.sv[i.i] AS x
+         |  FROM pa$r a JOIN sub s ON a.sid = s.sid AND a.m = s.m
+         |  CROSS JOIN (SELECT unnest(range(1, (SELECT dim // $m FROM dimv) + 1)) AS i) i),
+         |pu$r AS (
+         |  SELECT m, cell, list(fx ORDER BY i) AS cb
+         |  FROM (SELECT m, cell, i, floor(sum(x) / count(*)) AS fx
+         |        FROM pe$r GROUP BY m, cell, i)
+         |  GROUP BY m, cell),
+         |pq$r AS (
+         |  SELECT p.m, p.cell, COALESCE(u.cb, p.cb) AS cb
+         |  FROM pq${r - 1} p LEFT JOIN pu$r u USING (m, cell))""".stripMargin
+    s"""WITH ${ivfCommonCtes(probeId, nCells, nProbe)},
+       |dimv AS (SELECT len(iq) AS dim FROM q LIMIT 1),
+       |mm AS (SELECT CAST(unnest(range(0, $m)) AS INT) AS m),
+       |samp AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS BIGINT) AS sid, iq
+       |  FROM (SELECT vec_id, iq, md5(CAST(vec_id AS VARCHAR)) AS h
+       |        FROM q ORDER BY h, vec_id LIMIT ${64 * codebookK})),
+       |sN AS (SELECT count(*) AS n FROM samp),
+       |sub AS (
+       |  SELECT s.sid, mm.m,
+       |         s.iq[mm.m * (d.dim // $m) + 1 : (mm.m + 1) * (d.dim // $m)] AS sv
+       |  FROM samp s CROSS JOIN mm CROSS JOIN dimv d),
+       |pq0 AS (
+       |  SELECT sub.m, CAST(cc.c AS INT) AS cell, sub.sv AS cb
+       |  FROM sub
+       |  JOIN (SELECT unnest(range(0, $codebookK)) AS c) cc
+       |    ON sub.sid = cc.c * (SELECT greatest(1, n // $codebookK) FROM sN)),
+       |${lloyd(1)},
+       |${lloyd(2)},
+       |${lloyd(3)},
+       |csub AS (
+       |  SELECT c.vec_id, mm.m,
+       |         q.iq[mm.m * (d.dim // $m) + 1 : (mm.m + 1) * (d.dim // $m)] AS sv
+       |  FROM cand c JOIN q USING (vec_id) CROSS JOIN mm CROSS JOIN dimv d),
+       |enc AS (
+       |  SELECT vec_id, m, cell FROM (
+       |    SELECT cs.vec_id, cs.m, b.cell,
+       |           row_number() OVER (PARTITION BY cs.vec_id, cs.m ORDER BY
+       |             list_inner_product(cs.sv, cs.sv)
+       |               - 2 * list_inner_product(cs.sv, b.cb)
+       |               + list_inner_product(b.cb, b.cb), b.cell) AS rn
+       |    FROM csub cs JOIN pq3 b USING (m)) WHERE rn = 1),
+       |psub AS (
+       |  SELECT mm.m,
+       |         pr.piq[mm.m * (d.dim // $m) + 1 : (mm.m + 1) * (d.dim // $m)] AS sv
+       |  FROM pr CROSS JOIN mm CROSS JOIN dimv d),
+       |lut AS (
+       |  SELECT b.m, b.cell,
+       |         list_inner_product(p.sv, p.sv) - 2 * list_inner_product(p.sv, b.cb)
+       |           + list_inner_product(b.cb, b.cb) AS d
+       |  FROM pq3 b JOIN psub p USING (m)),
+       |adc AS (
+       |  SELECT e.vec_id, sum(l.d) AS ad
+       |  FROM enc e JOIN lut l ON e.m = l.m AND e.cell = l.cell
+       |  GROUP BY e.vec_id),
+       |sel AS (SELECT vec_id FROM adc ORDER BY ad, vec_id LIMIT ${k * overscan})
+       |SELECT q.vec_id,
+       |       round(list_cosine_similarity(q.dv, pr.pdv), 6) AS cos_sim
+       |FROM q JOIN sel USING (vec_id) CROSS JOIN pr
+       |ORDER BY cos_sim DESC, q.vec_id LIMIT $k""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
 
     "q_dedup_simhash" -> simhashOracle(3),
@@ -679,16 +847,18 @@ object Oracle {
 
     // ANN: the axis-aligned LSH family and the sign-bucket inverted file
     // are pure sign tests + integer arithmetic — fully replayable.
-    // q_ann_ivf and q_ann_ivfpq deliberately have NO entries: their
-    // k-means training (coarse cells; PQ codebooks) is float-sum
-    // arithmetic whose accumulation order is not portable across
-    // engines, so their designated checks are the candidate-set
-    // re-rank tests in TextVectorSpec (annIvf == exact top-k over
-    // ivfCandidates; annIvfPq == exact top-k over the ADC-selected
-    // candidates) plus the recall fixtures.
+    // Since round-15 the IVF family is TOO: its k-means (coarse cells;
+    // PQ codebooks) runs in the quantEmb fixed-point lattice, so the
+    // cells, probe set, codebooks and ADC scan replay exactly (the
+    // float fit that blocked these two rows is gone); the candidate-
+    // set re-rank tests in TextVectorSpec remain as the parameter-
+    // independent invariants.
     "q_ann_lsh" -> annLshOracle(probeId = 0L, k = 10, nTables = 8, nBits = 4, dim = 64),
     "q_ann_multiprobe" -> annMultiProbeOracle(probeId = 0L, k = 10,
       nBits = 6, extraBits = 4, maxOccupancy = 32),
+    "q_ann_ivf" -> annIvfOracle(probeId = 0L, k = 10, nCells = 16, nProbe = 4),
+    "q_ann_ivfpq" -> annIvfPqOracle(probeId = 0L, k = 10, nCells = 16,
+      nProbe = 4, m = 8, codebookK = 16, overscan = 5),
 
     // §2.1 scans -------------------------------------------------------------
     "q_scan_parquet" ->

@@ -113,27 +113,29 @@ object Vector {
     Similarity.annMultiProbe(Tables.embeddings(spark, dir), "vec_id", "embedding",
       probeId = 0L, k = 10, nBits = 6, extraBits = 4, maxOccupancy = 32)
 
-  /** IVF ANN (16 coarse cells from deterministic spherical k-means,
+  /** IVF ANN (16 coarse cells from the FIXED-POINT integer Lloyd fit,
     * probe searches top-4 cells) vs probe vec_id 0 —
-    * graft.api.Similarity.annIvf. Rows-only check; recall vs brute
-    * force asserted on the clustered fixture in ScalaTest (at THESE
-    * iters). iters = 2: farthest-point init starts near the true
-    * cluster structure, so two Lloyd rounds already separate the cells
-    * on clustered data — the third round bought no fixture recall and
-    * cost one driver round-trip job per call (the exact top-k over the
-    * probed cells shifts by a tail entry or two as centroids move, but
-    * the candidate-set re-rank invariant holds at any iters). */
+    * graft.api.Similarity.annIvf. FULL DuckDB oracle since round 15:
+    * the quantizer runs in the quantEmb integer lattice (md5-ordered
+    * seeds, exact integer distances, floor(mean) updates), so the
+    * oracle replays cells + probe set + re-rank term for term — the
+    * same upgrade that took the LSH family from rows-only to
+    * hash-matched. iters = 2 assignment passes (one Lloyd update):
+    * hash-spread seeds start well-mixed, and the fixture recall test
+    * holds at this depth; the candidate-set re-rank invariant holds at
+    * any iters. */
   def annIvf(spark: SparkSession, dir: String): DataFrame =
     Similarity.annIvf(Tables.embeddings(spark, dir), "vec_id", "embedding",
       probeId = 0L, k = 10, nCells = 16, nProbe = 4, iters = 2)
 
-  /** IVF-PQ ANN (16 k-means cells / probe top-4, 8×16 PQ codebooks,
-    * ADC top-50 overscan, exact top-10 re-rank) vs probe vec_id 0 —
-    * graft.api.Similarity.annIvfPq, the full composition of the
-    * coarse quantizer and the code scan. Rows-only check by
-    * construction (two float k-means quantizers); the designated
-    * ScalaTest asserts output == exact top-k over the ADC-selected
-    * candidates plus fixture recall ≥ 0.9. */
+  /** IVF-PQ ANN (16 integer-k-means cells / probe top-4, 8×16
+    * integer-lattice PQ codebooks, ADC top-50 overscan, exact top-10
+    * re-rank) vs probe vec_id 0 — graft.api.Similarity.annIvfPq, the
+    * full composition of the coarse quantizer and the code scan. FULL
+    * DuckDB oracle since round 15 (both quantizers replay exactly —
+    * see annIvfPqOracle); the designated ScalaTest keeps asserting
+    * output == exact top-k over the ADC-selected candidates plus
+    * fixture recall ≥ 0.9. */
   def annIvfPq(spark: SparkSession, dir: String): DataFrame =
     Similarity.annIvfPq(Tables.embeddings(spark, dir), "vec_id", "embedding",
       probeId = 0L, k = 10, nCells = 16, nProbe = 4, iters = 2,

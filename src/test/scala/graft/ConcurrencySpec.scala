@@ -92,10 +92,10 @@ class ConcurrencySpec extends SparkSpec {
   test("ResultCache fingerprints: order-invariant, content-sensitive, array-aware") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
-    // the memo keys for clusterPairs and kmeansFit rest on exactly
+    // the memo keys for clusterPairs and ivfFitInt rest on exactly
     // these three properties: same content in any row order → same
     // key; any changed value (including inside an array column, the
-    // kmeansFit case) → different key
+    // ivfFitInt case) → different key
     val rows = Seq((1L, Array(0.1, 0.2)), (2L, Array(0.3, 0.4)), (3L, Array(0.5, 0.6)))
     val a = rows.toDF("id", "v")
     val shuffled = rows.reverse.toDF("id", "v").orderBy(rand(42)) // any order
