@@ -68,14 +68,17 @@ object Paragraphs {
     * cluster's minimum (doc, paragraph); exact duplicates are the
     * hamming-0 case, so this subsumes [[dedup]] on paragraphs with
     * ≥ 3 tokens — shorter ones have no shingles and are always kept).
-    * The hamming bound is fixed at 3: the candidate generator's
-    * 16/12/9 refinement ladder is derived for it (Dedup
-    * .simhashPairsRefined). Requires a non-negative integer id column
-    * and < 10⁶ paragraphs per document. Output: (doc_id, text,
-    * n_kept). */
+    * `maxHamming` tunes the tolerance (default 3): the candidate
+    * generator's occupancy-capped mask ladder re-derives itself with
+    * maxHamming + 1 parts per level (Dedup.simhashPairsRefined —
+    * pigeonhole-complete for any bound, components pinned vs
+    * union-find for h ∈ {2, 3, 4}). Requires a non-negative integer
+    * id column and < 10⁶ paragraphs per document. Output: (doc_id,
+    * text, n_kept). */
   def dedupNear(docs: DataFrame, idCol: String, textCol: String,
-      sep: String): DataFrame =
-    graft.ops.Text.dedupParagraphsNear(view(docs, idCol, textCol, sep), s" $sep ")
+      sep: String, maxHamming: Int = 3): DataFrame =
+    graft.ops.Text.dedupParagraphsNear(view(docs, idCol, textCol, sep),
+      s" $sep ", maxHamming = maxHamming)
 
   /** Paragraph-granularity substring TRIM over a separator corpus:
     * every occurrence-beyond-the-first of every duplicated

@@ -1467,6 +1467,15 @@ object Text {
     import spark.implicits._
     val paras = paragraphView(Tables.documents(spark, dir), ParaTokens)
       .withColumn("__q", qualityComposite($"ptext"))
+    // hist's cache entry lives for the session BY CONTRACT (the r14
+    // ADVICE noted it is never unpersisted): the handle is referenced
+    // by both the threshold subtree and the final aggregate of the
+    // lazily-returned plan, so there is no materialization point to
+    // release it after — and unlike the 30M-row signature relations
+    // that finding also named (released in r15), this entry is the
+    // BOUNDED-DOMAIN histogram: ≤ a few thousand rows at ANY corpus
+    // size, one evictable entry per corpus, the same order of cost as
+    // the plan-cache entries every warm query keeps.
     val hist = paras.groupBy($"__q").agg(count(lit(1)).as("cnt")).cache()
     val th = hist
       .withColumn("cum", sum($"cnt").over(Window.orderBy($"__q")))
@@ -2562,8 +2571,12 @@ object Text {
     * and ONE doc_id reconstruction exchange. The fully-excised-doc
     * sentinel is the dedupTrimParagraphs union (not a join-back —
     * the count-prunable shape CountPruneSpec pins against). */
-  def textDedupParaNear(spark: SparkSession, dir: String): DataFrame =
-    dedupParagraphsNear(paragraphView(Tables.documents(spark, dir), ParaTokens))
+  def textDedupParaNear(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    dedupParagraphsNear(paragraphView(docs, ParaTokens),
+      docIdsIn = docs.select($"doc_id"))
+  }
 
   /** Packed paragraph id doc_id·10⁶ + para_idx with the contract
     * ENFORCED per row (doc_id ≥ 0, para_idx < 10⁶): a violating row
@@ -2571,7 +2584,7 @@ object Text {
     * no extra job — instead of silently colliding pids and excising
     * the wrong paragraphs (the r14 ADVICE finding). Min-pid order ≡
     * (doc_id, para_idx) lexicographic under the contract. */
-  private def packedPid(doc: Column, idx: Column): Column =
+  private[graft] def packedPid(doc: Column, idx: Column): Column =
     when(doc >= 0L && idx < 1000000L, doc * 1000000L + idx)
       .otherwise(raise_error(format_string(
         "pid packing contract violated: doc_id=%s para_idx=%s " +
@@ -2581,23 +2594,35 @@ object Text {
   /** The [[textDedupParaNear]] kernel over any (doc_id, para_idx,
     * ptext) relation — doc_id must be a non-negative long and
     * para_idx < 10⁶ (the pid packing contract, enforced per row by
-    * [[packedPid]]). */
+    * [[packedPid]]). `docIdsIn`, when the caller has one, is a cheaper
+    * DISTINCT doc_id source than the paragraph view itself (the
+    * default): the graded query passes the documents table's pruned
+    * doc_id column — a bare parquet column scan — where the default
+    * re-derives the whole tokenize + slice view just to throw away
+    * everything but doc_id (measured as one of the two view scans in
+    * the 36 s x100 reconstruction phase). The two are equal because
+    * every document emits ≥ 1 paragraph (paraSlices yields at least
+    * one — possibly empty — slice per doc). */
   private[graft] def dedupParagraphsNear(parasIn: DataFrame,
-      joiner: String = " "): DataFrame = {
+      joiner: String = " ", docIdsIn: DataFrame = null,
+      maxHamming: Int = 3): DataFrame = {
     import parasIn.sparkSession.implicits._
     val paras = parasIn.withColumn("pid", packedPid($"doc_id", $"para_idx"))
+    val docIds =
+      if (docIdsIn != null) docIdsIn.select($"doc_id")
+      else paras.select($"doc_id").distinct()
     // the REFINED generator (occupancy-capped mask ladder + identical-
     // signature star edges): component-equivalent to simhash()'s full
     // pair set — exactly what the cluster consumer needs — and its
     // expansion stays occupancy-bounded where the flat 16-bit banding
     // went quadratic at 30M paragraphs (measured: BASELINE round-14)
     val pairs = api.Dedup.simhashPairsRefined(paras.select($"pid", $"ptext"),
-      "pid", "ptext", n = 3, releaseSigs = true)
+      "pid", "ptext", n = 3, maxHamming = maxHamming)
     val drops = api.Dedup.clusterPairs(pairs, "a_id", "b_id")
       .filter($"doc_id" =!= $"canonical_doc")
       .select($"doc_id".as("pid"))
     reconstructSurvivors(paras.join(drops, Seq("pid"), "left_anti"),
-      paras.select($"doc_id").distinct(), joiner)
+      docIds, joiner)
   }
 
   /** Anti-join-shaped reconstruction tail shared by the excision-list
@@ -2658,8 +2683,11 @@ object Text {
       .join(broadcast(pSizes), "probe_id")
       .filter($"n_shared".cast("double") / $"p_n" >= 0.5)
       .select($"pid").distinct()
+    // doc_id universe from the pruned documents scan, not a second
+    // paragraph-view derivation — same equivalence argument as
+    // dedupParagraphsNear's docIdsIn
     reconstructSurvivors(paras.join(flagged, Seq("pid"), "left_anti"),
-      paras.select($"doc_id").distinct(), " ")
+      docs.select($"doc_id"), " ")
   }
 
   def qualityAdaptive(spark: SparkSession, dir: String): DataFrame = {

@@ -113,4 +113,51 @@ class ChunkOccupancySpec extends SparkSpec {
           s"h=$h seed=$seed\ngot:      $gotComp\nexpected: $expected")
       }
     }
+
+  test("simhashPairsFromSigs: START-LEVEL INVARIANCE — components identical entering at level 0, 1 or 2") {
+    import spark.implicits._
+    // the r15 scale path may SKIP ladder levels whose expected
+    // occupancy exceeds occT (at 30M signatures every 16-bit level-0
+    // bucket is hot, so the pass only learned "descend everything");
+    // correctness rests on every level's mask set being
+    // pigeonhole-complete ON ITS OWN. This pins it: same engineered
+    // corpus (hot region + exact dups + <=3-flip families + randoms),
+    // forced entry at each level, identical components.
+    val rnd = new scala.util.Random(424242)
+    val sigs = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    var id = 0L
+    def add(s: Long): Unit = { sigs += ((id, s)); id += 1 }
+    val hotChunk = 0x5A5AL << 48
+    for (_ <- 0 until 25) {
+      val base = hotChunk | (rnd.nextLong() & 0x0000FFFFFFFFFFFFL)
+      add(base)
+      for (_ <- 0 until rnd.nextInt(3)) add(base)
+      for (_ <- 0 until rnd.nextInt(3)) {
+        var s = base
+        for (_ <- 0 to rnd.nextInt(3)) s ^= 1L << rnd.nextInt(64)
+        add(s)
+      }
+    }
+    for (_ <- 0 until 40) add(rnd.nextLong())
+    val df = sigs.toSeq.toDF("doc_id", "sig")
+    def components(pairs: Seq[(Long, Long)]): Set[Set[Long]] = {
+      val p2 = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = p2.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); p2(x) = r; r }
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b)); if (ra != rb) p2(ra) = rb
+      }
+      pairs.flatMap(pr => Seq(pr._1, pr._2)).distinct
+        .groupBy(find).values.map(_.toSet).filter(_.size > 1).toSet
+    }
+    val byLevel = (0 to 2).map { sl =>
+      components(api.Dedup.simhashPairsFromSigs(df, occT = 2,
+          finalCap = 65536, maxHamming = 3, startLevelOverride = sl)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq)
+    }
+    assert(byLevel(0) == byLevel(1) && byLevel(1) == byLevel(2),
+      s"start-level variance:\nL0: ${byLevel(0)}\nL1: ${byLevel(1)}\nL2: ${byLevel(2)}")
+  }
 }
