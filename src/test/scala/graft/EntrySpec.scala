@@ -17,7 +17,7 @@ class EntrySpec extends SparkSpec {
     val os = SparkEntry.oracleSql.keySet
     assert((os -- qs).isEmpty, s"oracles without queries: ${os -- qs}")
     val noOracle = qs -- os
-    assert(noOracle === Set("q_agg_approx_distinct", "q_ann_ivf", "q_ann_ivfpq"),
+    assert(noOracle === Set("q_agg_approx_distinct"),
       s"undocumented no-oracle queries: $noOracle")
   }
 }
