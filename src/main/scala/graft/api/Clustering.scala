@@ -48,6 +48,23 @@ object Clustering {
                    k: Int, rounds: Int, scale: Double = 1000.0): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     require(rounds > 0, s"rounds must be positive, got $rounds")
+    // plan-keyed handle memo (round-15, the clusterPairs idiom): the
+    // fit is a driver-side loop (seed collect + one centroid collect
+    // per round + the checkpoint materialization) that plan caching
+    // cannot deduplicate — a repeat call re-ran all 7 jobs. The memo
+    // returns the checkpointed assignment handle; its blocks are tiny
+    // (three narrow columns) and ContextCleaner-tracked. Validity is
+    // unconditional: a LogicalRDD has no lineage to go stale — the
+    // standard same-session determinism assumption of the plan memos.
+    val memoKey = s"kmeansAssign:${ResultCache.sessionId(df.sparkSession)}:" +
+      s"$idCol:$vecCol:$k:$rounds:$scale:${df.queryExecution.analyzed.semanticHash()}"
+    ResultCache.getOrCompute[DataFrame](memoKey, _ => true)(
+      kmeansAssignBuild(df, idCol, vecCol, k, rounds, scale))
+  }
+
+  /** The un-memoized fit + assignment of [[kmeansAssign]]. */
+  private def kmeansAssignBuild(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, rounds: Int, scale: Double): DataFrame = {
     // quantize + self-dot in ONE codegen'd pass per row — the HOF
     // transform lambda this replaces was interpreted (64 closure calls
     // per row) and dominated the 1M-vector assignment pass

@@ -419,6 +419,15 @@ object Dedup {
     * from the shingle cache uncached). Same clearCache guidance as
     * [[minhashLsh]]. */
   private[graft] def jaccardPairs(shingled0: DataFrame, thr: Double, maxDf: Int): DataFrame = {
+    // handle memo + IMR-leaf — same round-15 rationale as [[minhashLsh]]
+    val key = s"jaccardPairs:${ResultCache.sessionId(shingled0.sparkSession)}:" +
+      s"$thr:$maxDf:${shingled0.queryExecution.analyzed.semanticHash()}"
+    ResultCache.getOrComputeCachedLeaf(key)(
+      jaccardPairsBuild(shingled0, thr, maxDf))
+  }
+
+  /** The un-memoized pipeline of [[jaccardPairs]]. */
+  private def jaccardPairsBuild(shingled0: DataFrame, thr: Double, maxDf: Int): DataFrame = {
     // DISK_ONLY, not .cache(): the shingle relation is CORPUS-sized
     // fat arrays, and a MEMORY_AND_DISK in-memory leg fills unified
     // storage to its protected floor and starves the posting/pair
@@ -582,6 +591,27 @@ object Dedup {
   def minhashLsh(df: DataFrame, idCol: String, textCol: String, n: Int = 3,
       bands: Int = 16, rowsPerBand: Int = 4, threshold: Double = 0.8,
       maxBandOccupancy: Int = 1024): DataFrame = {
+    // HANDLE memo + IMR-leaf (round-15): the steady-state contract was
+    // already "a repeat call plan-matches the final cached pair
+    // relation" — but the repeat call still paid the driver-side
+    // REBUILD + re-analysis of the whole band pipeline (measured as
+    // ~1-1.5 s of the keep-best/cluster warm runs with executors
+    // idle). The memo returns the same relation without rebuilding the
+    // plan; validity follows the cache entry exactly as before
+    // (clearCache ⇒ fresh build). Key = the sketchEmb idiom: session +
+    // parameters + the INPUT plan's canonical semantic hash.
+    val key = s"minhashLsh:${ResultCache.sessionId(df.sparkSession)}:$idCol:$textCol:" +
+      s"$n:$bands:$rowsPerBand:$threshold:$maxBandOccupancy:" +
+      df.queryExecution.analyzed.semanticHash()
+    ResultCache.getOrComputeCachedLeaf(key)(
+      minhashLshBuild(df, idCol, textCol, n, bands, rowsPerBand, threshold,
+        maxBandOccupancy))
+  }
+
+  /** The un-memoized pipeline of [[minhashLsh]]. */
+  private def minhashLshBuild(df: DataFrame, idCol: String, textCol: String,
+      n: Int, bands: Int, rowsPerBand: Int, threshold: Double,
+      maxBandOccupancy: Int): DataFrame = {
     val numHashes = bands * rowsPerBand
     // NO corpus-wide shingle cache (round-9 x100 finding): caching the
     // shingled corpus — the round-8 design — was the FIRST memory wall
@@ -761,6 +791,29 @@ object Dedup {
     * bloom clamps; its partitioned form no longer touches any conf.) */
   private[graft] def clusterPairsRounds(pairs: DataFrame, aCol: String, bCol: String,
       maxIters: Int = 20): (DataFrame, Int) = {
+    // PLAN-KEYED fast path (round-15) in front of the content-keyed
+    // memo below: a repeat call with the semantically-identical pairs
+    // plan (the warm bench run, a pipeline stage re-evaluated) skips
+    // the cache + localCheckpoint + fingerprint preamble entirely —
+    // those are 2-3 driver-latency jobs per call even when the
+    // content memo hits. Assumes a plan is deterministic within a
+    // session (the sketchEmb/minhashLsh memo idiom; the pair
+    // generators here are deterministic by construction). The
+    // content-keyed memo stays the ground truth on a miss.
+    val planKey = s"clusterPlan:${ResultCache.sessionId(pairs.sparkSession)}:" +
+      s"$aCol:$bCol:$maxIters:${pairs.queryExecution.analyzed.semanticHash()}"
+    ResultCache.getOrCompute[((DataFrame, Int), DataFrame)](planKey,
+      { case (_, gen) => ResultCache.isCached(gen) }) {
+      val (res, rounds, gen) = clusterPairsRoundsBuild(pairs, aCol, bCol, maxIters)
+      ((res, rounds), gen)
+    }._1
+  }
+
+  /** The un-memoized (at plan level) body of [[clusterPairsRounds]];
+    * additionally returns the cached-generation handle the validity
+    * probe must watch. */
+  private def clusterPairsRoundsBuild(pairs: DataFrame, aCol: String, bCol: String,
+      maxIters: Int): (DataFrame, Int, DataFrame) = {
     // fwd is CACHED before the symmetrize union: both union branches
     // reference the full upstream pair-generation plan, and un-cached
     // each branch re-executes that plan's AQE stages as separate jobs
@@ -819,7 +872,7 @@ object Dedup {
       val (gen, rounds) = ResultCache.getOrCompute[(DataFrame, Int)](key,
         { case (g, _) => ResultCache.isCached(g) })(propagateLabels(fwdT, maxIters))
       (gen.select(col("id").as("doc_id"), col("comp").as("canonical_doc"))
-        .orderBy(col("doc_id")), rounds)
+        .orderBy(col("doc_id")), rounds, gen)
     } finally {
       spark.conf.set("spark.sql.adaptive.enabled", aqePrev)
       // fwd's cache is deliberately NOT unpersisted: a repeat call's
@@ -925,6 +978,19 @@ object Dedup {
     * Cached: feeds chunking and the banding self-join; see
     * [[minhashLsh]]'s caching note. */
   private[graft] def simhashSignatures(df: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame = {
+    // handle memo + IMR-leaf (round-15): consumers (banding, the
+    // ladder's fingerprint probe, chunk-bucket builders) re-analyzed
+    // the shingle+signature tree per call; the leaf handle also makes
+    // the ladder memo's fingerprint job plan over one node
+    val key = s"simhashSigs:${ResultCache.sessionId(df.sparkSession)}:$idCol:$textCol:" +
+      s"$n:${df.queryExecution.analyzed.semanticHash()}"
+    ResultCache.getOrComputeCachedLeaf(key)(
+      simhashSignaturesBuild(df, idCol, textCol, n))
+  }
+
+  /** The un-memoized signature pass of [[simhashSignatures]]. */
+  private def simhashSignaturesBuild(df: DataFrame, idCol: String,
       textCol: String, n: Int): DataFrame =
     // one per-row codegen'd pass (graft.plans.SimhashSignature): no
     // shingle explode, no 64-column vote exchange — the signature is
@@ -992,6 +1058,16 @@ object Dedup {
     * rationale as [[minhashLsh]]. */
   def simhash(df: DataFrame, idCol: String, textCol: String, n: Int = 3,
       maxHamming: Int = 3, maxChunkOccupancy: Int = 1024): DataFrame = {
+    // handle memo + IMR-leaf — same round-15 rationale as [[minhashLsh]]
+    val key = s"simhashPairs:${ResultCache.sessionId(df.sparkSession)}:$idCol:$textCol:" +
+      s"$n:$maxHamming:$maxChunkOccupancy:${df.queryExecution.analyzed.semanticHash()}"
+    ResultCache.getOrComputeCachedLeaf(key)(
+      simhashBuild(df, idCol, textCol, n, maxHamming, maxChunkOccupancy))
+  }
+
+  /** The un-memoized pipeline of [[simhash]]. */
+  private def simhashBuild(df: DataFrame, idCol: String, textCol: String,
+      n: Int, maxHamming: Int, maxChunkOccupancy: Int): DataFrame = {
     val sigs = simhashSignatures(df, idCol, textCol, n)
     // Candidate generation is one grouped aggregate over the chunk
     // relation (the §18.22 shape — a chunk-key self-join pays its
@@ -1155,12 +1231,29 @@ object Dedup {
     // still live; on full eviction the memo recomputes fresh, on
     // partial eviction consumers recompute those partitions through
     // the (unpersisted) intermediate lineage — slow but exact.
-    val key = s"simhashLadder:${ResultCache.sessionId(spark)}:$occT:" +
+    // PLAN-KEYED fast path in front of the content-keyed memo (the
+    // clusterPairsRounds idiom, round-15): a repeat call with the
+    // semantically-identical signature plan skips the fingerprint job.
+    // The content-keyed memo below stays the ground truth on a miss.
+    val planKey = s"simhashLadderPlan:${ResultCache.sessionId(spark)}:$occT:" +
       s"$finalCap:$maxHamming:$startLevelOverride:" +
-      ResultCache.fingerprintPairs(sigs, "doc_id", "sig")
-    ResultCache.getOrCompute[DataFrame](key, r => ResultCache.isCached(r))(
-      simhashPairsLadderBuild(sigs, occT, finalCap, maxHamming,
-        startLevelOverride))
+      sigs.queryExecution.analyzed.semanticHash()
+    // the memo stores (ORIGINAL handle, IMR leaf): validity must probe
+    // the original — the leaf plan is not registered with the
+    // CacheManager, so probing it would always read NONE
+    ResultCache.getOrCompute[(DataFrame, DataFrame)](planKey,
+      { case (orig, _) => ResultCache.isCached(orig) }) {
+      val key = s"simhashLadder:${ResultCache.sessionId(spark)}:$occT:" +
+        s"$finalCap:$maxHamming:$startLevelOverride:" +
+        ResultCache.fingerprintPairs(sigs, "doc_id", "sig")
+      // IMR-leaf handle (round-15): consumers (clusterPairs' edge cache +
+      // the reconstruction joins) otherwise re-analyze the ladder's
+      // multi-level union tree on every call — driver time, executors idle
+      val orig = ResultCache.getOrCompute[DataFrame](key, ResultCache.isCached)(
+        simhashPairsLadderBuild(sigs, occT, finalCap, maxHamming,
+          startLevelOverride))
+      (orig, org.apache.spark.sql.GraftExpressionBridge.cachedLeaf(orig))
+    }._2
   }
 
   /** The un-memoized ladder build of [[simhashPairsFromSigs]]. */

@@ -86,6 +86,22 @@ object ResultCache {
     * lineage is the full unrolled loop. */
   def isCached(df: DataFrame): Boolean = df.storageLevel != StorageLevel.NONE
 
+  /** [[getOrCompute]] for memoized CACHED relations, returning the
+    * IMR-LEAF handle ([[org.apache.spark.sql.GraftExpressionBridge.cachedLeaf]])
+    * so consumer stacks analyze a one-node plan instead of the full
+    * producer tree (guide §3.3 / §7.3 — plan size is driver time; the
+    * sketch family paid 0.5-1 s per warm query re-analyzing its 15-join
+    * bucket tree). Validity probes the ORIGINAL handle — the leaf plan
+    * is not registered with the CacheManager, so probing it would read
+    * NONE and defeat the memo. `compute` must return an already
+    * `.cache()`d DataFrame (registration is what cachedLeaf looks up;
+    * materialization may still be lazy). */
+  def getOrComputeCachedLeaf(key: String)(compute: => DataFrame): DataFrame =
+    getOrCompute[(DataFrame, DataFrame)](key, p => isCached(p._1)) {
+      val orig = compute
+      (orig, org.apache.spark.sql.GraftExpressionBridge.cachedLeaf(orig))
+    }._2
+
   /** Content fingerprint of a relation in ONE job: row count + two
     * order-free folds over (row hash, row multiplicity).
     *

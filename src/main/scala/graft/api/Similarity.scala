@@ -379,7 +379,11 @@ object Similarity {
     // cache() registrations — harmless (CacheManager dedups).
     val key = s"sketchEmb:${ResultCache.sessionId(df.sparkSession)}:$idCol:$vecCol:" +
       s"$nBits:$extraBits:$maxOccupancy:$levels:${df.queryExecution.analyzed.semanticHash()}"
-    ResultCache.getOrCompute[DataFrame](key, ResultCache.isCached)(
+    // IMR-leaf handle (round-15): consumers (pair join + agg + sort ×
+    // 6 sketch-family queries) re-analyzed the full 15-join bucket tree
+    // on every call — 0.5-1 s of driver time per warm query with the
+    // executors idle; over the leaf they analyze one node
+    ResultCache.getOrComputeCachedLeaf(key)(
       normalized(signLshBuckets(df, idCol, vecCol, nBits, extraBits, maxOccupancy, levels),
         idCol, vecCol, keep = Seq("bucket")).cache())
   }
@@ -519,13 +523,23 @@ object Similarity {
     * rounding steps, md5-of-id seeding, every Lloyd round, cell
     * assignment, probe-cell ranking, PQ codebooks and the ADC scan
     * term for term, then hash-matches the exact 6-dp cosine re-rank. */
-  private def quantEmb(df: DataFrame, idCol: String, vecCol: String): DataFrame =
-    normalized(df, idCol, vecCol)
-      .withColumn("iq",
-        org.apache.spark.sql.GraftExpressionBridge.column(
-          graft.plans.DoubleArrayQuantizeFloor(
-            org.apache.spark.sql.GraftExpressionBridge.expression(col("nemb")),
-            1000000.0)))
+  private def quantEmb(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    // handle memo + IMR-leaf (round-15): ivfCandidates and the PQ stage
+    // each re-built and re-persisted this relation per call ("already
+    // cached" CacheManager warnings); one memoized MEMORY_ONLY entry
+    // (the storage-level rationale of the old per-call persist is in
+    // [[ivfCandidates]]'s scaladoc) serves the whole IVF family
+    val key = s"quantEmb:${ResultCache.sessionId(df.sparkSession)}:$idCol:$vecCol:" +
+      df.queryExecution.analyzed.semanticHash()
+    ResultCache.getOrComputeCachedLeaf(key)(
+      normalized(df, idCol, vecCol)
+        .withColumn("iq",
+          org.apache.spark.sql.GraftExpressionBridge.column(
+            graft.plans.DoubleArrayQuantizeFloor(
+              org.apache.spark.sql.GraftExpressionBridge.expression(col("nemb")),
+              1000000.0)))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY))
+  }
 
   /** Integer Lloyd fit for the IVF coarse quantizer over a
     * [[quantEmb]] relation. Seeds = the nCells quantized vectors first
@@ -543,6 +557,20 @@ object Similarity {
     * + parameters: the fit is a driver-side loop (one collect job per
     * round) that plan caching cannot deduplicate. */
   private def ivfFitInt(qemb: DataFrame, nCells: Int,
+      iters: Int): IndexedSeq[Array[Double]] = {
+    // plan-keyed fast path (round-15): the content fingerprint is one
+    // job per CALL even on a memo hit; with quantEmb's handle now
+    // memoized, the plan hash identifies the corpus without a job
+    // (same-session determinism assumption as the other plan memos)
+    val planKey = s"ivfFitIntPlan:${ResultCache.sessionId(qemb.sparkSession)}:" +
+      s"$nCells:$iters:${qemb.queryExecution.analyzed.semanticHash()}"
+    ResultCache.getOrCompute[IndexedSeq[Array[Double]]](planKey, _ => true) {
+      ivfFitIntByContent(qemb, nCells, iters)
+    }
+  }
+
+  /** The content-fingerprint-keyed fit memo of [[ivfFitInt]]. */
+  private def ivfFitIntByContent(qemb: DataFrame, nCells: Int,
       iters: Int): IndexedSeq[Array[Double]] = {
     val key = s"ivfFitInt:$nCells:$iters:${ResultCache.fingerprintRelation(qemb)}"
     ResultCache.getOrCompute[IndexedSeq[Array[Double]]](key, _ => true) {
@@ -624,8 +652,7 @@ object Similarity {
     * calls and annIvfPq's identical quantEmb plan cache-match it. */
   private[graft] def ivfCandidates(df: DataFrame, idCol: String, vecCol: String,
       probeId: Long, nCells: Int, nProbe: Int, iters: Int): DataFrame = {
-    val qemb = quantEmb(df, idCol, vecCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    val qemb = quantEmb(df, idCol, vecCol) // memoized MEMORY_ONLY handle
     val cents = ivfFitInt(qemb, nCells, iters)
     val bucketed = assignCellsInt(qemb, cents)
     val probeRow = bucketed.filter(col("vec_id") === probeId)
@@ -728,6 +755,17 @@ object Similarity {
     * bounded sample the float fit used — driver traffic is model-only
     * at any corpus size. */
   private[graft] def pqFitInt(qemb: DataFrame, m: Int, k: Int,
+      iters: Int): IndexedSeq[IndexedSeq[IndexedSeq[Double]]] = {
+    // plan-keyed model memo (round-15, the ivfFitInt treatment): the
+    // bounded-sample collect + driver Lloyd loop re-ran on every call
+    val planKey = s"pqFitIntPlan:${ResultCache.sessionId(qemb.sparkSession)}:" +
+      s"$m:$k:$iters:${qemb.queryExecution.analyzed.semanticHash()}"
+    ResultCache.getOrCompute[IndexedSeq[IndexedSeq[IndexedSeq[Double]]]](
+      planKey, _ => true)(pqFitIntBuild(qemb, m, k, iters))
+  }
+
+  /** The un-memoized sample + Lloyd loop of [[pqFitInt]]. */
+  private def pqFitIntBuild(qemb: DataFrame, m: Int, k: Int,
       iters: Int): IndexedSeq[IndexedSeq[IndexedSeq[Double]]] = {
     val sample = qemb
       .orderBy(md5(col("vec_id").cast("string").cast("binary")), col("vec_id"))
