@@ -73,6 +73,14 @@ object Bench {
       // one ObjectOutputStream, and the default reset-every-100 retains
       // ~100 batches (~GBs) per task — the x100/8g text-cache OOM
       .config("spark.serializer.objectStreamReset", "1")
+      // codegen cache sized to the suite (STATIC conf, default 100
+      // entries): 175 queries × several codegen units each churn the
+      // default cache continuously, so cross-query runs recompile
+      // janino units they compiled minutes earlier (the warmup comment
+      // below measured that eviction at ~60 intervening queries).
+      // Scale-neutral: the cache holds compiled classes for DISTINCT
+      // plan shapes, a workload property, not a data-size one.
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

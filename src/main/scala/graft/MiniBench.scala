@@ -35,6 +35,7 @@ object MiniBench {
       // one ObjectOutputStream, and the default reset-every-100 retains
       // ~100 batches (~GBs) per task — the x100/8g text-cache OOM
       .config("spark.serializer.objectStreamReset", "1")
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .config("spark.ui.enabled", "false")
     // same override hook as Verify: "k=v;k=v" applied after defaults —
     // the x100 rehearsal sizes shuffle.partitions to the data (the

@@ -29,6 +29,7 @@ object Verify {
       // one ObjectOutputStream, and the default reset-every-100 retains
       // ~100 batches (~GBs) per task — the x100/8g text-cache OOM
       .config("spark.serializer.objectStreamReset", "1")
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .config("spark.ui.enabled", "false")
     // optional conf overrides ("k=v;k=v"), applied AFTER the defaults so
     // they win; used by tools/spill_check.sh to shrink partitions and

@@ -202,18 +202,31 @@ object Similarity {
       (1 to j).foldLeft(lit(offAt(j)) + col("__k0") * (1L << (extraBits * j))) {
         (acc, i) => acc + col(s"__e$i") * (1L << (extraBits * (j - i)))
       }
+    // ONE rollup aggregation computes every level's over-cap prefix set
+    // (prefix of length j+1 = grouping_id 2^(levels−j) − 1): one pass
+    // over `based` instead of `levels` separate aggregate jobs (guide
+    // §2.4 — at sf0.1 the 14 per-level aggregates were ~28 of the
+    // sketch build's 50 cold jobs; at scale they were 14 passes over
+    // the corpus-sized sign relation). The sign columns are never null
+    // (missing coords read as 0), so rollup's null-padding cannot
+    // collide with data and grouping_id alone separates the levels.
+    // HISTORY: this rollup was tried in round 8 and REVERTED because
+    // the rollup relation's plan does not canonicalize stably across
+    // calls, so the sketchEmb CACHE stopped plan-matching and warm
+    // runs re-derived everything. The round-15 IMR-leaf handle memo
+    // (sketchEmb) made warm runs independent of plan canonicalization,
+    // which un-blocks the one-pass form.
+    val allPrefix = "__k0" +: (1 to levels).map(i => s"__e$i")
+    val hot = based.rollup(allPrefix.map(col): _*)
+      .agg(count(lit(1)).as("__cnt"), grouping_id().as("__gid"))
+      .filter(col("__cnt") > maxOccupancy && col("__gid") =!= ((1L << (levels + 1)) - 1))
+      .cache()
     val flagged = (0 until levels).foldLeft(based) { (cur, j) =>
       val prefix = "__k0" +: (1 to j).map(i => s"__e$i")
-      val bad = based.groupBy(prefix.map(col): _*).agg(count(lit(1)).as("__cnt"))
-        .filter(col("__cnt") > maxOccupancy)
+      val bad = hot.filter(col("__gid") === ((1L << (levels - j)) - 1))
         .select(prefix.map(col) :+ lit(1).as(s"__m$j"): _*)
       // the bad-list is ≤ rows/cap keys by construction — broadcastable
-      // at any corpus size (the capBuckets argument). A ONE-aggregate
-      // rollup formulation (all prefix counts in one exchange) was
-      // tried and REVERTED on measurement: the rollup relation's plan
-      // does not canonicalize stably across calls, so the sketchEmb
-      // cache stopped matching and warm runs re-derived everything
-      // (warm 2.4 s/4 jobs → 5.7 s/32 jobs at x10).
+      // at any corpus size (the capBuckets argument)
       cur.join(broadcast(bad), prefix, "left")
     }
     val key = (0 until levels).foldRight(keyAt(levels)) { (j, els) =>

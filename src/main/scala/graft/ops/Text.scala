@@ -1122,6 +1122,17 @@ object Text {
     * (measured +5 s cold at x10; at x100 it is tens of GB of the very
     * local disk this encoding exists to reclaim). */
   private def tokenVocab(docs: DataFrame): DataFrame = {
+    // handle memo + IMR-leaf (round-15, the minhashLsh idiom): the
+    // vocab feeds every dictionary-encode consumer (tfidf, unigram/
+    // bigram models, pmi decode) — each rebuilt + re-analyzed this
+    // window-over-bucket tree per call
+    val key = s"tokenVocab:${api.ResultCache.sessionId(docs.sparkSession)}:" +
+      docs.queryExecution.analyzed.semanticHash()
+    api.ResultCache.getOrComputeCachedLeaf(key)(tokenVocabBuild(docs))
+  }
+
+  /** The un-memoized vocabulary build of [[tokenVocab]]. */
+  private def tokenVocabBuild(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
     val toksRel = api.Dedup.spread(docs)
       .select(explode(toks($"text")).as("w"))
@@ -1170,6 +1181,15 @@ object Text {
     * the DISK_ONLY serializer handles without the batch-retention
     * pathology ([[graft.api.Persists]]). */
   private def bigramRunsEnc(docs: DataFrame, memoBase: String): DataFrame = {
+    // handle memo + IMR-leaf (round-15): rebuilt per call by pmi AND
+    // the bigram-ll family; the persist already plan-matched, the
+    // rebuild + re-analysis did not
+    api.ResultCache.getOrComputeCachedLeaf(s"bigramRunsEnc:$memoBase")(
+      bigramRunsEncBuild(docs, memoBase))
+  }
+
+  /** The un-memoized encode of [[bigramRunsEnc]]. */
+  private def bigramRunsEncBuild(docs: DataFrame, memoBase: String): DataFrame = {
     import docs.sparkSession.implicits._
     val (vocab, nVocab) = vocabWithCount(docs, memoBase)
     def vocabB(wAs: String, idAs: String) = {
@@ -1202,9 +1222,11 @@ object Text {
     * AGGREGATE_OUT_OF_MEMORY, round-9 measurement). Two longs a row. */
   private def bigramModelEnc(docs: DataFrame, memoBase: String): DataFrame = {
     import docs.sparkSession.implicits._
-    bigramRunsEnc(docs, memoBase)
-      .groupBy($"bid").agg(sum($"rtf").as("cbg"))
-      .transform(graft.api.Persists.diskOnly)
+    // handle memo + IMR-leaf (round-15) — see [[bigramRunsEnc]]
+    api.ResultCache.getOrComputeCachedLeaf(s"bigramModelEnc:$memoBase")(
+      bigramRunsEnc(docs, memoBase)
+        .groupBy($"bid").agg(sum($"rtf").as("cbg"))
+        .transform(graft.api.Persists.diskOnly))
   }
 
   /** Core of [[textBigramLL]] over any (doc_id, text) relation.
@@ -1305,13 +1327,15 @@ object Text {
     // once — the tokenize + broadcast vocab join rides one codegen
     // span and the groupBy's partial agg collapses to vocab size
     // in-task, so nothing corpus-sized materializes anywhere.)
-    val uni = api.Dedup.spread(docs)
-      .select(explode(org.apache.spark.sql.GraftExpressionBridge.column(
-        graft.plans.TokenRunLengths(
-          org.apache.spark.sql.GraftExpressionBridge.expression($"text")))).as("e"))
-      .select($"e.token".as("w"), $"e.tf".as("rtf"))
-      .join(if (nVocab <= 2000000L) broadcast(vocab) else vocab, "w")
-      .groupBy($"wid").agg(sum($"rtf").as("tf")).cache()
+    // handle memo + IMR-leaf (round-15) — see [[bigramRunsEnc]]
+    val uni = api.ResultCache.getOrComputeCachedLeaf(s"pmiUni:$memoBase")(
+      api.Dedup.spread(docs)
+        .select(explode(org.apache.spark.sql.GraftExpressionBridge.column(
+          graft.plans.TokenRunLengths(
+            org.apache.spark.sql.GraftExpressionBridge.expression($"text")))).as("e"))
+        .select($"e.token".as("w"), $"e.tf".as("rtf"))
+        .join(if (nVocab <= 2000000L) broadcast(vocab) else vocab, "w")
+        .groupBy($"wid").agg(sum($"rtf").as("tf")).cache())
     def uniB(idAs: String, cAs: String) = {
       val r = uni.select($"wid".as(idAs), $"tf".as(cAs))
       if (nVocab <= 2000000L) broadcast(r) else r.hint("SHUFFLE_HASH")
