@@ -28,6 +28,15 @@ object ProfileProbe {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.serializer.objectStreamReset", "1")
       .config("spark.sql.codegen.cache.maxEntries", "2000")
+      // let AQE coalesce CACHED-plan output partitioning too (round-16,
+      // guide §2.2 "fewer, larger"): default-off, which pins every
+      // in-query .cache()'d relation at the raw shuffle partition count,
+      // so each of its consumers pays one task per shuffle partition
+      // regardless of data size (measured: q_rfm_approx warm 1.15 -> 0.72 s,
+      // 9 -> 6 jobs; the dedup-family IMR consumers shed tasks the same
+      // way). Scale-adaptive by construction - AQE sizes partitions from
+      // bytes, not from a tuned constant.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -53,12 +53,15 @@ object Clustering {
     // per round + the checkpoint materialization) that plan caching
     // cannot deduplicate — a repeat call re-ran all 7 jobs. The memo
     // returns the checkpointed assignment handle; its blocks are tiny
-    // (three narrow columns) and ContextCleaner-tracked. Validity is
-    // unconditional: a LogicalRDD has no lineage to go stale — the
-    // standard same-session determinism assumption of the plan memos.
+    // (three narrow columns) and ContextCleaner-tracked. Validity
+    // probes block liveness (round-15 ADVICE): localCheckpoint blocks
+    // do not survive executor loss and have no lineage to recompute
+    // through, so a lost block must invalidate the entry and rebuild —
+    // the probe is a driver-side block-manager lookup, zero jobs.
     val memoKey = s"kmeansAssign:${ResultCache.sessionId(df.sparkSession)}:" +
-      s"$idCol:$vecCol:$k:$rounds:$scale:${df.queryExecution.analyzed.semanticHash()}"
-    ResultCache.getOrCompute[DataFrame](memoKey, _ => true)(
+      s"$idCol:$vecCol:$k:$rounds:$scale:${ResultCache.planKey(df)}"
+    ResultCache.getOrCompute[DataFrame](memoKey,
+      d => org.apache.spark.sql.GraftExpressionBridge.localCheckpointAlive(d))(
       kmeansAssignBuild(df, idCol, vecCol, k, rounds, scale))
   }
 

@@ -218,7 +218,7 @@ object Dedup {
     val spark0 = refDf.sparkSession
     val (fp, nRef) = ResultCache.fingerprintFileMeta(refDf) match {
       case Some(m) =>
-        val key = s"meta/$m/${refKeys.queryExecution.analyzed.semanticHash()}"
+        val key = s"meta/$m/${ResultCache.planKey(refKeys)}"
         val n = ResultCache.getOrCompute[Long](
           s"crossCorpusRefCount:${ResultCache.sessionId(spark0)}:$key",
           _ => true)(refDf.count())
@@ -421,7 +421,7 @@ object Dedup {
   private[graft] def jaccardPairs(shingled0: DataFrame, thr: Double, maxDf: Int): DataFrame = {
     // handle memo + IMR-leaf — same round-15 rationale as [[minhashLsh]]
     val key = s"jaccardPairs:${ResultCache.sessionId(shingled0.sparkSession)}:" +
-      s"$thr:$maxDf:${shingled0.queryExecution.analyzed.semanticHash()}"
+      s"$thr:$maxDf:${ResultCache.planKey(shingled0)}"
     ResultCache.getOrComputeCachedLeaf(key)(
       jaccardPairsBuild(shingled0, thr, maxDf))
   }
@@ -602,7 +602,7 @@ object Dedup {
     // parameters + the INPUT plan's canonical semantic hash.
     val key = s"minhashLsh:${ResultCache.sessionId(df.sparkSession)}:$idCol:$textCol:" +
       s"$n:$bands:$rowsPerBand:$threshold:$maxBandOccupancy:" +
-      df.queryExecution.analyzed.semanticHash()
+      ResultCache.planKey(df)
     ResultCache.getOrComputeCachedLeaf(key)(
       minhashLshBuild(df, idCol, textCol, n, bands, rowsPerBand, threshold,
         maxBandOccupancy))
@@ -801,7 +801,7 @@ object Dedup {
     // generators here are deterministic by construction). The
     // content-keyed memo stays the ground truth on a miss.
     val planKey = s"clusterPlan:${ResultCache.sessionId(pairs.sparkSession)}:" +
-      s"$aCol:$bCol:$maxIters:${pairs.queryExecution.analyzed.semanticHash()}"
+      s"$aCol:$bCol:$maxIters:${ResultCache.planKey(pairs)}"
     ResultCache.getOrCompute[((DataFrame, Int), DataFrame)](planKey,
       { case (_, gen) => ResultCache.isCached(gen) }) {
       val (res, rounds, gen) = clusterPairsRoundsBuild(pairs, aCol, bCol, maxIters)
@@ -984,7 +984,7 @@ object Dedup {
     // the shingle+signature tree per call; the leaf handle also makes
     // the ladder memo's fingerprint job plan over one node
     val key = s"simhashSigs:${ResultCache.sessionId(df.sparkSession)}:$idCol:$textCol:" +
-      s"$n:${df.queryExecution.analyzed.semanticHash()}"
+      s"$n:${ResultCache.planKey(df)}"
     ResultCache.getOrComputeCachedLeaf(key)(
       simhashSignaturesBuild(df, idCol, textCol, n))
   }
@@ -1060,7 +1060,7 @@ object Dedup {
       maxHamming: Int = 3, maxChunkOccupancy: Int = 1024): DataFrame = {
     // handle memo + IMR-leaf — same round-15 rationale as [[minhashLsh]]
     val key = s"simhashPairs:${ResultCache.sessionId(df.sparkSession)}:$idCol:$textCol:" +
-      s"$n:$maxHamming:$maxChunkOccupancy:${df.queryExecution.analyzed.semanticHash()}"
+      s"$n:$maxHamming:$maxChunkOccupancy:${ResultCache.planKey(df)}"
     ResultCache.getOrComputeCachedLeaf(key)(
       simhashBuild(df, idCol, textCol, n, maxHamming, maxChunkOccupancy))
   }
@@ -1237,7 +1237,7 @@ object Dedup {
     // The content-keyed memo below stays the ground truth on a miss.
     val planKey = s"simhashLadderPlan:${ResultCache.sessionId(spark)}:$occT:" +
       s"$finalCap:$maxHamming:$startLevelOverride:" +
-      sigs.queryExecution.analyzed.semanticHash()
+      ResultCache.planKey(sigs)
     // the memo stores (ORIGINAL handle, IMR leaf): validity must probe
     // the original — the leaf plan is not registered with the
     // CacheManager, so probing it would always read NONE

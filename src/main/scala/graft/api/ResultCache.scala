@@ -102,6 +102,23 @@ object ResultCache {
       (orig, org.apache.spark.sql.GraftExpressionBridge.cachedLeaf(orig))
     }._2
 
+  /** Widened plan discriminator for plan-keyed memos (round-15 ADVICE):
+    * `semanticHash()` alone is one 32-bit hash of the canonicalized
+    * plan, so a same-session collision between two same-parameter,
+    * different-input plans would silently serve the wrong memoized
+    * model/handle. This key appends the canonicalized node count and an
+    * independent string hash of the canonicalized tree — a collision now
+    * needs all three to agree. Canonicalization normalizes exprIds, so
+    * semantically-equal plans still produce IDENTICAL keys (the memo
+    * fast path keeps hitting); zero jobs, driver-only. */
+  def planKey(df: DataFrame): String = {
+    val canon = df.queryExecution.analyzed.canonicalized
+    var nodes = 0
+    canon.foreach(_ => nodes += 1)
+    s"${canon.semanticHash()}:$nodes:" +
+      s"${scala.util.hashing.MurmurHash3.stringHash(canon.treeString)}"
+  }
+
   /** Content fingerprint of a relation in ONE job: row count + two
     * order-free folds over (row hash, row multiplicity).
     *

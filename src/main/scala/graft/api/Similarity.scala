@@ -54,29 +54,41 @@ object Similarity {
     * exactly (ties break on the smaller id, struct-max in the oracle).
     *
     * 100 TB shape: the corpus-scale work is [[cosineTopK]] (one
-    * codegen'd dot pass + TakeOrderedAndProject); everything after
-    * operates on the kCand candidates — the pairwise leg is a semi-join
-    * of the normalized embeddings down to kCand rows then a kCand²
-    * crossJoin (bounded by construction, ≤ 400 rows at the graded 20),
-    * and the greedy loop itself runs on ≤ kCand + kCand² collected
-    * longs (a bounded fit, the kmeans-centroid convention — it is
-    * inherently sequential in k and never touches the corpus). */
+    * codegen'd dot pass + TakeOrderedAndProject) plus ONE pushed-down
+    * isin fetch of the kCand winning embeddings; everything after
+    * operates on kCand LOCAL rows — the kCand² pairwise leg is a
+    * crossJoin of two kCand-row local relations through the SAME
+    * codegen'd dot kernel and rounding (bounded by construction,
+    * ≤ 400 rows at the graded 20), and the greedy loop itself runs on
+    * ≤ kCand + kCand² collected longs (a bounded fit, the
+    * kmeans-centroid convention — it is inherently sequential in k and
+    * never touches the corpus). Round-16 (guide §2.4): the previous
+    * shape re-executed cosineTopK inside each broadcast build (semi-join
+    * probe + crossJoin leg), ~4 corpus passes per call; collecting the
+    * ≤ kCand candidate rows once (exact doubles round-trip through
+    * collect) and crossing them locally cuts that to the 2 passes the
+    * operator fundamentally needs. */
   def mmrTopK(df: DataFrame, idCol: String, vecCol: String, probeId: Long,
       kCand: Int, kOut: Int): DataFrame = {
     require(kOut >= 1 && kOut <= kCand, s"need 1 <= kOut=$kOut <= kCand=$kCand")
     val spark = df.sparkSession
-    val cand = cosineTopK(df, idCol, vecCol, probeId, kCand)
+    import spark.implicits._
+    // bounded fit: kCand (id, scaled cosine) rows
+    val cs: Seq[(Long, Long)] = cosineTopK(df, idCol, vecCol, probeId, kCand)
       .select(col("vec_id"), round(col("cos_sim") * 1e6, 0).cast("long").as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val candIds = cs.map(_._1)
+    // bounded fit: the kCand winning embeddings (pushed isin filter, one
+    // corpus pass; collect preserves the normalized doubles bit-exactly)
     val candEmb = normalized(df, idCol, vecCol)
-      .join(broadcast(cand.select(col("vec_id"))), Seq("vec_id"), "left_semi")
+      .filter(col("vec_id").isin(candIds: _*))
+      .as[(Long, Seq[Double])].collect().toSeq.toDF("vec_id", "nemb")
     val pairs = candEmb.select(col("vec_id").as("ai"), col("nemb").as("ea"))
-      .crossJoin(broadcast(candEmb.select(col("vec_id").as("bi"), col("nemb").as("eb"))))
+      .crossJoin(candEmb.select(col("vec_id").as("bi"), col("nemb").as("eb")))
       .filter(col("ai") =!= col("bi"))
       .select(col("ai"), col("bi"),
         round(round(V.dotFast(col("ea"), col("eb")), 6) * 1e6, 0).cast("long").as("p"))
-    // bounded fits: kCand rows + kCand·(kCand−1) rows
-    val cs: Seq[(Long, Long)] =
-      cand.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // bounded fit: kCand·(kCand−1) pair rows
     val ps: Map[(Long, Long), Long] =
       pairs.collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
     var chosen = Vector.empty[(Long, Long)] // (vec_id, scaled score at pick)
@@ -90,7 +102,6 @@ object Similarity {
       chosen :+= ((pick._2, pick._1))
       remaining = remaining.filterNot(_._1 == pick._2)
     }
-    import spark.implicits._
     chosen.zipWithIndex
       .map { case ((id, sc), i) => (i + 1L, id, sc) }
       .toDF("rank", "vec_id", "mmr_scaled")
@@ -219,7 +230,13 @@ object Similarity {
     val allPrefix = "__k0" +: (1 to levels).map(i => s"__e$i")
     val hot = based.rollup(allPrefix.map(col): _*)
       .agg(count(lit(1)).as("__cnt"), grouping_id().as("__gid"))
-      .filter(col("__cnt") > maxOccupancy && col("__gid") =!= ((1L << (levels + 1)) - 1))
+      // keep only grouping sets a per-level bad-list actually reads:
+      // gid 2^(levels−j) − 1 for j in [0, levels) — never the grand
+      // total (all-ones gid) and never the FULL key (gid 0, the
+      // deepest-level counts; no consumer filters on it, it only
+      // inflated the cached relation — round-15 ADVICE)
+      .filter(col("__cnt") > maxOccupancy &&
+        col("__gid") =!= ((1L << (levels + 1)) - 1) && col("__gid") =!= 0L)
       .cache()
     val flagged = (0 until levels).foldLeft(based) { (cur, j) =>
       val prefix = "__k0" +: (1 to j).map(i => s"__e$i")
@@ -391,7 +408,7 @@ object Similarity {
     // memo. A miss races at worst into two identical plan-matching
     // cache() registrations — harmless (CacheManager dedups).
     val key = s"sketchEmb:${ResultCache.sessionId(df.sparkSession)}:$idCol:$vecCol:" +
-      s"$nBits:$extraBits:$maxOccupancy:$levels:${df.queryExecution.analyzed.semanticHash()}"
+      s"$nBits:$extraBits:$maxOccupancy:$levels:${ResultCache.planKey(df)}"
     // IMR-leaf handle (round-15): consumers (pair join + agg + sort ×
     // 6 sketch-family queries) re-analyzed the full 15-join bucket tree
     // on every call — 0.5-1 s of driver time per warm query with the
@@ -543,7 +560,7 @@ object Similarity {
     // (the storage-level rationale of the old per-call persist is in
     // [[ivfCandidates]]'s scaladoc) serves the whole IVF family
     val key = s"quantEmb:${ResultCache.sessionId(df.sparkSession)}:$idCol:$vecCol:" +
-      df.queryExecution.analyzed.semanticHash()
+      ResultCache.planKey(df)
     ResultCache.getOrComputeCachedLeaf(key)(
       normalized(df, idCol, vecCol)
         .withColumn("iq",
@@ -576,7 +593,7 @@ object Similarity {
     // memoized, the plan hash identifies the corpus without a job
     // (same-session determinism assumption as the other plan memos)
     val planKey = s"ivfFitIntPlan:${ResultCache.sessionId(qemb.sparkSession)}:" +
-      s"$nCells:$iters:${qemb.queryExecution.analyzed.semanticHash()}"
+      s"$nCells:$iters:${ResultCache.planKey(qemb)}"
     ResultCache.getOrCompute[IndexedSeq[Array[Double]]](planKey, _ => true) {
       ivfFitIntByContent(qemb, nCells, iters)
     }
@@ -772,7 +789,7 @@ object Similarity {
     // plan-keyed model memo (round-15, the ivfFitInt treatment): the
     // bounded-sample collect + driver Lloyd loop re-ran on every call
     val planKey = s"pqFitIntPlan:${ResultCache.sessionId(qemb.sparkSession)}:" +
-      s"$m:$k:$iters:${qemb.queryExecution.analyzed.semanticHash()}"
+      s"$m:$k:$iters:${ResultCache.planKey(qemb)}"
     ResultCache.getOrCompute[IndexedSeq[IndexedSeq[IndexedSeq[Double]]]](
       planKey, _ => true)(pqFitIntBuild(qemb, m, k, iters))
   }

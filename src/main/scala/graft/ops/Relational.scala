@@ -1435,7 +1435,18 @@ object Relational {
     * versions from equal timestamps resolve deterministically: the
     * (ts, event_id) ordering makes the earlier event's interval empty,
     * so exactly one version covers any instant. One window shuffle on
-    * user_id; the as-of/current filters are free riders on it. */
+    * user_id; every other consumer is a conditional aggregate RIDING
+    * that same partitioning (round-16, guide §2.4): the previous shape
+    * built three separate legs over `versions` (count / current / as-of
+    * filter) and joined them back — three recomputations of the window
+    * exchange plus two joins. Because exactly one row per user has a
+    * NULL valid_to (the open interval) and at most one row covers the
+    * snapshot instant (the intervals partition the timeline), each
+    * legacy leg is equivalent to max(when(pred, col)) inside ONE
+    * groupBy(user_id) — including the left join's NULLs for users with
+    * no as-of version (the conditional max is NULL there). The groupBy
+    * reuses the window's hash partitioning, so the whole query is one
+    * shuffle + the output sort. */
   def scd2Asof(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
@@ -1443,14 +1454,12 @@ object Relational {
     val versions = Tables.events(spark, dir)
       .select($"user_id", $"ts", $"event_id", $"value")
       .withColumn("valid_to", lead($"ts", 1).over(w))
-    val counts = versions.groupBy($"user_id").agg(count(lit(1)).as("n_versions"))
-    val current = versions.filter($"valid_to".isNull)
-      .select($"user_id", $"value".as("current_value"))
-    val asof = versions
-      .filter($"ts" <= snapshot && ($"valid_to".isNull || $"valid_to" > snapshot))
-      .select($"user_id", $"event_id".as("asof_event"), $"value".as("asof_value"))
-    counts.join(current, Seq("user_id"))
-      .join(asof, Seq("user_id"), "left")
+    val asofCond = $"ts" <= snapshot && ($"valid_to".isNull || $"valid_to" > snapshot)
+    versions.groupBy($"user_id")
+      .agg(count(lit(1)).as("n_versions"),
+        max(when($"valid_to".isNull, $"value")).as("current_value"),
+        max(when(asofCond, $"event_id")).as("asof_event"),
+        max(when(asofCond, $"value")).as("asof_value"))
       .orderBy($"user_id")
   }
 
@@ -1634,12 +1643,12 @@ object Relational {
     * constant: a fixed base silently mis-tiles the moment custkey
     * outgrows it (the custkey term bleeds into the metric slot) — at
     * TPC-H growth that is SF ≈ 14 for a 2^21 base, squarely inside the
-    * scales this variant exists for. One extra 1-row aggregate over
-    * orders' custkey COLUMN computes max(o_custkey) (→ C = the next
-    * power of two above it — a pruned single-column scan with map-side
-    * max, NO groupBy shuffle: an A/B that instead derived the bound
-    * from the per-customer relation re-paid the whole orders aggregate,
-    * +1.3 s cold at sf0.1), and the overflow guard rides the EXISTING
+    * scales this variant exists for. max(o_custkey) (→ C = the next
+    * power of two above it) is a 1-row aggregate over the CACHED
+    * per-customer relation — the grouping keys carry exactly orders'
+    * custkey value set, so the max is identical (the earlier A/B where
+    * this shape lost predated the cache: then it re-paid the whole
+    * orders aggregate, +1.3 s cold at sf0.1), and the overflow guard rides the EXISTING
     * cuts aggregate: max|metric| is folded in alongside the three
     * percentile sketches and a codegen'd raise_error fires if
     * max|metric|·C + max(custkey) cannot fit a long — composites may
@@ -1648,7 +1657,30 @@ object Relational {
     * shard the exact variant instead). */
   def rfmSegmentsApprox(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val bound = Tables.orders(spark, dir)
+    // ONE orders scan + ONE groupBy exchange total (round-16, guide
+    // §2.4/§5): the cached per-customer relation feeds all three
+    // consumers — the custkey bound, the percentile-cuts broadcast, and
+    // the final tiling pass. The previous shape ran the orders
+    // aggregate TWICE (cuts build + final pass) plus a third orders
+    // scan for the bound; at scale that is two redundant corpus
+    // shuffles. The bound's max(o_custkey) over the GROUPED relation
+    // equals max over orders (grouping keys are the same value set),
+    // so deriving it from the cached per-customer rows costs one
+    // cached-scan aggregate instead of an orders scan. The cache is
+    // |customers| narrow rows — MEMORY_AND_DISK, spill-safe at scale,
+    // recompute-through-lineage if evicted.
+    val perCust = Tables.orders(spark, dir)
+      .groupBy($"o_custkey")
+      .agg(max($"o_orderdate").as("last_order"),
+        count(lit(1)).as("frequency"),
+        sum(dec2($"o_totalprice")).as("monetary"))
+      // metrics negated so DESC metric order = ASC composite order;
+      // monetary in exact cents (2-dp decimal → long is lossless)
+      .withColumn("rm", -datediff($"last_order", lit("1970-01-01")).cast("long"))
+      .withColumn("fm", -$"frequency".cast("long"))
+      .withColumn("mm", -($"monetary" * 100).cast("long"))
+      .cache()
+    val bound = perCust
       .agg(max($"o_custkey").cast("long").as("__maxck"))
       .withColumn("__C",
         // smallest power of two STRICTLY greater than __maxck, via bit
@@ -1657,17 +1689,8 @@ object Relational {
         // power-of-two maxck would set C = maxck and silently bleed
         // the max-custkey customer one metric unit (round-10 ADVICE)
         expr("shiftleft(CAST(1 AS BIGINT), length(bin(__maxck)))"))
-    // metrics negated so DESC metric order = ASC composite order;
-    // monetary in exact cents (2-dp decimal → long is lossless)
-    val withC = Tables.orders(spark, dir)
-      .groupBy($"o_custkey")
-      .agg(max($"o_orderdate").as("last_order"),
-        count(lit(1)).as("frequency"),
-        sum(dec2($"o_totalprice")).as("monetary"))
+    val withC = perCust
       .crossJoin(broadcast(bound))
-      .withColumn("rm", -datediff($"last_order", lit("1970-01-01")).cast("long"))
-      .withColumn("fm", -$"frequency".cast("long"))
-      .withColumn("mm", -($"monetary" * 100).cast("long"))
       .withColumn("rv", $"rm" * $"__C" + $"o_custkey")
       .withColumn("fv", $"fm" * $"__C" + $"o_custkey")
       .withColumn("mv", $"mm" * $"__C" + $"o_custkey")

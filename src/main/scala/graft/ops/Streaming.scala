@@ -395,10 +395,15 @@ object Streaming {
   def funnelBatchTws(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     // touch the StreamingQueryManager once before the first batch-mode
-    // transformWithState plan builds (lazy session-state init ordering);
-    // deliberate, and ONE touch per session suffices — a copy of this
-    // line in simhashDedupBatchTws was dead and is removed
+    // transformWithState plan builds (lazy session-state init ordering)
     spark.streams.active
+    // and register the StateStoreCoordinator endpoint BEFORE any
+    // RocksDB store opens: batch tws never starts a StreamingQuery, so
+    // the manager's lazy coordinator is never created, and the first
+    // store's snapshot-upload report raced endpoint creation
+    // (CANNOT_LOAD_STATE_STORE on the session's first tws query —
+    // round-15 finding, root-caused round-16)
+    org.apache.spark.sql.GraftExpressionBridge.ensureStateStoreCoordinator(spark)
     funnelPerUserTws(graft.Tables.events(spark, dir).as[Event]).toDF()
       .select(col("user_id"), col("event_id"),
         col("completed").cast("int").as("completed"))
@@ -500,6 +505,11 @@ object Streaming {
     * (docs under 3 tokens have no signature and are never dups). */
   def simhashDedupBatchTws(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // same eager coordinator registration as funnelBatchTws: this query
+    // must also survive being the SESSION'S FIRST tws query (solo runs
+    // reproduced the CANNOT_LOAD_STATE_STORE race — round-15 finding)
+    spark.streams.active
+    org.apache.spark.sql.GraftExpressionBridge.ensureStateStoreCoordinator(spark)
     val docs = graft.Tables.documents(spark, dir)
     // Signature-less docs (< 3 tokens — no shingles) ride the SAME
     // stateful path under a sentinel band keyed by their own doc_id

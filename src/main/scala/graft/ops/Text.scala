@@ -1127,7 +1127,7 @@ object Text {
     // bigram models, pmi decode) — each rebuilt + re-analyzed this
     // window-over-bucket tree per call
     val key = s"tokenVocab:${api.ResultCache.sessionId(docs.sparkSession)}:" +
-      docs.queryExecution.analyzed.semanticHash()
+      graft.api.ResultCache.planKey(docs)
     api.ResultCache.getOrComputeCachedLeaf(key)(tokenVocabBuild(docs))
   }
 
@@ -2694,17 +2694,24 @@ object Text {
     val probes = docs.filter($"doc_id" < 4)
       .select($"doc_id".as("probe_id"),
         array_join(slice(split($"text", " "), 1, 12), " ").as("ptext0"))
+    // ONE probe-side broadcast (round-16, guide §2.4): the per-probe
+    // gram count rides each gram row via a window over the bounded
+    // probe relation (4 probes × ≤ 10 trigrams), instead of a second
+    // broadcast (pSizes) whose build re-ran the probes scan + shingle
+    // pass as its own job chain. max(p_n) in the aggregate is exact:
+    // p_n is constant within a probe_id.
     val pGrams = api.Dedup.shingles(probes, "probe_id", "ptext0", n = 3)
       .select($"doc_id".as("probe_id"), explode($"shingles").as("gram"))
-    val pSizes = pGrams.groupBy($"probe_id").agg(count(lit(1)).as("p_n"))
+      .withColumn("p_n",
+        count(lit(1)).over(Window.partitionBy($"probe_id")))
     val paras = paragraphView(docs, ParaTokens)
       .withColumn("pid", packedPid($"doc_id", $"para_idx"))
     val parGrams = api.Dedup.shingles(
         api.Dedup.spread(paras.select($"pid", $"ptext")), "pid", "ptext", n = 3)
       .select($"doc_id".as("pid"), explode($"shingles").as("gram"))
     val flagged = parGrams.join(broadcast(pGrams), "gram")
-      .groupBy($"pid", $"probe_id").agg(count(lit(1)).as("n_shared"))
-      .join(broadcast(pSizes), "probe_id")
+      .groupBy($"pid", $"probe_id")
+      .agg(count(lit(1)).as("n_shared"), max($"p_n").as("p_n"))
       .filter($"n_shared".cast("double") / $"p_n" >= 0.5)
       .select($"pid").distinct()
     // doc_id universe from the pruned documents scan, not a second

@@ -65,14 +65,66 @@ object GraftExpressionBridge {
     * The original plan stays registered in the CacheManager, so
     * independent queries that rebuild the full tree still cache-match
     * it, and clearCache() still governs the storage. Returns the input
-    * unchanged when it has no registered cache entry. */
+    * unchanged when it has no registered cache entry.
+    *
+    * The leaf carries the CALLER's output attributes (round-15 ADVICE):
+    * lookupCachedData matches by canonicalized plan (names/exprIds
+    * erased), so a hit on an earlier-registered semantically-equal plan
+    * with different output names would otherwise return a leaf whose
+    * columns don't bind to the caller's — the same `withOutput`
+    * re-binding CacheManager.useCachedData applies at substitution
+    * time. */
   def cachedLeaf(df: DataFrame): DataFrame = {
     val classic = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
     classic.sharedState.cacheManager
-      .lookupCachedData(df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]])
-      .map(cd => org.apache.spark.sql.classic.Dataset.ofRows(classic, cd.cachedRepresentation)
+      .lookupCachedData(ds)
+      .map(cd => org.apache.spark.sql.classic.Dataset.ofRows(classic,
+          cd.cachedRepresentation.withOutput(ds.queryExecution.analyzed.output))
         .asInstanceOf[DataFrame])
       .getOrElse(df)
+  }
+
+  /** Eagerly register the driver-side StateStoreCoordinator RPC
+    * endpoint. Round-15 robustness finding, fixed at the root in
+    * round-16: the FIRST batch transformWithState query of a fresh
+    * session could fail CANNOT_LOAD_STATE_STORE because a RocksDB
+    * maintenance thread's snapshot-upload report reaches the
+    * coordinator endpoint before anything driver-side has registered
+    * it (batch mode never starts a StreamingQuery, so the manager's
+    * lazy coordinator is never touched). forDriver is idempotent — a
+    * second call returns the existing endpoint ref. */
+  def ensureStateStoreCoordinator(spark: SparkSession): Unit = {
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    org.apache.spark.sql.execution.streaming.state.StateStoreCoordinatorRef
+      .forDriver(org.apache.spark.SparkEnv.get, classic.sessionState.conf)
+    ()
+  }
+
+  /** Validity probe for memoized localCheckpoint()-backed handles
+    * (round-15 ADVICE): localCheckpoint blocks do not survive executor
+    * loss, and a lost block has NO lineage to recompute through — a
+    * memo that trusts the handle unconditionally turns every subsequent
+    * same-key call into a permanent failure. This checks, driver-side
+    * with zero jobs, that every partition block of every LogicalRDD
+    * leaf is still registered with the block manager master; any
+    * inspection failure reads as NOT alive (safe: the caller rebuilds).
+    * Non-LogicalRDD leaves pass — they have lineage. */
+  def localCheckpointAlive(df: DataFrame): Boolean = {
+    import org.apache.spark.storage.{BlockId, RDDBlockId}
+    try {
+      val master = org.apache.spark.SparkEnv.get.blockManager.master
+      df.queryExecution.analyzed.collectLeaves().forall {
+        case l: org.apache.spark.sql.execution.LogicalRDD =>
+          val rdd = l.rdd
+          val n = rdd.getNumPartitions
+          n == 0 || {
+            val ids = Array.tabulate(n)(i => RDDBlockId(rdd.id, i): BlockId)
+            master.getLocations(ids).forall(_.nonEmpty)
+          }
+        case _ => true
+      }
+    } catch { case scala.util.control.NonFatal(_) => false }
   }
 
   /** Inject the same function via SparkSessionExtensions at build time. */

@@ -163,8 +163,16 @@ class PlanShapeSpec extends SparkSpec {
     val cart = nodes.count(_.nodeName.contains("CartesianProduct"))
     assert(cart == 0, s"rfmApprox: found $cart CartesianProduct nodes")
     val n = nodes.count(_.isInstanceOf[ShuffleExchangeLike])
-    assert(n <= 5, s"rfmApprox: expected <=5 exchanges, got $n")
-    info(s"rfmApprox: $n exchanges, 0 windows")
+    // round-16 shape: the per-customer relation is computed ONCE and
+    // cached — its single groupBy exchange appears in the deep collect
+    // alongside the three tiny aggregate exchanges and the output sort;
+    // the old shape re-ran the orders aggregate per consumer instead
+    // (fewer visible exchange NODES, 2 more corpus passes EXECUTED)
+    assert(n <= 6, s"rfmApprox: expected <=6 exchanges, got $n")
+    val imr = nodes.count(_.nodeName.contains("InMemoryTableScan"))
+    assert(imr >= 2,
+      s"rfmApprox: per-customer cache must feed >=2 consumers, got $imr scans")
+    info(s"rfmApprox: $n exchanges, $imr cached-relation scans, 0 windows")
   }
 
   test("quality model: weights join broadcasts; one per-doc aggregate exchange plus sort") {
