@@ -26,7 +26,15 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Default heap 24g (round-16, was 8g): local[32] runs driver AND all
+  // 32 executor threads in THIS one JVM, so the suite's allocation rate
+  // is 32 cores' worth against one heap — at 8g the 175-query bench was
+  // GC-bound (same-host A/B at quiet calibration: warm 44.6 -> 38.5 s,
+  // cold 135.5 -> 115.3 s) and the ~4.6 GiB storage pool evicted cache
+  // blocks mid-build (q_dedup_cluster cold read 17.6 s on an eviction
+  // storm vs 3.1 s with headroom). Still env-parameterised: scale
+  // rehearsals and spill checks pass their own SPARK_DRIVER_MEM.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )
 // Belt for deep-plan task serialization in tests: plan-tree recursion
 // during ObjectOutputStream writes scales with plan depth, and the

@@ -1794,14 +1794,27 @@ object Relational {
         expr("cast(floor(datediff(to_date(ts), DATE'2024-01-01') / 7.0) as bigint)")
           .as("week"))
     // cohort = first PURCHASE week (users who never purchase drop out);
-    // activity = any event type
-    val cohorts = ev.filter($"event_type" === "purchase")
-      .groupBy($"user_id").agg(min($"week").as("cohort_week"))
-    ev.select($"user_id", $"week").distinct()
-      .join(cohorts, "user_id")
-      .filter($"week" >= $"cohort_week")
+    // activity = any event type. ONE events pass (round-16, guide
+    // §2.3/§2.4): the previous shape scanned events twice (purchase
+    // aggregate + activity distinct) and joined them back. Instead,
+    // one (user, week) aggregate — map-side partial aggregation
+    // collapses the corpus BEFORE the exchange, the property the
+    // two-pass shape had and a raw-row window would lose — carries a
+    // has-purchase flag, and the cohort is a conditional min over the
+    // user's partition of that SMALL per-(user, week) relation. The
+    // null-cohort filter drops never-purchasers exactly as the inner
+    // join did. count(1) in the final aggregate equals the previous
+    // countDistinct(user_id): rows are unique on (user_id, week), a
+    // user has ONE cohort_week, and week = cohort_week + week_offset —
+    // so a user cannot appear twice in one (cohort_week, week_offset)
+    // group.
+    val g1 = ev.groupBy($"user_id", $"week")
+      .agg(max(when($"event_type" === "purchase", 1).otherwise(0)).as("has_p"))
+    val w = Window.partitionBy($"user_id")
+    g1.withColumn("cohort_week", min(when($"has_p" === 1, $"week")).over(w))
+      .filter($"cohort_week".isNotNull && $"week" >= $"cohort_week")
       .groupBy($"cohort_week", ($"week" - $"cohort_week").as("week_offset"))
-      .agg(countDistinct($"user_id").as("n_users"))
+      .agg(count(lit(1)).as("n_users"))
       .orderBy($"cohort_week", $"week_offset")
   }
 

@@ -6,7 +6,7 @@
 # Requires a prior `sbt compile` (reads target/scala-2.13/classes).
 #
 # Usage: tools/run_main.sh graft.ScaleGen <args...>
-# Env: SPARK_DRIVER_MEM (default 8g) — same knob as build.sbt.
+# Env: SPARK_DRIVER_MEM (default 24g) — same knob as build.sbt.
 set -e
 cd "$(dirname "$0")/.."
 MAIN="$1"; shift
@@ -26,6 +26,6 @@ exec java \
   --add-opens java.base/sun.util.calendar=ALL-UNNAMED \
   -Dspark.ui.enabled=false \
   -Dspark.sql.session.timeZone=UTC \
-  -Xmx"${SPARK_DRIVER_MEM:-8g}" \
+  -Xmx"${SPARK_DRIVER_MEM:-24g}" \
   -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
   "$MAIN" "$@"
